@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core column-level building blocks of the engine.
+  *
+  * Everything here is a pure `Column => Column` / `DataFrame => DataFrame`
+  * function built from `org.apache.spark.sql.functions` so the whole surface
+  * stays inside whole-stage codegen (no UDFs). Each op cites the reference
+  * behavior it reproduces (paths relative to /root/reference/).
+  */
+object core {
+
+  /** Conditional count — the reference's recurring `F.count(F.when(cond, 1))`
+    * idiom (orchestration/src/batch_process.py:19,104,147,196). */
+  def countIf(cond: Column): Column = count(when(cond, 1))
+
+  /** Share as percent with divide-by-zero guard
+    * (batch_process.py:106-109,148-151). Returns null when total is 0,
+    * matching the reference's `otherwise(None)`. */
+  def pctOf(n: Column, total: Column): Column =
+    when(total > 0, n.cast("double") / total * 100.0).otherwise(lit(null))
+
+  /** On-time-performance percent: `(1 - delayed/total) * 100`
+    * (batch_process.py:22-25). */
+  def otpPercent(delayed: Column, total: Column): Column =
+    (lit(1.0) - delayed.cast("double") / total) * 100.0
+
+  /** Min-max normalization with constant-range guard: 100 when max == min
+    * (batch_process.py:71-75); generic 0..scale. */
+  def minMaxScore(c: Column, mn: Column, mx: Column, scale: Double = 100.0): Column =
+    when(mx === mn, lit(scale))
+      .otherwise((c - mn).cast("double") / (mx - mn) * scale)
+
+  /** HHMM int (e.g. 1305) → "13:05" (flights_lookup_to_kafka.py:15-16). */
+  def hhmmToStr(c: Column): Column =
+    format_string("%02d:%02d", floor(c / 100).cast("int"), (c % 100).cast("int"))
+
+  /** Haversine great-circle distance in km, pure column expression (stays in
+    * codegen; no UDF). Same formula as the reference's only domain-specific
+    * scalar (stream-processing/.../AirportAircraftCountStream.java:79-88). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val r = 6371.0
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * r) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+  }
+
+  /** Callsign → airline-code prefix rule
+    * (AirlineAircraftCountStream.java: extractAirlineCode): blank → UNKNOWN,
+    * leading 'N' → PRIVATE, length < 3 → as-is, else first 3 chars.
+    * Operates on the trimmed upper-cased callsign like the reference. */
+  def callsignAirline(callsign: Column): Column = {
+    val cs = upper(trim(coalesce(callsign, lit(""))))
+    when(length(cs) === 0, "UNKNOWN")
+      .when(substring(cs, 1, 1) === "N", "PRIVATE")
+      .when(length(cs) < 3, cs)
+      .otherwise(substring(cs, 1, 3))
+  }
+
+  /** Bucketize a numeric column against ascending splits (last bucket
+    * unbounded), returning (bucketId, label) columns. Replaces the
+    * reference's MLlib `Bucketizer` + coalesce(when...) labeling
+    * (batch_process.py:160-170) with a plain codegen-friendly when-chain. */
+  def bucketize(c: Column, splits: Seq[Double]): (Column, Column) = {
+    require(splits.sizeIs >= 2, "need at least 2 split points")
+    val labels = splits.sliding(2).toSeq.init.map {
+      case Seq(lo, hi) => s"${lo.toLong}-${hi.toLong}"
+    } :+ s"${splits.init.last.toLong}+"
+    val inner = splits.sliding(2).toSeq.init.zipWithIndex.foldLeft(lit(null): Column) {
+      case (acc, (Seq(lo, hi), i)) =>
+        if (i == 0) when(c >= lo && c < hi, i) else acc.when(c >= lo && c < hi, i)
+    }
+    val id = inner.when(c >= splits.init.last, splits.size - 2).cast("long")
+    val label = labels.zipWithIndex.foldLeft(lit(null): Column) {
+      case (acc, (lbl, i)) => coalesce(acc, when(id === i, lbl))
+    }
+    (id, label)
+  }
+
+  /** Unpivot `(label, valueCol)*` pairs into (keyName, valueName) rows via
+    * `stack` — the reference's delay-reasons / diverted-airports shape
+    * (batch_process.py:126-135,216-228). Values must share one type. */
+  def unpivot(df: DataFrame, pairs: Seq[(String, String)],
+              keyName: String, valueName: String,
+              idCols: Seq[String] = Nil): DataFrame = {
+    val stackArgs = pairs.map { case (lbl, c) => s"'$lbl', `$c`" }.mkString(", ")
+    val stackExpr =
+      s"stack(${pairs.size}, $stackArgs) as (`$keyName`, `$valueName`)"
+    df.selectExpr(idCols.map(c => s"`$c`") :+ stackExpr: _*)
+  }
+
+  /** Most-frequent value of `valueCol` per `keyCol` with a total tie-break
+    * (higher count wins, then smaller value) — the reference's mode idiom
+    * (flights_lookup_to_kafka.py:30-46): groupBy + count + row_number. */
+  def modeByKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val counts = df.groupBy(keyCol, valueCol).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(keyCol).orderBy(desc("cnt"), asc(valueCol))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "cnt")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.concurrent.TrieMap
+
+/** Central source layer for the engine.
+  *
+  * The reference reads CSV with `inferSchema=True` (an extra full scan of the
+  * file — /root/reference/orchestration/src/transform.py:52) and parquet globs
+  * (batch_process.py:243). Here every read goes through one place so that:
+  *   - schemas are explicit where the format needs it (CSV),
+  *   - the big fact tables are persisted once per (session, dir) when many
+  *     queries share a scan (the reference re-scans parquet for each of its
+  *     9 queries — batch_process.py:243-253),
+  *   - at cluster scale the cache is a no-op knob (`spark.graft.cacheInputs=
+  *     false`) and plans fall back to pure parquet scans with pushdown.
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Tables worth persisting across the multi-query batch runs. Dimensions
+    * are small enough that a broadcast re-read is cheap. */
+  private val hot = Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  private val cache = TrieMap.empty[(String, String, String), DataFrame]
+
+  /** Load `<dir>/<name>.parquet`, persisted if hot and caching enabled. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val cachingOn =
+      !spark.conf.getOption("spark.graft.cacheInputs").contains("false")
+    if (cachingOn && hot(name)) {
+      cache.getOrElseUpdate((spark.sparkContext.applicationId, dir, name), {
+        spark.read.parquet(s"$dir/$name.parquet")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** CSV reader with an explicit schema — no inference pass. Mirrors the
+    * reference ingest (transform.py:51-52) minus the double scan. */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** CSV reader that trims header whitespace like transform.py:53-54
+    * (`toDF(*[c.strip() for c in df.columns])`). Inference kept as an
+    * explicit opt-in fallback. */
+  def csvInferTrimmed(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(path)
+    df.toDF(df.columns.map(_.trim): _*)
+  }
+}
