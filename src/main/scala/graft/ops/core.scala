@@ -62,20 +62,23 @@ object core {
       .otherwise(substring(cs, 1, 3))
   }
 
-  /** Bucketize a numeric column against ascending splits (last bucket
-    * unbounded), returning (bucketId, label) columns. Replaces the
-    * reference's MLlib `Bucketizer` + coalesce(when...) labeling
-    * (batch_process.py:160-170) with a plain codegen-friendly when-chain. */
+  /** Bucketize a numeric column against ascending finite splits: bucket i is
+    * [splits(i), splits(i+1)) and the last bucket is [splits.last, +inf) —
+    * the reference's `[0,250,…,2500,inf]` shape. Returns (bucketId, label)
+    * columns. Replaces the reference's MLlib `Bucketizer` + coalesce(when...)
+    * labeling (batch_process.py:160-170) with a codegen-friendly when-chain. */
   def bucketize(c: Column, splits: Seq[Double]): (Column, Column) = {
     require(splits.sizeIs >= 2, "need at least 2 split points")
-    val labels = splits.sliding(2).toSeq.init.map {
+    val bounded = splits.sliding(2).toSeq
+    val labels = bounded.map {
       case Seq(lo, hi) => s"${lo.toLong}-${hi.toLong}"
-    } :+ s"${splits.init.last.toLong}+"
-    val inner = splits.sliding(2).toSeq.init.zipWithIndex.foldLeft(lit(null): Column) {
+    } :+ s"${splits.last.toLong}+"
+    val inner = bounded.zipWithIndex.foldLeft(null: Column) {
       case (acc, (Seq(lo, hi), i)) =>
-        if (i == 0) when(c >= lo && c < hi, i) else acc.when(c >= lo && c < hi, i)
+        if (acc == null) when(c >= lo && c < hi, i)
+        else acc.when(c >= lo && c < hi, i)
     }
-    val id = inner.when(c >= splits.init.last, splits.size - 2).cast("long")
+    val id = inner.when(c >= splits.last, bounded.size).cast("long")
     val label = labels.zipWithIndex.foldLeft(lit(null): Column) {
       case (acc, (lbl, i)) => coalesce(acc, when(id === i, lbl))
     }

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.core._
+import graft.sources.Tables
+
+/** Event-table queries: JSON extraction and the batch form of the streaming
+  * windowed distinct counts (the streaming form lives in graft.streaming and
+  * is asserted by replay tests — SURVEY §2.9).
+  */
+object EventQueries {
+
+  /** P9 JSON field extraction (StreamProcessor.java:70-183 does this with
+    * Jackson by hand; Spark-native is get_json_object / from_json). */
+  def q16JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        round(avg(col("k")), 4).as("avg_k"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(asc("event_type"))
+  }
+
+  /** A14 windowed exact distinct count, batch form
+    * (AirlineAircraftCountStream.java:34-52: per (airline, 1-min tumbling
+    * window) HashSet of icao24 → size). Exact distinct for parity;
+    * approx_count_distinct is the documented scale escape hatch. */
+  def q17WindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("distinct_users"))
+      .filter(col("distinct_users") >= 2)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("distinct_users"))
+      .orderBy(asc("win_start"), asc("event_type"))
+  }
+
+  /** A14/A15 at scale: same window keyed by the J8 geo match, with
+    * approx_count_distinct — demonstrates the documented approximate path
+    * (exact HashSet state does not bound memory per key at 100 TB).
+    * No oracle (HLL is engine-specific) → driver rows-only check. */
+  def q18WindowedApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("approx_users"))
+      .orderBy(asc("win_start"), asc("event_type"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 import scala.collection.concurrent.TrieMap
@@ -35,10 +36,22 @@ object Tables {
       !spark.conf.getOption("spark.graft.cacheInputs").contains("false")
     if (cachingOn && hot(name)) {
       cache.getOrElseUpdate((spark.sparkContext.applicationId, dir, name), {
-        spark.read.parquet(s"$dir/$name.parquet")
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        read(spark, dir, name).persist(StorageLevel.MEMORY_AND_DISK)
       })
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else read(spark, dir, name)
+  }
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The testdata writer emits TIMESTAMP(NANOS) parquet, which Spark 4
+    // rejects by default; read nanos as long and rebuild the timestamp at
+    // micro precision (integer `div` — a double division loses precision on
+    // ~1.7e18 nano epochs).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None    => df
+    }
   }
 
   /** CSV reader with an explicit schema — no inference pass. Mirrors the
