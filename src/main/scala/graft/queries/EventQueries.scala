@@ -6,8 +6,8 @@ import graft.ops.core._
 import graft.sources.Tables
 
 /** Event-table queries: JSON extraction and the batch form of the streaming
-  * windowed distinct counts (the streaming form lives in graft.streaming and
-  * is asserted by replay tests — SURVEY §2.9).
+  * windowed distinct counts (SURVEY §2.9). These batch forms double as the
+  * ground truth the Structured Streaming replays are asserted against.
   */
 object EventQueries {
 
