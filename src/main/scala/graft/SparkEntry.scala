@@ -36,6 +36,16 @@ object SparkEntry {
     "q16_json_extract" -> (EventQueries.q16JsonExtract _),
     "q17_windowed_distinct" -> (EventQueries.q17WindowedDistinct _),
     "q18_windowed_approx_distinct" -> (EventQueries.q18WindowedApproxDistinct _),
+    "q20_docs_exact_dedup" -> (DocQueries.q20DocsExactDedup _),
+    "q21_docs_text_stats" -> (DocQueries.q21DocsTextStats _),
+    "q22_docs_quality" -> (DocQueries.q22DocsQuality _),
+    "q23_docs_lang_id" -> (DocQueries.q23DocsLangId _),
+    "q24_docs_fingerprint" -> (DocQueries.q24DocsFingerprint _),
+    "q25_docs_minhash_neardup" -> (DocQueries.q25DocsMinhashNeardup _),
+    "q26_docs_simhash" -> (DocQueries.q26DocsSimhash _),
+    "q27_embed_cosine_topk" -> (EmbedQueries.q27EmbedCosineTopk _),
+    "q28_embed_ann_lsh" -> (EmbedQueries.q28EmbedAnnLsh _),
+    "q29_multimodal_meta" -> (EmbedQueries.q29MultimodalMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -215,5 +225,143 @@ object SparkEntry {
         |ORDER BY win_start, event_type""".stripMargin,
     // q18_windowed_approx_distinct: HLL sketch is engine-specific -> no
     // oracle; the driver records a rows-only check.
+    "q20_docs_exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS text_hash,
+        |       min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "q21_docs_text_stats" ->
+      """WITH t AS (
+        |  SELECT lang, length(text) AS chars,
+        |         string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT lang, count(*) AS doc_count,
+        |       round(avg(len(toks)), 4) AS avg_tokens,
+        |       round(avg(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 6) AS avg_ttr,
+        |       round(avg(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)), 6) AS avg_token_len,
+        |       round(avg(chars), 4) AS avg_chars
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q22_docs_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |  FROM t),
+        |q AS (
+        |  SELECT *, round(0.4 * ttr + 0.3 * (1.0 - stop_ratio)
+        |                  + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        |  FROM b)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       round(stop_ratio, 6) AS stop_ratio, round(ttr, 6) AS ttr, quality,
+        |       CASE WHEN quality >= 0.75 THEN 'high'
+        |            WHEN quality >= 0.5 THEN 'medium' ELSE 'low' END AS quality_band
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q23_docs_lang_id" ->
+      """WITH t AS (
+        |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) >= 0.02
+        |            THEN 'en' ELSE 'und' END AS predicted_lang,
+        |       count(*) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
+    "q24_docs_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(toks, x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))),
+        |         (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q25_docs_minhash_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |bd AS (
+        |  SELECT doc_id,
+        |         unnest([CAST(b AS VARCHAR) || '|' ||
+        |                 list_min(list_transform(sh, x -> md5(CAST(b * 2 AS VARCHAR) || ':' || x))) ||
+        |                 list_min(list_transform(sh, x -> md5(CAST(b * 2 + 1 AS VARCHAR) || ':' || x)))
+        |                 for b in range(0, 4)]) AS band_key
+        |  FROM s),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT * FROM (
+        |  SELECT doc_a, doc_b,
+        |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |               len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+        |  FROM cand
+        |  JOIN s sa ON cand.doc_a = sa.doc_id
+        |  JOIN s sb ON cand.doc_b = sb.doc_id)
+        |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "q26_docs_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_transform(toks, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS th
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(
+        |           [CASE WHEN list_sum([CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END for v in th]) > 0
+        |                 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+        |            for b in range(0, 60)]) AS BIGINT) AS simhash
+        |  FROM h)
+        |SELECT doc_id, simhash, simhash >> 44 AS band_bucket
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q27_embed_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |p AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         round(
+        |           list_sum([CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
+        |           (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, 65)])) *
+        |            sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]))), 6) AS cosine
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM p)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q28_embed_ann_lsh" ->
+      """WITH wb AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_sum(
+        |           [CASE WHEN list_sum([(CAST(((p * 131071 + i * 524287) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+        |                                * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]) > 0
+        |                 THEN CAST(round(pow(2, p)) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |            for p in range(0, 8)]) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS q_id, embedding AS qv, bucket FROM wb WHERE vec_id < 5),
+        |p2 AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         round(
+        |           list_sum([CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
+        |           (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, 65)])) *
+        |            sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]))), 6) AS cosine
+        |  FROM wb e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM p2)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "q29_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames,
+        |       md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

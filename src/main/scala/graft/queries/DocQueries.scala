@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** LLM-training-data pipeline operators over the `documents` table
+  * (doc_id, text, lang, source, n_chars) — the north-star extras beyond the
+  * reference's own surface (SURVEY §7.1): exact + near-duplicate
+  * deduplication, text statistics, quality scoring, language ID, and
+  * document fingerprinting.
+  *
+  * Scale notes (the 100 TB lens):
+  *   - every shuffle key is a fixed-width hash / band signature, never the
+  *     raw document text;
+  *   - near-dup candidate generation is banded MinHash → equi-join on band
+  *     key — NEVER an all-pairs cross join;
+  *   - all per-document math is higher-order column expressions (transform/
+  *     aggregate/filter) that stay inside whole-stage codegen — zero UDFs.
+  */
+object DocQueries {
+
+  /** Tokenize: lowercase, trim, split on whitespace runs. */
+  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct 3-word shingles of a token array (empty when < 3 tokens). */
+  private def shingles(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** First `n` hex nibbles of md5(input col) as an unsigned long (n ≤ 15). */
+  private def md5Long(c: Column, n: Int): Column =
+    conv(substring(md5(c), 1, n), 16, 10).cast("long")
+
+  /** Exact deduplication: group by a fixed-width content hash of the
+    * normalized text (shuffle key is 32 bytes regardless of document size),
+    * keep the smallest doc_id per group — the standard keep-first policy. */
+  def q20DocsExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs
+      .select(md5(lower(trim(col("text")))).as("text_hash"), col("doc_id"))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
+      .orderBy("text_hash")
+  }
+
+  /** Per-language corpus statistics: token counts, type/token ratio, token
+    * length — all computed with HOFs over the token array in one pass. */
+  def q21DocsTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = toks(col("text"))
+    docs
+      .select(
+        col("lang"),
+        length(col("text")).as("chars"),
+        size(t).as("n"),
+        size(array_distinct(t)).as("nd"),
+        aggregate(t, lit(0), (acc, x) => acc + length(x)).as("sumlen"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("doc_count"),
+        round(avg(col("n")), 4).as("avg_tokens"),
+        round(avg(col("nd").cast("double") / col("n")), 6).as("avg_ttr"),
+        round(avg(col("sumlen").cast("double") / col("n")), 6).as("avg_token_len"),
+        round(avg(col("chars")), 4).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  /** Per-document quality score: type/token ratio, stopword ratio, and a
+    * capped length credit combined into [0,1]; banded for triage. The
+    * weights are arbitrary but fixed — the operator shape (pure arithmetic
+    * over HOF-derived stats, no shuffle until the final sort) is the point. */
+  def q22DocsQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = toks(col("text"))
+    val base = docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      (size(filter(t, x => x === "the" || x === "a")).cast("double") / size(t)).as("stop_ratio"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+    val quality = round(
+      lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+        lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6)
+    base
+      .select(
+        col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("ttr"), 6).as("ttr"),
+        quality.as("quality"),
+        when(quality >= 0.75, "high").when(quality >= 0.5, "medium")
+          .otherwise("low").as("quality_band"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic → confusion counts against the labeled `lang`.
+    * The synthetic corpus shares one vocabulary across languages, so the
+    * honest signal that remains is an English-marker (stopword) ratio:
+    * docs with ≥2% marker tokens classify as 'en', the rest 'und'. The
+    * operator shape — per-doc n-gram/marker scoring, then a tiny confusion
+    * aggregate — is what carries to a real corpus. */
+  def q23DocsLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = toks(col("text"))
+    val ratio = size(filter(t, x => x === "the" || x === "a")).cast("double") / size(t)
+    docs
+      .select(col("lang"), when(ratio >= 0.02, "en").otherwise("und").as("predicted_lang"))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  /** Document fingerprint: order-sensitive rolling polynomial hash over the
+    * token stream, with each token pre-hashed to 32 bits via md5. Narrow
+    * (no shuffle) until the final sort; the fingerprint is join-/group-able
+    * at fixed width for downstream near-dup triage. */
+  def q24DocsFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs
+      .select(
+        col("doc_id"),
+        aggregate(toks(col("text")), lit(0L),
+          (h, x) => (h * 31L + md5Long(x, 8)) % 1000000007L).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-duplicate detection: MinHash + LSH banding.
+    *
+    * shingle(3-word) → 8 MinHash signatures (lexicographic min of seeded
+    * md5 over the shingle set) → 4 bands of 2 rows → explode band keys →
+    * self equi-join on band key (doc_a < doc_b) → exact Jaccard verify
+    * ≥ 0.7 on the candidate pairs only.
+    *
+    * At 100 TB the only shuffles are the band-key join (fixed 65-byte keys)
+    * and the two hash joins that re-attach shingle sets for verification;
+    * candidate count is bounded by true near-dups + banding false positives,
+    * never O(n²). */
+  def q25DocsMinhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    minhashNeardup(Tables(spark, dir, "documents"), 0.7)
+
+  /** The reusable operator behind q25: takes any (doc_id, text) frame. */
+  def minhashNeardup(docs: DataFrame, threshold: Double): DataFrame = {
+    val docsSh = docs
+      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val sigCols = (0 until 8).map { s =>
+      array_min(transform(col("sh"), x => md5(concat(lit(s"$s:"), x)))).as(s"sig$s")
+    }
+    val withSig = docsSh.select(col("doc_id") +: sigCols: _*)
+    // Band id baked into the key so one equi-join covers all bands.
+    val bandKeys = (0 until 4).map(b =>
+      concat(lit(s"$b|"), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
+    val bands = withSig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash fingerprint: 60-bit signature where bit b is the sign of the
+    * weighted sum of token-hash bits. Emitted with a 16-bit prefix bucket —
+    * the banding key a near-dup pass would equi-join on (same pattern as
+    * q25, different sketch). Pure nested HOFs, no shuffle until sort. */
+  def q26DocsSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs
+      .withColumn("toks", toks(col("text")))
+      .withColumn("th", expr(
+        "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 59), 0L, (acc, b) ->
+          |  acc + CASE WHEN aggregate(th, 0L, (a, h) ->
+          |    a + CASE WHEN ((h >> b) & 1) = 1 THEN 1L ELSE -1L END) > 0
+          |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
+      .select(col("doc_id"), col("simhash"),
+        expr("simhash >> 44").as("band_bucket"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float> ×64, label) plus the multimodal-column plumbing query —
+  * north-star extras (SURVEY §7.1).
+  *
+  * All vector math is higher-order column expressions (`zip_with` +
+  * `aggregate`) over the native array column — no UDFs, no MLlib — so it
+  * stays in whole-stage codegen and scales with partition parallelism.
+  */
+object EmbedQueries {
+
+  private val DIM = 64
+
+  /** dot(a, b) with element-wise cast to double (float32 storage, double
+    * math — same on the DuckDB oracle side, so sums agree bit-for-bit
+    * modulo rounding). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def l2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k — the correctness baseline every ANN variant
+    * is measured against. The (small) query set is broadcast against the
+    * full candidate table, so the scan side never shuffles; ranking
+    * happens on rounded scores with a vec_id tie-break for determinism. */
+  def q27EmbedCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (l2(col("qv")) * l2(col("embedding"))), 6).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component w(p, i) in [-0.5, 0.5)
+    * — a Knuth-style multiplicative hash of (plane, dim), identical
+    * arithmetic on the oracle side (no RNG: reproducible across engines
+    * and runs). */
+  private def planeW(p: Column, i: Column): Column =
+    ((((p * 131071L + i * 524287L) * 2654435761L) % 1000003L).cast("double") /
+      1000003.0) - 0.5
+
+  /** ANN via sign-random-projection LSH: 8 deterministic hyperplanes → an
+    * 8-bit bucket per vector → queries equi-join candidates on bucket →
+    * exact cosine + top-3 within bucket only.
+    *
+    * This is the 100 TB path for q27: the candidate join is an equi-join on
+    * a 1-byte key instead of a broadcast scan of everything, trading recall
+    * (only same-bucket neighbors are found) for a shuffle bounded by bucket
+    * occupancy. Probe multiple neighboring buckets / more tables to raise
+    * recall — the plumbing is identical. */
+  def q28EmbedAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    // bucket = Σ_p (proj_p(v) > 0) << p, proj_p(v) = Σ_i w(p,i)·v[i]
+    val proj: Column => Column = v =>
+      aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, p) => {
+        val s = aggregate(sequence(lit(1), lit(DIM)), lit(0.0),
+          (a, i) => a + planeW(p, i) * element_at(v, i).cast("double"))
+        acc + when(s > 0, pow2(p)).otherwise(lit(0L))
+      })
+    val withBucket = emb.select(col("vec_id"), col("embedding"),
+      proj(col("embedding")).cast("long").as("bucket"))
+    val queries = withBucket.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
+    val scored = withBucket.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (l2(col("qv")) * l2(col("embedding"))), 6).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
+
+  /** 2^p as a long column for a lambda-variable exponent (shiftleft's bit
+    * count must be foldable, so compute via pow + round instead). */
+  private def pow2(p: Column): Column =
+    round(pow(lit(2.0), p.cast("double"))).cast("long")
+
+  /** Multimodal-column plumbing: treat content as an opaque binary payload
+    * with typed metadata (mime, byte size, frame count, checksum). The
+    * payload here is the utf-8 encoding of `text` — the real decode /
+    * feature-extract step lives in graft.functions.Multimodal (stubbed
+    * deterministically; media codecs aren't in this container), while THIS
+    * query is the schema/partitioning shape a binary-asset table scan has
+    * at scale: metadata extraction is narrow, constant memory per row. */
+  def q29MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val payload = encode(col("text"), "UTF-8")
+    docs
+      .select(
+        col("doc_id"),
+        lit("text/plain").as("mime"),
+        octet_length(payload).cast("long").as("n_bytes"),
+        expr("(octet_length(encode(text, 'UTF-8')) + 255) div 256").as("n_frames"),
+        md5(payload).as("checksum"))
+      .orderBy("doc_id")
+  }
+}
