@@ -97,6 +97,52 @@ object core {
     df.selectExpr(idCols.map(c => s"`$c`") :+ stackExpr: _*)
   }
 
+  /** Scale-safe geo range join: bounding-box grid equi-bucketing + exact
+    * haversine refine — the query-rewrite alternative to a broadcast
+    * nested-loop cross join with a radius predicate (SURVEY §4
+    * "nested-loop geo match"; reference does the naive scan at
+    * AirportAircraftCountStream.java:224-235).
+    *
+    * Each left row lands in exactly one (latCell, lonCell); each right row
+    * is exploded to its own cell plus the 8 neighbors (longitude wraps mod
+    * 360/cellLonDeg so antimeridian pairs still meet), turning the radius
+    * predicate into an equi-join a hash join can execute. At 100 TB the big
+    * side is probed once per row on a 2-int key instead of evaluating the
+    * haversine against every dim row.
+    *
+    * Soundness condition (caller's responsibility): cellLatDeg ≥
+    * radiusKm/111.195 and cellLonDeg ≥ radiusKm/(111.195·cos(maxAbsLat))
+    * for the highest |latitude| in the data, and 360 must divide evenly by
+    * cellLonDeg. The per-pair refine keeps false positives out; cells only
+    * have to never *miss* a pair. */
+  def geoGridJoin(left: DataFrame, right: DataFrame,
+                  lLat: Column, lLon: Column, rLat: Column, rLon: Column,
+                  radiusKm: Double, cellLatDeg: Double, cellLonDeg: Double,
+                  broadcastRight: Boolean = true): DataFrame = {
+    require(math.abs(360.0 / cellLonDeg - math.round(360.0 / cellLonDeg)) < 1e-9,
+      "cellLonDeg must divide 360 so longitude cells wrap cleanly")
+    val nLon = math.round(360.0 / cellLonDeg).toInt
+    val l = left
+      .withColumn("_cell_lat", floor((lLat + 90.0) / cellLatDeg).cast("int"))
+      .withColumn("_cell_lon",
+        pmod(floor((lLon + 180.0) / cellLonDeg).cast("int"), lit(nLon)))
+    val rBase = right
+      .withColumn("_rc_lat", floor((rLat + 90.0) / cellLatDeg).cast("int"))
+      .withColumn("_rc_lon",
+        pmod(floor((rLon + 180.0) / cellLonDeg).cast("int"), lit(nLon)))
+    val neighborCells = for { dLat <- -1 to 1; dLon <- -1 to 1 } yield
+      struct((col("_rc_lat") + dLat).as("_cell_lat"),
+        pmod(col("_rc_lon") + dLon, lit(nLon)).as("_cell_lon"))
+    val r = rBase
+      .withColumn("_cell", explode(array(neighborCells: _*)))
+      .withColumn("_cell_lat", col("_cell._cell_lat"))
+      .withColumn("_cell_lon", col("_cell._cell_lon"))
+      .drop("_cell", "_rc_lat", "_rc_lon")
+    l.join(if (broadcastRight) broadcast(r) else r, Seq("_cell_lat", "_cell_lon"))
+      .filter(haversineKm(lLat, lLon, rLat, rLon) <= radiusKm)
+      .drop("_cell_lat", "_cell_lon")
+  }
+
   /** Most-frequent value of `valueCol` per `keyCol` with a total tie-break
     * (higher count wins, then smaller value) — the reference's mode idiom
     * (flights_lookup_to_kafka.py:30-46): groupBy + count + row_number. */

@@ -144,10 +144,16 @@ object BatchQueries2 {
   }
 
   /** J8 geo theta join (AirportAircraftCountStream.java:58-88,201-237): every
-    * event is matched against ALL airports within a haversine radius —
-    * a broadcast-nested-loop cross join with a range predicate, the one
-    * non-equi join in the system. Coordinates are derived deterministically
-    * from integer keys (testdata has no geo columns; FIXTURES.md). */
+    * event is matched against all airports within a haversine radius.
+    * The reference (and the DuckDB oracle) is a nested-loop scan of the
+    * airport store per event; here it runs as the scale-safe rewrite —
+    * grid-cell equi-bucketing with neighbor explode + exact haversine
+    * refine (core.geoGridJoin) — so the event side is probed on a 2-int
+    * hash key instead of evaluating the distance against every airport.
+    * Cell sizes satisfy the soundness bound for |lat| ≤ 60, radius 800 km:
+    * 8° lat ≥ 7.2°, 15° lon ≥ 800/(111.195·cos60°) = 14.4°.
+    * Coordinates are derived deterministically from integer keys (testdata
+    * has no geo columns; FIXTURES.md). */
   def q14GeoJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
       .withColumn("ev_lat", (col("event_id") * 17 % 120 - 60).cast("double"))
@@ -156,9 +162,9 @@ object BatchQueries2 {
       .withColumn("ap_lat", (col("n_nationkey") * 7 % 120 - 60).cast("double"))
       .withColumn("ap_lon", (col("n_nationkey") * 13 % 360 - 180).cast("double"))
       .select("n_name", "ap_lat", "ap_lon")
-    ev.crossJoin(broadcast(airports))
-      .filter(haversineKm(col("ev_lat"), col("ev_lon"),
-        col("ap_lat"), col("ap_lon")) <= 800.0)
+    geoGridJoin(ev, airports,
+      col("ev_lat"), col("ev_lon"), col("ap_lat"), col("ap_lon"),
+      radiusKm = 800.0, cellLatDeg = 8.0, cellLonDeg = 15.0)
       .groupBy(col("n_name").as("airport"))
       .agg(
         count(lit(1)).as("match_count"),
