@@ -46,6 +46,8 @@ object SparkEntry {
     "q27_embed_cosine_topk" -> (EmbedQueries.q27EmbedCosineTopk _),
     "q28_embed_ann_lsh" -> (EmbedQueries.q28EmbedAnnLsh _),
     "q29_multimodal_meta" -> (EmbedQueries.q29MultimodalMeta _),
+    "q30_etl_year_partition" -> (EtlQueries.q30EtlYearPartition _),
+    "q31_csv_etl" -> (EtlQueries.q31CsvEtl _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -363,5 +365,15 @@ object SparkEntry {
         |       CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames,
         |       md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_etl_year_partition" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |       count(*) AS order_count,
+        |       count(DISTINCT o_custkey) AS distinct_customers
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin,
+    "q31_csv_etl" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS file_year,
+        |       count(*) AS order_count,
+        |       count(DISTINCT o_custkey) AS distinct_customers
+        |FROM orders GROUP BY 1 ORDER BY file_year""".stripMargin,
   )
 }

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** The ETL transform pipeline re-expressed Spark-first
+  * (/root/reference/orchestration/src/transform.py:46-77).
+  *
+  * The reference loops over `collect()`ed years, filters per year, sorts
+  * globally, and writes one file per year through `coalesce(1)` — a
+  * single-writer bottleneck. Here the same result is ONE distributed write:
+  * `partitionBy(year)` fans rows to per-year directories in parallel, and
+  * `sortWithinPartitions` keeps the reference's date ordering per output
+  * file without a global sort barrier. Down-stream reads get partition
+  * pruning on year for free.
+  *
+  * Scratch output lives under the repo's target/ dir, keyed by scale
+  * factor; the queries re-read what they wrote so the driver's oracle
+  * checks the whole write→read→aggregate path.
+  */
+object EtlQueries {
+
+  private def scratch(dir: String, name: String): String =
+    s"${sys.props("user.dir")}/target/etl/${new java.io.File(dir).getName}/$name"
+
+  /** S4+K1: year-partitioned parquet ETL write, then a pruning read-back
+    * aggregate. Mirrors transform.py:60-70 minus the coalesce(1) and the
+    * driver-side year loop. */
+  def q30EtlYearPartition(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "orders_by_year")
+    Tables(spark, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .sortWithinPartitions("o_orderdate") // per-file date order, no global barrier
+      .write.mode("overwrite").partitionBy("order_year").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("order_year").cast("long").as("order_year"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        countDistinct(col("o_custkey")).as("distinct_customers"))
+      .orderBy("order_year")
+  }
+
+  /** S1+S4: raw-CSV ingest path. Writes the orders table as per-year CSV
+    * (the shape of the BTS Flights_<year>.csv drop zone), reads it back with
+    * an explicit schema (no inference pass — SURVEY §1.4), tags each row
+    * with the year parsed from its file path via input_file_name + regex
+    * (transform.py:56), and aggregates by that derived file_year. Only
+    * exactly-representable columns ride through CSV so the roundtrip is
+    * bit-stable. */
+  def q31CsvEtl(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "orders_csv")
+    Tables(spark, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "order_year")
+      .write.mode("overwrite").option("header", "true").partitionBy("order_year").csv(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_orderpriority", StringType)))
+    spark.read
+      .option("header", "true")
+      .option("recursiveFileLookup", "true") // plain file scan: no partition discovery,
+      .option("pathGlobFilter", "*.csv")     // the year must come from the file name
+      .schema(schema)
+      .csv(out)
+      .withColumn("file_year",
+        regexp_extract(input_file_name(), "order_year=(\\d+)", 1).cast("long"))
+      .groupBy("file_year")
+      .agg(
+        count(lit(1)).as("order_count"),
+        countDistinct(col("o_custkey")).as("distinct_customers"))
+      .orderBy("file_year")
+  }
+}
