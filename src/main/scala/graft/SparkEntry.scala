@@ -36,6 +36,7 @@ object SparkEntry {
     "q16_json_extract" -> (EventQueries.q16JsonExtract _),
     "q17_windowed_distinct" -> (EventQueries.q17WindowedDistinct _),
     "q18_windowed_approx_distinct" -> (EventQueries.q18WindowedApproxDistinct _),
+    "q19_callsign_join_sink" -> (SinkQueries.q19CallsignJoinSink _),
     "q20_docs_exact_dedup" -> (DocQueries.q20DocsExactDedup _),
     "q21_docs_text_stats" -> (DocQueries.q21DocsTextStats _),
     "q22_docs_quality" -> (DocQueries.q22DocsQuality _),
@@ -227,6 +228,24 @@ object SparkEntry {
         |ORDER BY win_start, event_type""".stripMargin,
     // q18_windowed_approx_distinct: HLL sketch is engine-specific -> no
     // oracle; the driver records a rows-only check.
+    "q19_callsign_join_sink" ->
+      """WITH e AS (
+        |  SELECT concat(upper(substr(trim(s_name), 1, 1)),
+        |                CAST(s_suppkey % 100 AS VARCHAR), '-',
+        |                CAST(l_orderkey % 100 AS VARCHAR)) AS callsign,
+        |         l_quantity
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE l_orderkey % 1000 < 50),
+        |a AS (SELECT callsign, count(*) AS flight_count FROM e
+        |      WHERE length(callsign) >= 3 GROUP BY 1),
+        |d AS (SELECT callsign, CAST(round(avg(l_quantity), 2) AS VARCHAR) AS avg_qty
+        |      FROM e WHERE length(callsign) >= 3 GROUP BY 1)
+        |SELECT a.callsign AS key,
+        |       to_json({'callsign': a.callsign,
+        |                'flight_count': a.flight_count,
+        |                'avg_qty': d.avg_qty}) AS value
+        |FROM a JOIN d ON a.callsign = d.callsign
+        |ORDER BY key""".stripMargin,
     "q20_docs_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS text_hash,
         |       min(doc_id) AS keep_doc_id, count(*) AS dup_count
