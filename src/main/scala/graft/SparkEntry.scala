@@ -49,6 +49,10 @@ object SparkEntry {
     "q29_multimodal_meta" -> (EmbedQueries.q29MultimodalMeta _),
     "q30_etl_year_partition" -> (EtlQueries.q30EtlYearPartition _),
     "q31_csv_etl" -> (EtlQueries.q31CsvEtl _),
+    "q32_stream_windowed_distinct" -> (StreamQueries.q32StreamWindowedDistinct _),
+    "q33_stream_enrich_join" -> (StreamQueries.q33StreamEnrichJoin _),
+    "q34_stream_geo_window" -> (StreamQueries.q34StreamGeoWindow _),
+    "q35_stream_upsert" -> (StreamQueries.q35StreamUpsert _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,5 +398,57 @@ object SparkEntry {
         |       count(*) AS order_count,
         |       count(DISTINCT o_custkey) AS distinct_customers
         |FROM orders GROUP BY 1 ORDER BY file_year""".stripMargin,
+    // Streaming replays: append mode emits exactly the windows whose end is
+    // <= the final watermark (= max event time, 0s delay), so the oracle is
+    // the batch aggregate restricted to closed windows.
+    "q32_stream_windowed_distinct" ->
+      """WITH w AS (
+        |  SELECT date_trunc('minute', ts) AS ws, lower(trim(event_type)) AS event_type,
+        |         count(DISTINCT user_id) AS du
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       CAST(du AS BIGINT) AS distinct_users
+        |FROM w, m WHERE ws + INTERVAL 1 MINUTE <= mx
+        |ORDER BY win_start, event_type""".stripMargin,
+    "q33_stream_enrich_join" ->
+      """WITH e AS (
+        |  SELECT date_trunc('minute', ts) AS ws,
+        |         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |         n_name AS reg_name
+        |  FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, reg_name,
+        |       count(*) AS event_count, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM e, m WHERE ws + INTERVAL 1 MINUTE <= mx
+        |GROUP BY 1, 2 ORDER BY win_start, reg_name""".stripMargin,
+    "q34_stream_geo_window" ->
+      """WITH ap AS (SELECT n_name, CAST(n_nationkey * 7 % 120 - 60 AS DOUBLE) AS ap_lat,
+        |                   CAST(n_nationkey * 13 % 360 - 180 AS DOUBLE) AS ap_lon FROM nation),
+        |ev AS (SELECT ts, user_id, CAST(event_id * 17 % 120 - 60 AS DOUBLE) AS ev_lat,
+        |              CAST(event_id * 29 % 360 - 180 AS DOUBLE) AS ev_lon FROM events),
+        |m AS (SELECT max(ts) AS mx FROM events),
+        |j AS (SELECT n_name, ts, user_id,
+        |             pow(sin(radians(ap_lat - ev_lat) / 2), 2)
+        |               + cos(radians(ev_lat)) * cos(radians(ap_lat)) * pow(sin(radians(ap_lon - ev_lon) / 2), 2) AS a
+        |      FROM ev CROSS JOIN ap)
+        |SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       n_name AS airport,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_aircraft
+        |FROM j, m
+        |WHERE 2 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)) <= 800.0
+        |  AND date_trunc('minute', ts) + INTERVAL 1 MINUTE <= mx
+        |GROUP BY 1, 2 ORDER BY win_start, airport""".stripMargin,
+    "q35_stream_upsert" ->
+      """WITH w AS (
+        |  SELECT date_trunc('minute', ts) AS ws, lower(trim(event_type)) AS event_type,
+        |         count(DISTINCT user_id) AS du
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM events),
+        |c AS (SELECT * FROM w, m WHERE ws + INTERVAL 1 MINUTE <= mx),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ws DESC) AS rn FROM c)
+        |SELECT event_type, strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       CAST(du AS BIGINT) AS distinct_users
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
   )
 }

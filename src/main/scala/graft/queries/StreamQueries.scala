@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** Driver-verifiable Structured Streaming queries: each replays the events
+  * table as a file stream (Trigger.AvailableNow), runs a topology from
+  * graft.streaming.EventStreams, and returns the materialized sink.
+  *
+  * Determinism (why a DuckDB oracle can check a stream): the replay is one
+  * micro-batch, the 0-second watermark ends at max(ts), and append mode
+  * emits exactly the windows whose end ≤ final watermark — so the result
+  * equals the batch aggregate restricted to closed windows, independent of
+  * arrival order. The late-drop / multi-batch semantics are asserted
+  * separately in StreamingReplaySpec with a MemoryStream.
+  */
+object StreamQueries {
+
+  /** S5+P8+A14+K5: replayed 1-minute tumbling exact-distinct per event
+    * type with no-grace watermark and final-only (append) emission —
+    * the AirlineAircraftCountStream topology. */
+  def q32StreamWindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val events = EventStreams.fileReplaySource(spark, dir)
+    val counts = EventStreams.windowedDistinct(events, col("event_type"), "event_type")
+    EventStreams.runToMemory(spark, counts)
+      .orderBy("win_start", "event_type")
+  }
+
+  /** S6+J6+J7+P9: stream enriched against two batch-computed static
+    * lookups (the GlobalKTable parity: batch layer computes the snapshot,
+    * the stream treats it as broadcast state), then windowed counts per
+    * registry name. */
+  def q33StreamEnrichJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = EventStreams.fileReplaySource(spark, dir)
+    val registry = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("reg_key"), col("n_name").as("reg_name"))
+    val typeInfo = Tables(spark, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("type_count"))
+    val enriched = EventStreams.enrich(events, registry, typeInfo)
+    val counts = enriched
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("reg_name"))
+      .agg(count(lit(1)).as("event_count"), sum(col("k")).as("sum_k"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("reg_name"), col("event_count"), col("sum_k"))
+    EventStreams.runToMemory(spark, counts)
+      .orderBy("win_start", "reg_name")
+  }
+
+  /** S7+J8+A15: streamed geo-windowed distinct aircraft per airport —
+    * the AirportAircraftCountStream topology, with the grid-bucketed
+    * equi-join instead of the reference's per-event airport-store scan. */
+  def q34StreamGeoWindow(spark: SparkSession, dir: String): DataFrame = {
+    val events = EventStreams.fileReplaySource(spark, dir)
+    val airports = Tables(spark, dir, "nation")
+      .withColumn("ap_lat", (col("n_nationkey") * 7 % 120 - 60).cast("double"))
+      .withColumn("ap_lon", (col("n_nationkey") * 13 % 360 - 180).cast("double"))
+      .select("n_name", "ap_lat", "ap_lon")
+    val counts = EventStreams.geoWindowedDistinct(events, airports, radiusKm = 800.0)
+    EventStreams.runToMemory(spark, counts)
+      .orderBy("win_start", "airport")
+  }
+
+  /** K6: upsert sink — last closed window wins per key (Mongo ReplaceOne
+    * parity). The result is the final store snapshot: one row per event
+    * type carrying its most recent closed window. */
+  def q35StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val events = EventStreams.fileReplaySource(spark, dir)
+    val counts = EventStreams.windowedDistinct(events, col("event_type"), "event_type")
+    EventStreams.runUpsertLastWindowWins(spark, counts, "event_type")
+      .orderBy("event_type")
+  }
+}

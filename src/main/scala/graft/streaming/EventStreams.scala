@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import scala.collection.concurrent.TrieMap
+
+/** The streaming half of the engine — the reference's Kafka Streams
+  * topology (/root/reference/stream-processing/) re-expressed in Structured
+  * Streaming semantics (SURVEY §2.9):
+  *
+  *   - S5 source: file replay of `events`-shaped records (Kafka source is a
+  *     one-line format swap; replay keeps the driver contract verifiable),
+  *   - P8 re-key/normalize: blank-key filter + lower/trim
+  *     (StreamProcessor.java:38-40),
+  *   - J6/J7 stream–static broadcast joins (StreamProcessor.java:42-54),
+  *   - A14/A15 1-minute tumbling exact-distinct counts with 0s watermark +
+  *     append mode ≈ no-grace window + suppress-untilWindowCloses
+  *     (AirlineAircraftCountStream.java:29-52),
+  *   - K5 sink: memory/parquet via `runToMemory`; K6 upsert sink via
+  *     `runUpsertLastWindowWins` (foreachBatch, Mongo-ReplaceOne parity —
+  *     connectors/mongodb-*.json).
+  *
+  * Every topology here is a pure streaming-DataFrame => DataFrame function,
+  * so tests drive them with MemoryStream and the registered queries drive
+  * them with AvailableNow file replay — same plan, different source.
+  */
+object EventStreams {
+
+  /** events-shaped schema; `ts` arrives as nano-epoch long (the testdata
+    * writer emits TIMESTAMP(NANOS) parquet) and is rebuilt to a micro
+    * timestamp, matching graft.sources.Tables for the batch side. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** S5: replay the events table as a file stream. */
+  def fileReplaySource(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    normalize(raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+  }
+
+  /** P8 re-key + normalize: the streaming key column is an explicit
+    * normalized column in Spark (keys are implicit); blank keys dropped
+    * like StreamProcessor.java:39-40. */
+  def normalize(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_type", lower(trim(col("event_type"))))
+      .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
+
+  /** J6 + J7 + P9 + P10: enrich each event from two static lookups —
+    * per-aircraft stats joined on the primary key (user_id → registry,
+    * StreamProcessor.java:42-47) and per-type info joined on a key
+    * extracted from the payload (callsign analogue: the `k` field inside
+    * the props JSON, :48-54) — then re-serialize the enriched record to
+    * JSON executor-side (:112-183 does this with Jackson by hand). */
+  def enrich(events: DataFrame, registry: DataFrame, typeInfo: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long")) // P9
+      .join(broadcast(registry), events("user_id") % 25 === registry("reg_key"), "left") // J6
+      .join(broadcast(typeInfo), Seq("event_type"), "left") // J7
+      .withColumn("enriched",
+        to_json(struct(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("reg_name"), col("type_count"), col("k")))) // P10
+
+  /** A14: per-key 1-minute tumbling window EXACT distinct count.
+    * `size(collect_set)` is the HashSet-state parity (countDistinct is not
+    * available in streaming aggregation); 0-second watermark = no grace;
+    * the caller runs it in append mode, which emits exactly one final row
+    * per window after the watermark passes its end — `suppress(
+    * untilWindowCloses)` parity. approx_count_distinct is the documented
+    * escape hatch when per-key set state is too large at 100 TB. */
+  def windowedDistinct(events: DataFrame, key: Column, keyName: String): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 minute"), key.as(keyName))
+      .agg(size(collect_set(col("user_id"))).cast("long").as("distinct_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col(keyName), col("distinct_users"))
+
+  /** A15 + J8 (stream form): geo-match each event against the static
+    * airport dim with the grid-bucketed equi-join (never a per-event scan
+    * of all airports — AirportAircraftCountStream.java:224-235 does the
+    * naive loop), then count distinct aircraft per (airport, minute). */
+  def geoWindowedDistinct(events: DataFrame, airports: DataFrame,
+                          radiusKm: Double): DataFrame = {
+    // Watermark BEFORE the join: every event must advance event time, even
+    // ones the geo match filters out — otherwise the final watermark is the
+    // max ts among *matched* rows only and the last window never closes.
+    val withCoords = events
+      .withWatermark("ts", "0 seconds")
+      .withColumn("ev_lat", (col("event_id") * 17 % 120 - 60).cast("double"))
+      .withColumn("ev_lon", (col("event_id") * 29 % 360 - 180).cast("double"))
+    val matched = graft.ops.core.geoGridJoin(withCoords, airports,
+      col("ev_lat"), col("ev_lon"), col("ap_lat"), col("ap_lon"),
+      radiusKm, cellLatDeg = 8.0, cellLonDeg = 15.0)
+    matched
+      .groupBy(window(col("ts"), "1 minute"), col("n_name").as("airport"))
+      .agg(size(collect_set(col("user_id"))).cast("long").as("distinct_aircraft"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("airport"), col("distinct_aircraft"))
+  }
+
+  private val sinkCounter = new AtomicInteger(0)
+
+  /** K5: run a (finite) streaming plan to completion with AvailableNow into
+    * a memory sink and hand back the materialized result. Swap
+    * `format("memory")` for kafka/parquet for a production sink — the plan
+    * upstream is identical. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame): DataFrame = {
+    val name = s"graft_stream_${sinkCounter.incrementAndGet()}"
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append") // final-only emission (suppress parity)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** K6: upsert sink — foreachBatch applies last-window-wins per key, the
+    * Mongo ReplaceOne-on-_id semantics of the reference's Connect sink.
+    * Returns the final store snapshot. Batches arrive in order; within a
+    * batch the max-window row per key wins, so the result is independent
+    * of micro-batch slicing. */
+  def runUpsertLastWindowWins(spark: SparkSession, streamed: DataFrame,
+                              keyCol: String): DataFrame = {
+    val store = TrieMap.empty[String, (String, Long)] // key -> (win_start, count)
+    val q = streamed.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col(keyCol), col("win_start"), col("distinct_users"))
+          .collect() // emitted windows only: tiny (one row per key+minute)
+          .sortBy(r => (r.getString(1), r.getString(0)))
+          .foreach { r =>
+            val prev = store.get(r.getString(0))
+            if (prev.forall(_._1 <= r.getString(1)))
+              store.put(r.getString(0), (r.getString(1), r.getLong(2)))
+          }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    store.toSeq.map { case (k, (w, c)) => (k, w, c) }
+      .toDF(keyCol, "win_start", "distinct_users")
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Streaming-semantics parity tests (SURVEY §2.9, VERDICT r1 item 1):
+  *   1. deterministic file replay == the oracle-checked batch answer on the
+  *      same events slice (closed windows only),
+  *   2. 0-second watermark drops late data at window close (no grace —
+  *      AirlineAircraftCountStream.java:38),
+  *   3. append mode emits each window exactly once, final value only
+  *      (suppress(untilWindowCloses) parity — :48).
+  */
+class StreamingReplaySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("file replay equals the batch windowed-distinct answer (closed windows)") {
+    import spark.implicits._
+    val streamed = graft.queries.StreamQueries
+      .q32StreamWindowedDistinct(spark, sf)
+      .select("win_start", "event_type", "distinct_users")
+      .as[(String, String, Long)].collect().toSet
+
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val maxTs = ev.agg(max("ts")).collect().head.getTimestamp(0)
+    val batch = ev
+      .groupBy(window(col("ts"), "1 minute"), lower(trim(col("event_type"))).as("event_type"))
+      .agg(countDistinct("user_id").as("distinct_users"))
+      .filter(col("window.end") <= lit(maxTs))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("distinct_users"))
+      .as[(String, String, Long)].collect().toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("0s watermark drops late events; append emits each window once, final-only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Long)]
+    val events = ms.toDF().toDF("ts", "event_type", "user_id")
+    val counts = EventStreams.windowedDistinct(
+      EventStreams.normalize(events), col("event_type"), "event_type")
+    val q = counts.writeStream
+      .format("memory").queryName("late_drop_sink").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // Batch 1: two users in window [10:00, 10:01), one in [10:01, ...)
+      ms.addData((ts("2024-01-01 10:00:10"), "A", 1L), (ts("2024-01-01 10:00:40"), "A", 2L),
+        (ts("2024-01-01 10:01:05"), "A", 3L))
+      q.processAllAvailable()
+      // Batch 2: a LATE arrival for the already-passed 10:00 window (must be
+      // dropped — no grace), plus an event advancing past 10:02.
+      ms.addData((ts("2024-01-01 10:00:30"), "A", 9L), (ts("2024-01-01 10:02:10"), "A", 4L))
+      q.processAllAvailable()
+      // Batch 3: advance watermark past 10:03 so [10:02, 10:03) also closes.
+      ms.addData((ts("2024-01-01 10:03:20"), "A", 5L))
+      q.processAllAvailable()
+
+      val deadline = System.currentTimeMillis() + 15000
+      def rows() = spark.table("late_drop_sink")
+        .select("win_start", "event_type", "distinct_users")
+        .as[(String, String, Long)].collect().toSeq
+      while (rows().size < 3 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      val out = rows()
+      // exactly-once emission per window
+      assert(out.map(r => (r._1, r._2)).distinct.size == out.size)
+      val byWin = out.map(r => r._1 -> r._3).toMap
+      assert(byWin("2024-01-01 10:00:00") == 2L,
+        s"late event must NOT be counted; got $out") // u9 dropped, u1+u2 kept
+      assert(byWin("2024-01-01 10:01:00") == 1L)
+      assert(byWin("2024-01-01 10:02:00") == 1L)
+    } finally q.stop()
+  }
+
+  test("enrich attaches static lookups and serializes executor-side JSON") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String, String)]
+    val events = ms.toDF().toDF("ts", "user_id", "event_type", "props")
+    val registry = Seq((3L, "REG3")).toDF("reg_key", "reg_name")
+    val typeInfo = Seq(("a", 42L)).toDF("event_type", "type_count")
+    val enriched = EventStreams.enrich(
+      EventStreams.normalize(events).withColumn("event_id", col("user_id")),
+      registry, typeInfo)
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_sink").outputMode("append").start()
+    try {
+      ms.addData((ts("2024-01-01 10:00:10"), 3L, "A", """{"k": 7}"""))
+      q.processAllAvailable()
+      val row = spark.table("enrich_sink")
+        .select("event_type", "reg_name", "type_count", "k", "enriched")
+        .collect().head
+      assert(row.getString(0) == "a") // P8 normalize lower-cased the key
+      assert(row.getString(1) == "REG3") // J6: user_id 3 % 25 -> reg 3
+      assert(row.getLong(2) == 42L) // J7 via extracted payload key
+      assert(row.getLong(3) == 7L) // P9 JSON field extraction
+      val json = row.getString(4)
+      assert(json.contains(""""reg_name":"REG3"""") && json.contains(""""k":7""")) // P10
+    } finally q.stop()
+  }
+}
