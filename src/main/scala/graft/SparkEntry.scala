@@ -311,13 +311,17 @@ object SparkEntry {
         |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
         |                        for i in range(1, len(toks) - 1)]) AS sh
         |  FROM t WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)) AS hv
+        |  FROM s),
         |bd AS (
         |  SELECT doc_id,
-        |         unnest([CAST(b AS VARCHAR) || '|' ||
-        |                 list_min(list_transform(sh, x -> md5(CAST(b * 2 AS VARCHAR) || ':' || x))) ||
-        |                 list_min(list_transform(sh, x -> md5(CAST(b * 2 + 1 AS VARCHAR) || ':' || x)))
+        |         unnest([concat_ws('|', CAST(b AS VARCHAR),
+        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b) + 1) + (2 * b) * 7919) % 1000000007)) AS VARCHAR),
+        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b + 1) + 1) + (2 * b + 1) * 7919) % 1000000007)) AS VARCHAR))
         |                 for b in range(0, 4)]) AS band_key
-        |  FROM s),
+        |  FROM hs),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
