@@ -53,6 +53,10 @@ object SparkEntry {
     "q33_stream_enrich_join" -> (StreamQueries.q33StreamEnrichJoin _),
     "q34_stream_geo_window" -> (StreamQueries.q34StreamGeoWindow _),
     "q35_stream_upsert" -> (StreamQueries.q35StreamUpsert _),
+    "q36_embed_cosine_neardup" -> (EmbedQueries.q36EmbedCosineNeardup _),
+    "q37_stream_session_window" -> (StreamQueries.q37StreamSessionWindow _),
+    "q38_semi_anti_join" -> (ParityPlusQueries.q38SemiAntiJoin _),
+    "q39_rollup" -> (ParityPlusQueries.q39Rollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -257,10 +261,12 @@ object SparkEntry {
     "q21_docs_text_stats" ->
       """WITH t AS (
         |  SELECT lang, length(text) AS chars,
-        |         string_split_regex(lower(trim(text)), '\s+') AS toks
+        |         string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
         |  FROM documents)
         |SELECT lang, count(*) AS doc_count,
         |       round(avg(len(toks)), 4) AS avg_tokens,
+        |       round(avg(bpe), 4) AS avg_bpe_tokens,
         |       round(avg(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 6) AS avg_ttr,
         |       round(avg(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)), 6) AS avg_token_len,
         |       round(avg(chars), 4) AS avg_chars
@@ -443,6 +449,59 @@ object SparkEntry {
         |WHERE 2 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)) <= 800.0
         |  AND date_trunc('minute', ts) + INTERVAL 1 MINUTE <= mx
         |GROUP BY 1, 2 ORDER BY win_start, airport""".stripMargin,
+    "q36_embed_cosine_neardup" ->
+      """WITH wb AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_sum(
+        |           [CASE WHEN list_sum([(CAST(((p * 131071 + i * 524287) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+        |                                * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]) > 0
+        |                 THEN CAST(round(pow(2, p)) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |            for p in range(0, 4)]) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |p2 AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         round(
+        |           list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
+        |           (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)])) *
+        |            sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]))), 6) AS cosine
+        |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM p2
+        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "q37_stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 6 HOUR
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, min(ts) AS st, max(ts) + INTERVAL 6 HOUR AS en,
+        |         count(*) AS n_events
+        |  FROM g GROUP BY user_id, sid),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       user_id, n_events
+        |FROM s, m WHERE en <= mx
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q38_semi_anti_join" ->
+      """SELECT n_name AS nation,
+        |       count(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 END) AS with_orders,
+        |       count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 END) AS without_orders
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "q39_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS flight_count,
+        |       round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     "q35_stream_upsert" ->
       """WITH w AS (
         |  SELECT date_trunc('minute', ts) AS ws, lower(trim(event_type)) AS event_type,

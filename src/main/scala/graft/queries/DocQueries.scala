@@ -68,11 +68,17 @@ object DocQueries {
         length(col("text")).as("chars"),
         size(t).as("n"),
         size(array_distinct(t)).as("nd"),
-        aggregate(t, lit(0), (acc, x) => acc + length(x)).as("sumlen"))
+        aggregate(t, lit(0), (acc, x) => acc + length(x)).as("sumlen"),
+        // BPE-ish subword proxy: letter runs, digit runs, and single
+        // non-alnum marks each count as one token (a regex stand-in for a
+        // real BPE vocab — the counting shape is what a token-budget
+        // pipeline needs).
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("doc_count"),
         round(avg(col("n")), 4).as("avg_tokens"),
+        round(avg(col("bpe")), 4).as("avg_bpe_tokens"),
         round(avg(col("nd").cast("double") / col("n")), 6).as("avg_ttr"),
         round(avg(col("sumlen").cast("double") / col("n")), 6).as("avg_token_len"),
         round(avg(col("chars")), 4).as("avg_chars"))

@@ -66,14 +66,8 @@ object EmbedQueries {
   def q28EmbedAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     // bucket = Σ_p (proj_p(v) > 0) << p, proj_p(v) = Σ_i w(p,i)·v[i]
-    val proj: Column => Column = v =>
-      aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, p) => {
-        val s = aggregate(sequence(lit(1), lit(DIM)), lit(0.0),
-          (a, i) => a + planeW(p, i) * element_at(v, i).cast("double"))
-        acc + when(s > 0, pow2(p)).otherwise(lit(0L))
-      })
     val withBucket = emb.select(col("vec_id"), col("embedding"),
-      proj(col("embedding")).cast("long").as("bucket"))
+      lshBucket(col("embedding"), 8).cast("long").as("bucket"))
     val queries = withBucket.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
     val scored = withBucket.join(broadcast(queries), Seq("bucket"))
@@ -92,6 +86,34 @@ object EmbedQueries {
     * count must be foldable, so compute via pow + round instead). */
   private def pow2(p: Column): Column =
     round(pow(lit(2.0), p.cast("double"))).cast("long")
+
+  /** LSH bucket from the first `nPlanes` deterministic hyperplanes. */
+  private def lshBucket(v: Column, nPlanes: Int): Column =
+    aggregate(sequence(lit(0), lit(nPlanes - 1)), lit(0L), (acc, p) => {
+      val s = aggregate(sequence(lit(1), lit(DIM)), lit(0.0),
+        (a, i) => a + planeW(p, i) * element_at(v, i).cast("double"))
+      acc + when(s > 0, pow2(p)).otherwise(lit(0L))
+    })
+
+  /** Embedding-cosine NEAR-DUP pairs — the fifth dedup family member
+    * (exact / MinHash / SimHash / n-gram Jaccard live in DocQueries):
+    * bucket every vector with 4 sign-random-projection planes, self
+    * equi-join within bucket only (the q25 banding pattern on vectors,
+    * never all-pairs), verify with exact cosine ≥ 0.4. Fewer planes than
+    * q28 because near-dup recall at moderate cosine needs coarser buckets
+    * (trade bucket occupancy for recall — both knobs documented). */
+  def q36EmbedCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), 4).as("bucket"))
+    val pairs = emb.as("a")
+      .join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (l2(col("a.embedding")) * l2(col("b.embedding"))), 6).as("cosine"))
+    pairs.filter(col("cosine") >= 0.4).orderBy("vec_a", "vec_b")
+  }
 
   /** Multimodal-column plumbing: treat content as an opaque binary payload
     * with typed metadata (mime, byte size, frame count, checksum). The

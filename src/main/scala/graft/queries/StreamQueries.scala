@@ -64,6 +64,26 @@ object StreamQueries {
       .orderBy("win_start", "airport")
   }
 
+  /** Session windows (parity-plus beyond the reference's tumbling-only
+    * windows): per-user activity sessions with a 6-hour inactivity gap,
+    * merged dynamically as events arrive — the Structured Streaming
+    * `session_window` state machine. Append emits a session once the
+    * watermark passes its end (last event + gap), so the replay result is
+    * the batch islands-and-gaps answer restricted to closed sessions. */
+  def q37StreamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val events = EventStreams.fileReplaySource(spark, dir)
+    val sessions = events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("user_id"), col("n_events"))
+    EventStreams.runToMemory(spark, sessions)
+      .orderBy("user_id", "session_start")
+  }
+
   /** K6: upsert sink — last closed window wins per key (Mongo ReplaceOne
     * parity). The result is the final store snapshot: one row per event
     * type carrying its most recent closed window. */
