@@ -9,20 +9,26 @@ import graft.sources.Tables
   * array<float> ×64, label) plus the multimodal-column plumbing query —
   * north-star extras (SURVEY §7.1).
   *
-  * All vector math is higher-order column expressions (`zip_with` +
-  * `aggregate`) over the native array column — no UDFs, no MLlib — so it
-  * stays in whole-stage codegen and scales with partition parallelism.
+  * The dot-product hot path runs as a custom codegen'd Catalyst expression
+  * (graft.functions.DotProductFloat); everything else is built-in column
+  * expressions and HOFs — no UDFs, no MLlib.
   */
 object EmbedQueries {
 
   private val DIM = 64
 
-  /** dot(a, b) with element-wise cast to double (float32 storage, double
-    * math — same on the DuckDB oracle side, so sums agree bit-for-bit
-    * modulo rounding). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) with element-wise widening to double (float32 storage,
+    * double math — the same operation order as the DuckDB oracle, so sums
+    * agree bit-for-bit). Runs as the codegen'd native expression
+    * graft.functions.DotProductFloat; the pure-HOF equivalent
+    * (`aggregate(zip_with(...))`) is interpreted and ~an order of
+    * magnitude slower per pair. */
+  private def dot(a: Column, b: Column): Column = {
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  }
+
+  private def withDot(spark: SparkSession): Unit =
+    graft.functions.VectorExpressions.register(spark)
 
   private def l2(a: Column): Column = sqrt(dot(a, a))
 
@@ -31,6 +37,7 @@ object EmbedQueries {
     * full candidate table, so the scan side never shuffles; ranking
     * happens on rounded scores with a vec_id tie-break for determinism. */
   def q27EmbedCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    withDot(spark)
     val emb = Tables(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
@@ -64,6 +71,7 @@ object EmbedQueries {
     * occupancy. Probe multiple neighboring buckets / more tables to raise
     * recall — the plumbing is identical. */
   def q28EmbedAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    withDot(spark)
     val emb = Tables(spark, dir, "embeddings")
     // bucket = Σ_p (proj_p(v) > 0) << p, proj_p(v) = Σ_i w(p,i)·v[i]
     val withBucket = emb.select(col("vec_id"), col("embedding"),
@@ -103,6 +111,7 @@ object EmbedQueries {
     * q28 because near-dup recall at moderate cosine needs coarser buckets
     * (trade bucket occupancy for recall — both knobs documented). */
   def q36EmbedCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
+    withDot(spark)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         lshBucket(col("embedding"), 4).as("bucket"))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorExpressions
+
+/** The native graft_dot expression must be bit-identical to the pure-HOF
+  * form (same widen-to-double, same left-to-right accumulation) in both
+  * the codegen and interpreted paths. */
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, -0.6f)),
+      (3L, Array.tabulate(64)(i => (i * 0.37f - 3.1f)), Array.tabulate(64)(i => (2.2f - i * 0.11f))))
+      .toDF("id", "a", "b")
+  }
+
+  test("graft_dot equals the HOF aggregate(zip_with(...)) bit-for-bit") {
+    VectorExpressions.register(spark)
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = vecs.select(
+      call_function("graft_dot", col("a"), col("b")).as("native"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot participates in whole-stage codegen") {
+    VectorExpressions.register(spark)
+    // range source so the projection isn't constant-folded to a LocalTableScan
+    val df = spark.range(10)
+      .select(
+        transform(sequence(lit(1), lit(8)), i => (col("id") + i).cast("float")).as("a"),
+        transform(sequence(lit(1), lit(8)), i => (col("id") * i).cast("float")).as("b"))
+      .select(call_function("graft_dot", col("a"), col("b")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"expected codegen in plan:\n$plan")
+    assert(df.collect().length == 10)
+  }
+
+  test("null array yields null") {
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(call_function("graft_dot", col("a"), col("b")).as("d"))
+    assert(df.collect().head.isNullAt(0))
+  }
+}
