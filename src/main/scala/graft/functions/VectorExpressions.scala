@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the embedding hot path.
   *
@@ -78,6 +78,83 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 60-bit SimHash fingerprint from pre-hashed token longs: bit b of the
+  * result is set iff Σ_tokens (2·bit_b(h) − 1) > 0.
+  *
+  * The sketch inner loop (tokens × 60 bit positions) is pure integer work;
+  * as nested HOFs it pays per-element lambda dispatch and a fresh 60-long
+  * accumulator array per token (~12 s at sf0.1). Here it's one primitive
+  * loop — interpreted and codegen paths identical — with the token
+  * pre-hash (md5 → long) left upstream where built-ins handle it fine.
+  * Same math as the DuckDB oracle's list-comprehension form.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash expects array<bigint>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val cnt = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val h = a.getLong(i)
+        var b = 0
+        while (b < 60) {
+          cnt(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (cnt(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $cnt = new int[60];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = $a.getLong($i);
+         |    for (int $b = 0; $b < 60; $b++) {
+         |      $cnt[$b] += (((($h >> $b) & 1L) == 1L) ? 1 : -1);
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 60; $b++) {
+         |  if ($cnt[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   private val dotInfo = new ExpressionInfo(
@@ -89,17 +166,32 @@ object VectorExpressions {
       s"graft_dot expects 2 arguments, got ${other.size}")
   }
 
+  private val simhashInfo = new ExpressionInfo(
+    classOf[SimHash64].getName, "graft_simhash")
+
+  private val simhashBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => SimHash64(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_simhash expects 1 argument, got ${other.size}")
+  }
+
   /** Idempotent runtime registration for library callers (the queries call
     * this themselves; no session config needed). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", simhashBuilder, "built-in")
+  }
 
-  /** `SparkSessionExtensions` hook so a cluster can load the function
+  /** `SparkSessionExtensions` hook so a cluster can load the functions
     * globally via `spark.sql.extensions=graft.functions.GraftExtensions`. */
-  def inject(extensions: SparkSessionExtensions): Unit =
+  def inject(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(
       (FunctionIdentifier("graft_dot"), dotInfo, dotBuilder))
+    extensions.injectFunction(
+      (FunctionIdentifier("graft_simhash"), simhashInfo, simhashBuilder))
+  }
 }
 
 /** Entry point for spark.sql.extensions. */

@@ -204,22 +204,17 @@ object DocQueries {
     * the banding key a near-dup pass would equi-join on (same pattern as
     * q25, different sketch). Pure nested HOFs, no shuffle until sort. */
   def q26DocsSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val docs = Tables(spark, dir, "documents")
     docs
       .withColumn("toks", toks(col("text")))
+      // token pre-hash stays a built-in HOF (md5 dominates); the 60-bit
+      // counter sketch runs as the native codegen'd expression — the
+      // nested-HOF form allocated a 60-long accumulator per token and
+      // benched ~12 s at sf0.1.
       .withColumn("th", expr(
         "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
-      // Fold tokens ONCE, updating all 60 bit-counters per token (md5 runs
-      // per token); the naive bit-outer/token-inner nesting re-hashed every
-      // token 60× and benched 42 s at sf0.1.
-      .withColumn("bitsum", expr(
-        """aggregate(th, array_repeat(0L, 60), (acc, h) ->
-          |  zip_with(acc, sequence(0, 59), (a, b) ->
-          |    a + CASE WHEN ((h >> b) & 1) = 1 THEN 1L ELSE -1L END))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(zip_with(bitsum, sequence(0, 59), (v, b) ->
-          |  CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
-          |0L, (a, x) -> a + x)""".stripMargin))
+      .withColumn("simhash", call_function("graft_simhash", col("th")))
       .select(col("doc_id"), col("simhash"),
         expr("simhash >> 44").as("band_bucket"))
       .orderBy("doc_id")
