@@ -143,6 +143,30 @@ object core {
       .drop("_cell_lat", "_cell_lon")
   }
 
+  /** Skew-safe equi-join: salt the (skewed) left side's key with a random
+    * bucket in [0, saltFactor) and replicate every right-side row once per
+    * bucket, so a hot key's rows spread over `saltFactor` shuffle
+    * partitions instead of hammering one. Semantically identical to
+    * `left.join(right, leftKey === rightKey, joinType)` for one-to-many
+    * joins (right side must be unique per key or duplicates multiply —
+    * same contract as the plain join).
+    *
+    * AQE's skew-join handling covers sort-merge joins automatically; this
+    * manual form is for when AQE can't help (e.g. skew into a shuffle that
+    * feeds a streaming stateful op, or a deliberately pinned plan). The
+    * salt is `rand`-based and never escapes the join, so results stay
+    * deterministic. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: Column, rightKey: Column,
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val l = left.withColumn("_salt", (rand(seed = 42) * saltFactor).cast("int"))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, leftKey === rightKey && l("_salt") === r("_salt"), joinType)
+      .drop("_salt")
+  }
+
   /** Most-frequent value of `valueCol` per `keyCol` with a total tie-break
     * (higher count wins, then smaller value) — the reference's mode idiom
     * (flights_lookup_to_kafka.py:30-46): groupBy + count + row_number. */
