@@ -57,6 +57,7 @@ object SparkEntry {
     "q37_stream_session_window" -> (StreamQueries.q37StreamSessionWindow _),
     "q38_semi_anti_join" -> (ParityPlusQueries.q38SemiAntiJoin _),
     "q39_rollup" -> (ParityPlusQueries.q39Rollup _),
+    "q40_bucketed_join" -> (ParityPlusQueries.q40BucketedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -502,6 +503,11 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "q40_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS order_count,
+        |       count(DISTINCT o_custkey) AS distinct_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q35_stream_upsert" ->
       """WITH w AS (
         |  SELECT date_trunc('minute', ts) AS ws, lower(trim(event_type)) AS event_type,

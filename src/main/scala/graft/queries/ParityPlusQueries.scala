@@ -34,6 +34,42 @@ object ParityPlusQueries {
       .orderBy("nation")
   }
 
+  /** Bucketed co-located join: both sides written `bucketBy(8, custkey)`
+    * + sorted, then joined on the bucket key — the join runs with ZERO
+    * exchanges (asserted by BucketedJoinSpec); the only shuffle left is
+    * the final aggregate on a different key. This is the pre-partitioning
+    * strategy for repeated large-fact ⋈ large-dim joins at 100 TB: pay the
+    * bucketed write once, skip the join shuffle on every query after. */
+  /** Drop a managed table AND its warehouse directory — the in-memory
+    * catalog forgets tables between sessions while their directories
+    * persist, which otherwise fails saveAsTable with
+    * LOCATION_ALREADY_EXISTS. */
+  private def dropManaged(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh), name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  def q40BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    dropManaged(spark, "graft_orders_bucketed")
+    dropManaged(spark, "graft_customer_bucketed")
+    Tables(spark, dir, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_bucketed")
+    Tables(spark, dir, "customer")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_bucketed")
+    spark.table("graft_orders_bucketed")
+      .join(spark.table("graft_customer_bucketed"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("order_count"),
+        countDistinct(col("o_custkey")).as("distinct_customers"))
+      .orderBy("c_mktsegment")
+  }
+
   /** ROLLUP grouping sets over the route-shaped keys: per (flag, status),
     * per flag subtotal, and grand total in one pass — Spark expands to a
     * single shuffle with grouping-id, no N-pass union. Natural data has no
