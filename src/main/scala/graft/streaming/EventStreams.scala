@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 import scala.collection.concurrent.TrieMap
 
@@ -28,6 +28,11 @@ import scala.collection.concurrent.TrieMap
   * them with AvailableNow file replay — same plan, different source.
   */
 object EventStreams {
+
+  /** Keyed state for windowedDistinctCustomState: the per-(key, window)
+    * id set (the reference's HashSet serde —
+    * AirlineAircraftCountStream.java:118-130). */
+  final case class SetState(users: Seq[Long])
 
   /** events-shaped schema; `ts` arrives as nano-epoch long (the testdata
     * writer emits TIMESTAMP(NANOS) parquet) and is rebuilt to a micro
@@ -111,6 +116,45 @@ object EventStreams {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("airport"), col("distinct_aircraft"))
+  }
+
+  /** A14 again, but with EXPLICIT keyed state: `flatMapGroupsWithState`
+    * holding the per-(key, window) id set and emitting once on event-time
+    * timeout — the literal Structured Streaming transcription of the
+    * reference's HashSet-per-window + suppress topology
+    * (AirlineAircraftCountStream.java:38-52). The declarative
+    * window+collect_set form (windowedDistinct) is the production default;
+    * this form is the extension point when state needs custom logic the
+    * built-ins can't express (capped sets, early heuristics, TTL tiers).
+    * Emission parity with windowedDistinct is spec-asserted. */
+  def windowedDistinctCustomState(events: DataFrame, keyName: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events
+      .withWatermark("ts", "0 seconds")
+      .select(col(keyName).as("k"),
+        date_trunc("minute", col("ts")).as("win_start"),
+        col("ts"), col("user_id"))
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .groupByKey { case (k, win, _, _) => (k, win.getTime) }
+    keyed.flatMapGroupsWithState[SetState, (String, String, Long)](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      case ((k, winMs), rows, state) =>
+        if (state.hasTimedOut) {
+          // watermark passed window end: emit the final count exactly once
+          val n = state.get.users.size.toLong
+          state.remove()
+          val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+          fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          Iterator((fmt.format(new java.util.Date(winMs)), k, n))
+        } else {
+          val seen = if (state.exists) state.get.users.toSet else Set.empty[Long]
+          val merged = seen ++ rows.map(_._4)
+          state.update(SetState(merged.toSeq))
+          state.setTimeoutTimestamp(winMs + 60000L) // window end
+          Iterator.empty
+        }
+    }.toDF("win_start", keyName, "distinct_users")
   }
 
   private val sinkCounter = new AtomicInteger(0)

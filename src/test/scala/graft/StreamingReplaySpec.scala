@@ -85,6 +85,22 @@ class StreamingReplaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState custom state equals the declarative windowed distinct") {
+    import spark.implicits._
+    val source = EventStreams.fileReplaySource(spark, sf)
+    val declarative = EventStreams.runToMemory(spark,
+      EventStreams.windowedDistinct(source, col("event_type"), "event_type"))
+      .select("win_start", "event_type", "distinct_users")
+      .as[(String, String, Long)].collect().toSet
+    val custom = EventStreams.runToMemory(spark,
+      EventStreams.windowedDistinctCustomState(
+        EventStreams.fileReplaySource(spark, sf), "event_type"))
+      .select("win_start", "event_type", "distinct_users")
+      .as[(String, String, Long)].collect().toSet
+    assert(custom == declarative)
+    assert(custom.nonEmpty)
+  }
+
   test("enrich attaches static lookups and serializes executor-side JSON") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
