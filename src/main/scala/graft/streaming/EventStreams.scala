@@ -57,11 +57,14 @@ object EventStreams {
 
   /** P8 re-key + normalize: the streaming key column is an explicit
     * normalized column in Spark (keys are implicit); blank keys dropped
-    * like StreamProcessor.java:39-40. */
+    * like StreamProcessor.java:39-40, and records without an event time or
+    * id dropped like the reference's lenient-parse null filter
+    * (StreamProcessor.java:89-92 returns null on malformed → filtered). */
   def normalize(events: DataFrame): DataFrame =
     events
       .withColumn("event_type", lower(trim(col("event_type"))))
-      .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
+      .filter(col("event_type").isNotNull && length(col("event_type")) > 0 &&
+        col("ts").isNotNull && col("user_id").isNotNull)
 
   /** J6 + J7 + P9 + P10: enrich each event from two static lookups —
     * per-aircraft stats joined on the primary key (user_id → registry,
