@@ -58,6 +58,7 @@ object SparkEntry {
     "q38_semi_anti_join" -> (ParityPlusQueries.q38SemiAntiJoin _),
     "q39_rollup" -> (ParityPlusQueries.q39Rollup _),
     "q40_bucketed_join" -> (ParityPlusQueries.q40BucketedJoin _),
+    "q41_docs_dedup_corpus" -> (DocQueries.q41DocsDedupCorpus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -508,6 +509,48 @@ object SparkEntry {
         |       count(DISTINCT o_custkey) AS distinct_customers
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q41_docs_dedup_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)) AS hv
+        |  FROM s),
+        |bd AS (
+        |  SELECT doc_id,
+        |         unnest([concat_ws('|', CAST(b AS VARCHAR),
+        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b) + 1) + (2 * b) * 7919) % 1000000007)) AS VARCHAR),
+        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b + 1) + 1) + (2 * b + 1) * 7919) % 1000000007)) AS VARCHAR))
+        |                 for b in range(0, 4)]) AS band_key
+        |  FROM hs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |nd AS (
+        |  SELECT doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |                 len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+        |    FROM cand
+        |    JOIN s sa ON cand.doc_a = sa.doc_id
+        |    JOIN s sb ON cand.doc_b = sb.doc_id)
+        |  WHERE jaccard >= 0.7),
+        |ex AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep
+        |    FROM documents)
+        |  WHERE doc_id <> keep),
+        |losers AS (SELECT doc_b AS doc_id FROM nd UNION SELECT doc_id FROM ex)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "q35_stream_upsert" ->
       """WITH w AS (
         |  SELECT date_trunc('minute', ts) AS ws, lower(trim(event_type)) AS event_type,

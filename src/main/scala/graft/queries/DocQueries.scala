@@ -199,6 +199,28 @@ object DocQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The end-to-end dedup pipeline product: the corpus with exact
+    * duplicates (q20 policy: keep min doc_id per content hash) AND
+    * near-duplicates (q25 policy: in each verified pair, the larger doc_id
+    * loses) removed via anti-joins — what a training-data run actually
+    * materializes. Union of two loser sets, then one left-anti join
+    * against the corpus; everything shuffles on doc_id / fixed-width
+    * hashes only. */
+  def q41DocsDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val exactLosers = docs
+      .select(md5(lower(trim(col("text")))).as("text_hash"), col("doc_id"))
+      .withColumn("keep", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text_hash")))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    val nearLosers = minhashNeardup(docs, 0.7).select(col("doc_b").as("doc_id"))
+    docs
+      .join(exactLosers.union(nearLosers).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprint: 60-bit signature where bit b is the sign of the
     * weighted sum of token-hash bits. Emitted with a 16-bit prefix bucket —
     * the banding key a near-dup pass would equi-join on (same pattern as
