@@ -414,22 +414,30 @@ object SparkEntry {
     // <= the final watermark (= max event time, 0s delay), so the oracle is
     // the batch aggregate restricted to closed windows.
     "q32_stream_windowed_distinct" ->
-      """WITH w AS (
+      """WITH ev0 AS (
+        |  SELECT * FROM events
+        |  WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+        |    AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |w AS (
         |  SELECT date_trunc('minute', ts) AS ws, lower(trim(event_type)) AS event_type,
         |         count(DISTINCT user_id) AS du
-        |  FROM events GROUP BY 1, 2),
-        |m AS (SELECT max(ts) AS mx FROM events)
+        |  FROM ev0 GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM ev0)
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |       CAST(du AS BIGINT) AS distinct_users
         |FROM w, m WHERE ws + INTERVAL 1 MINUTE <= mx
         |ORDER BY win_start, event_type""".stripMargin,
     "q33_stream_enrich_join" ->
-      """WITH e AS (
+      """WITH ev0 AS (
+        |  SELECT * FROM events
+        |  WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+        |    AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |e AS (
         |  SELECT date_trunc('minute', ts) AS ws,
         |         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |         n_name AS reg_name
-        |  FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey),
-        |m AS (SELECT max(ts) AS mx FROM events)
+        |  FROM ev0 LEFT JOIN nation ON user_id % 25 = n_nationkey),
+        |m AS (SELECT max(ts) AS mx FROM ev0)
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, reg_name,
         |       count(*) AS event_count, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM e, m WHERE ws + INTERVAL 1 MINUTE <= mx
@@ -437,9 +445,13 @@ object SparkEntry {
     "q34_stream_geo_window" ->
       """WITH ap AS (SELECT n_name, CAST(n_nationkey * 7 % 120 - 60 AS DOUBLE) AS ap_lat,
         |                   CAST(n_nationkey * 13 % 360 - 180 AS DOUBLE) AS ap_lon FROM nation),
+        |ev0 AS (
+        |  SELECT * FROM events
+        |  WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+        |    AND ts IS NOT NULL AND user_id IS NOT NULL),
         |ev AS (SELECT ts, user_id, CAST(event_id * 17 % 120 - 60 AS DOUBLE) AS ev_lat,
-        |              CAST(event_id * 29 % 360 - 180 AS DOUBLE) AS ev_lon FROM events),
-        |m AS (SELECT max(ts) AS mx FROM events),
+        |              CAST(event_id * 29 % 360 - 180 AS DOUBLE) AS ev_lon FROM ev0),
+        |m AS (SELECT max(ts) AS mx FROM ev0),
         |j AS (SELECT n_name, ts, user_id,
         |             pow(sin(radians(ap_lat - ev_lat) / 2), 2)
         |               + cos(radians(ev_lat)) * cos(radians(ap_lat)) * pow(sin(radians(ap_lon - ev_lon) / 2), 2) AS a
@@ -473,9 +485,11 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, ts,
         |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 6 HOUR
+        |                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 6 HOUR
         |              THEN 1 ELSE 0 END AS new_s
-        |  FROM events),
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+        |    AND ts IS NOT NULL AND user_id IS NOT NULL),
         |g AS (
         |  SELECT user_id, ts,
         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
@@ -485,7 +499,9 @@ object SparkEntry {
         |  SELECT user_id, min(ts) AS st, max(ts) + INTERVAL 6 HOUR AS en,
         |         count(*) AS n_events
         |  FROM g GROUP BY user_id, sid),
-        |m AS (SELECT max(ts) AS mx FROM events)
+        |m AS (SELECT max(ts) AS mx FROM events
+        |      WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+        |        AND ts IS NOT NULL AND user_id IS NOT NULL)
         |SELECT strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
         |       strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
         |       user_id, n_events
@@ -552,11 +568,15 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
     "q35_stream_upsert" ->
-      """WITH w AS (
+      """WITH ev0 AS (
+        |  SELECT * FROM events
+        |  WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+        |    AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |w AS (
         |  SELECT date_trunc('minute', ts) AS ws, lower(trim(event_type)) AS event_type,
         |         count(DISTINCT user_id) AS du
-        |  FROM events GROUP BY 1, 2),
-        |m AS (SELECT max(ts) AS mx FROM events),
+        |  FROM ev0 GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM ev0),
         |c AS (SELECT * FROM w, m WHERE ws + INTERVAL 1 MINUTE <= mx),
         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ws DESC) AS rn FROM c)
         |SELECT event_type, strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,

@@ -23,10 +23,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * the HOF form and of the DuckDB oracle's list comprehension, so results
   * are bit-identical, not just close.
   *
-  * Null semantics: a null array yields null (BinaryExpression default);
-  * null *elements* are not expected in embedding columns and contribute 0,
-  * which is the one intentional divergence from the HOF form (whose sum
-  * turns null) — embeddings are non-null float vectors by contract.
+  * Null/length semantics: a null array yields null (BinaryExpression
+  * default). Null *elements* contribute 0 and mismatched lengths sum over
+  * min(length) — both intentional divergences from the HOF form (whose
+  * sum turns null via zip_with padding); embedding columns are fixed-width
+  * non-null float vectors by contract, so neither case arises there.
   */
 case class DotProductFloat(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -160,6 +160,12 @@ object core {
                  leftKey: Column, rightKey: Column,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    // right/full outer would emit each unmatched right row once per salt
+    // replica — reject rather than silently diverge from the plain join.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left-side join types, got '$joinType' " +
+        "(right/full outer would duplicate unmatched right rows per salt)")
     val l = left.withColumn("_salt", (rand(seed = 42) * saltFactor).cast("int"))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -38,14 +38,18 @@ object EmbedQueries {
     * happens on rounded scores with a vec_id tie-break for determinism. */
   def q27EmbedCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     withDot(spark)
+    // Norms are projected ONCE per row before the join — computing
+    // l2(qv)*l2(embedding) inside the pair projection would redo a full
+    // dot product per (query, candidate) pair, tripling the vector work.
     val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
     val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("qv"), col("embedding")) /
-          (l2(col("qv")) * l2(col("embedding"))), 6).as("cosine"))
+          (col("qnrm") * col("nrm")), 6).as("cosine"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -75,14 +79,16 @@ object EmbedQueries {
     val emb = Tables(spark, dir, "embeddings")
     // bucket = Σ_p (proj_p(v) > 0) << p, proj_p(v) = Σ_i w(p,i)·v[i]
     val withBucket = emb.select(col("vec_id"), col("embedding"),
+      l2(col("embedding")).as("nrm"),
       lshBucket(col("embedding"), 8).cast("long").as("bucket"))
     val queries = withBucket.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("bucket"))
     val scored = withBucket.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("qv"), col("embedding")) /
-          (l2(col("qv")) * l2(col("embedding"))), 6).as("cosine"))
+          (col("qnrm") * col("nrm")), 6).as("cosine"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -114,13 +120,14 @@ object EmbedQueries {
     withDot(spark)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
+        l2(col("embedding")).as("nrm"),
         lshBucket(col("embedding"), 4).as("bucket"))
     val pairs = emb.as("a")
       .join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dot(col("a.embedding"), col("b.embedding")) /
-          (l2(col("a.embedding")) * l2(col("b.embedding"))), 6).as("cosine"))
+          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
     pairs.filter(col("cosine") >= 0.4).orderBy("vec_a", "vec_b")
   }
 

@@ -154,7 +154,11 @@ object EventStreams {
           val seen = if (state.exists) state.get.users.toSet else Set.empty[Long]
           val merged = seen ++ rows.map(_._4)
           state.update(SetState(merged.toSeq))
-          state.setTimeoutTimestamp(winMs + 60000L) // window end
+          // Event-time timeout fires when watermark > timestamp (strict),
+          // but append-mode windows emit when window.end <= watermark —
+          // aim 1ms before window end so both emit on the same watermark,
+          // including a max event time landing exactly on the boundary.
+          state.setTimeoutTimestamp(winMs + 60000L - 1L)
           Iterator.empty
         }
     }.toDF("win_start", keyName, "distinct_users")
