@@ -59,6 +59,8 @@ object SparkEntry {
     "q39_rollup" -> (ParityPlusQueries.q39Rollup _),
     "q40_bucketed_join" -> (ParityPlusQueries.q40BucketedJoin _),
     "q41_docs_dedup_corpus" -> (DocQueries.q41DocsDedupCorpus _),
+    "q42_set_ops" -> (ParityPlusQueries.q42SetOps _),
+    "q43_percentiles" -> (ParityPlusQueries.q43Percentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -567,6 +569,25 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    "q42_set_ops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
+        |b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |r AS (
+        |  SELECT 'both_years' AS cohort,
+        |         (SELECT count(*) FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)) AS n
+        |  UNION ALL
+        |  SELECT 'only_1994',
+        |         (SELECT count(*) FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b))
+        |  UNION ALL
+        |  SELECT 'either_year',
+        |         (SELECT count(*) FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)))
+        |SELECT cohort, n FROM r ORDER BY cohort""".stripMargin,
+    "q43_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q35_stream_upsert" ->
       """WITH ev0 AS (
         |  SELECT * FROM events

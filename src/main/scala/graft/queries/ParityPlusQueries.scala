@@ -34,6 +34,41 @@ object ParityPlusQueries {
       .orderBy("nation")
   }
 
+  /** Set operators (SURVEY §2.7 marks them absent in the reference):
+    * customers appearing in BOTH order years vs only the earlier one —
+    * intersect and except over key projections, plus a union-distinct
+    * total. All three plan as shuffles on the projected key only. */
+  def q42SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    def custsIn(year: Int) = orders
+      .filter(expr(s"year(o_orderdate) = $year"))
+      .select(col("o_custkey"))
+    val a = custsIn(1994)
+    val b = custsIn(1995)
+    val rows = Seq(
+      ("both_years", a.intersect(b)),
+      ("only_1994", a.except(b)),
+      ("either_year", a.union(b).distinct()))
+    rows.map { case (label, df) =>
+      df.agg(count(lit(1)).as("n")).select(lit(label).as("cohort"), col("n"))
+    }.reduce(_.unionAll(_)).orderBy("cohort")
+  }
+
+  /** Percentiles (absent in the reference, standard analytics vocabulary):
+    * exact interpolated median and p90 of quantity per return flag.
+    * `percentile` is the exact form (sort-based per group) — fine on
+    * grouped data; `approx_percentile` is the documented scale escape
+    * hatch for ungrouped wide scans. */
+  def q43Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Bucketed co-located join: both sides written `bucketBy(8, custkey)`
     * + sorted, then joined on the bucket key — the join runs with ZERO
     * exchanges (asserted by BucketedJoinSpec); the only shuffle left is
