@@ -101,6 +101,44 @@ class StreamingReplaySpec extends AnyFunSuite {
     assert(custom.nonEmpty)
   }
 
+  test("session windows merge across micro-batches and close on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Long)]
+    val events = ms.toDF().toDF("ts", "event_type", "user_id")
+    val sessions = EventStreams.normalize(events)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(org.apache.spark.sql.functions.session_window(
+        org.apache.spark.sql.functions.col("ts"), "10 minutes"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .selectExpr("date_format(session_window.start, 'HH:mm:ss') AS s",
+        "date_format(session_window.end, 'HH:mm:ss') AS e", "user_id", "n_events")
+    val q = sessions.writeStream
+      .format("memory").queryName("session_sink").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // Batch 1: two events 5 min apart (same session, gap 10 min).
+      ms.addData((ts("2024-01-01 10:00:00"), "A", 1L), (ts("2024-01-01 10:05:00"), "A", 1L))
+      q.processAllAvailable()
+      // Batch 2: a third event 8 min later EXTENDS the same session across
+      // the batch boundary; a far-future event closes it.
+      ms.addData((ts("2024-01-01 10:13:00"), "A", 1L), (ts("2024-01-01 12:00:00"), "A", 9L))
+      q.processAllAvailable()
+
+      val deadline = System.currentTimeMillis() + 15000
+      def rows() = spark.table("session_sink")
+        .select("s", "e", "user_id", "n_events")
+        .as[(String, String, Long, Long)].collect().toSeq
+      while (rows().isEmpty && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      // one merged session: [10:00, 10:23) with all 3 events
+      assert(rows() == Seq(("10:00:00", "10:23:00", 1L, 3L)), s"got ${rows()}")
+    } finally q.stop()
+  }
+
   test("enrich attaches static lookups and serializes executor-side JSON") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
