@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the embedding hot path.
   *
@@ -156,6 +156,90 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sign-random-projection LSH bucket: bit p of the result is set iff
+  * Σ_i w(p, i+1)·v[i] > 0 over `nPlanes` deterministic hyperplanes, where
+  * w(p, i) = ((p·131071 + i·524287)·2654435761 mod 1000003)/1000003 − 0.5 —
+  * a Knuth-style multiplicative hash of (plane, dim), no RNG, so the same
+  * arithmetic is reproducible on the DuckDB oracle side.
+  *
+  * The pure-builtin form — nested `aggregate(sequence(...))` over planes ×
+  * dims — is CodegenFallback: per-element lambda dispatch for every one of
+  * the nPlanes·64 multiply-adds, per row of the FULL embeddings table in the
+  * ANN/near-dup queries. This expression is the same tight primitive loop
+  * pattern as [[DotProductFloat]]: projections accumulate in double,
+  * ascending dim order, so buckets are bit-identical to the HOF form
+  * (parity spec-asserted). Null elements contribute 0 (embedding columns
+  * are non-null fixed-width by contract; the HOF form would turn the whole
+  * sum null — same documented divergence as graft_dot).
+  */
+case class LshBucketFloat(vec: Expression, planes: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = planes
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, planes.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) if planes.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_bucket expects (array<float>, foldable int), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val nPlanes = b.asInstanceOf[Int]
+    val n = x.numElements()
+    var out = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) {
+          val w = ((p * 131071L + (i + 1) * 524287L) * 2654435761L) % 1000003L
+          s += (w.toDouble / 1000003.0 - 0.5) * x.getFloat(i).toDouble
+        }
+        i += 1
+      }
+      if (s > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val w = ctx.freshName("w")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |long $out = 0L;
+         |for (int $p = 0; $p < $b; $p++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      long $w = (($p * 131071L + ($i + 1) * 524287L) * 2654435761L) % 1000003L;
+         |      $s += ((double) $w / 1000003.0 - 0.5) * (double) $a.getFloat($i);
+         |    }
+         |  }
+         |  if ($s > 0) $out |= (1L << $p);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshBucketFloat =
+    copy(vec = newLeft, planes = newRight)
+}
+
 object VectorExpressions {
 
   private val dotInfo = new ExpressionInfo(
@@ -176,6 +260,15 @@ object VectorExpressions {
       s"graft_simhash expects 1 argument, got ${other.size}")
   }
 
+  private val lshInfo = new ExpressionInfo(
+    classOf[LshBucketFloat].getName, "graft_lsh_bucket")
+
+  private val lshBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => LshBucketFloat(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_lsh_bucket expects 2 arguments, got ${other.size}")
+  }
+
   /** Idempotent runtime registration for library callers (the queries call
     * this themselves; no session config needed). */
   def register(spark: SparkSession): Unit = {
@@ -183,6 +276,8 @@ object VectorExpressions {
       "graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", simhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_bucket", lshBuilder, "built-in")
   }
 
   /** `SparkSessionExtensions` hook so a cluster can load the functions
@@ -192,6 +287,8 @@ object VectorExpressions {
       (FunctionIdentifier("graft_dot"), dotInfo, dotBuilder))
     extensions.injectFunction(
       (FunctionIdentifier("graft_simhash"), simhashInfo, simhashBuilder))
+    extensions.injectFunction(
+      (FunctionIdentifier("graft_lsh_bucket"), lshInfo, lshBuilder))
   }
 }
 

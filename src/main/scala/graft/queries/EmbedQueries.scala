@@ -15,8 +15,6 @@ import graft.sources.Tables
   */
 object EmbedQueries {
 
-  private val DIM = 64
-
   /** dot(a, b) with element-wise widening to double (float32 storage,
     * double math — the same operation order as the DuckDB oracle, so sums
     * agree bit-for-bit). Runs as the codegen'd native expression
@@ -57,13 +55,15 @@ object EmbedQueries {
       .orderBy("q_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component w(p, i) in [-0.5, 0.5)
-    * — a Knuth-style multiplicative hash of (plane, dim), identical
-    * arithmetic on the oracle side (no RNG: reproducible across engines
-    * and runs). */
-  private def planeW(p: Column, i: Column): Column =
-    ((((p * 131071L + i * 524287L) * 2654435761L) % 1000003L).cast("double") /
-      1000003.0) - 0.5
+  /** LSH bucket from the first `nPlanes` deterministic hyperplanes, with
+    * hyperplane component w(p, i) in [-0.5, 0.5) — a Knuth-style
+    * multiplicative hash of (plane, dim), identical arithmetic on the
+    * oracle side (no RNG: reproducible across engines and runs). Runs as
+    * the codegen'd native expression graft.functions.LshBucketFloat; the
+    * nested-HOF equivalent is interpreted and lives on only in the
+    * bit-parity test (VectorExpressionsSpec). */
+  private def lshBucket(v: Column, nPlanes: Int): Column =
+    call_function("graft_lsh_bucket", v, lit(nPlanes))
 
   /** ANN via sign-random-projection LSH: 8 deterministic hyperplanes → an
     * 8-bit bucket per vector → queries equi-join candidates on bucket →
@@ -95,19 +95,6 @@ object EmbedQueries {
       .filter(col("rank") <= 3)
       .orderBy("q_id", "rank")
   }
-
-  /** 2^p as a long column for a lambda-variable exponent (shiftleft's bit
-    * count must be foldable, so compute via pow + round instead). */
-  private def pow2(p: Column): Column =
-    round(pow(lit(2.0), p.cast("double"))).cast("long")
-
-  /** LSH bucket from the first `nPlanes` deterministic hyperplanes. */
-  private def lshBucket(v: Column, nPlanes: Int): Column =
-    aggregate(sequence(lit(0), lit(nPlanes - 1)), lit(0L), (acc, p) => {
-      val s = aggregate(sequence(lit(1), lit(DIM)), lit(0.0),
-        (a, i) => a + planeW(p, i) * element_at(v, i).cast("double"))
-      acc + when(s > 0, pow2(p)).otherwise(lit(0L))
-    })
 
   /** Embedding-cosine NEAR-DUP pairs — the fifth dedup family member
     * (exact / MinHash / SimHash / n-gram Jaccard live in DocQueries):

@@ -42,11 +42,18 @@ object EventQueries {
   /** A14/A15 at scale: same window keyed by the J8 geo match, with
     * approx_count_distinct — demonstrates the documented approximate path
     * (exact HashSet state does not bound memory per key at 100 TB).
-    * No oracle (HLL is engine-specific) → driver rows-only check. */
+    * No oracle (HLL is engine-specific) → driver rows-only check.
+    *
+    * Precision: the default rsd (0.05) on purpose. This query IS the scale
+    * escape hatch, so its cost story must be good: HLL sketch width grows
+    * ~1/rsd², and rsd=0.01 made each (key, window) sketch 25× wider for a
+    * 4× slower aggregate (8.9 s vs ~2 s at sf0.1) — a ±5% count on a
+    * monitoring-style distinct is the right trade. Callers needing tighter
+    * error pay for it explicitly via the rsd argument. */
   def q18WindowedApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
     ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("approx_users"))

@@ -43,10 +43,12 @@ object Tables {
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The testdata writer emits TIMESTAMP(NANOS) parquet, which Spark 4
-    // rejects by default; read nanos as long and rebuild the timestamp at
-    // micro precision (integer `div` — a double division loses precision on
-    // ~1.7e18 nano epochs).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // rejects unless the session was built with
+    // spark.sql.legacy.parquet.nanosAsLong=true (a session-build setting —
+    // deliberately NOT set here: a read path must not mutate shared session
+    // config). With the flag on, nanos arrive as long and the timestamp is
+    // rebuilt at micro precision (integer `div` — a double division loses
+    // precision on ~1.7e18 nano epochs).
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -45,9 +45,10 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** S5: replay the events table as a file stream. */
+  /** S5: replay the events table as a file stream. Requires a session built
+    * with spark.sql.legacy.parquet.nanosAsLong=true (the testdata's
+    * TIMESTAMP(NANOS) parquet) — a session-build setting, not mutated here. */
   def fileReplaySource(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")

@@ -47,6 +47,53 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(df.collect().length == 10)
   }
 
+  /** The nested-HOF form graft_lsh_bucket replaced (kept here as the
+    * reference implementation for bit-parity): Σ_p (proj_p(v) > 0) << p,
+    * proj_p(v) = Σ_i w(p,i)·v[i], w from the Knuth multiplicative hash. */
+  private def hofLshBucket(v: org.apache.spark.sql.Column, nPlanes: Int, dim: Int) = {
+    def planeW(p: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      ((((p * 131071L + i * 524287L) * 2654435761L) % 1000003L).cast("double") /
+        1000003.0) - 0.5
+    def pow2(p: org.apache.spark.sql.Column) =
+      round(pow(lit(2.0), p.cast("double"))).cast("long")
+    aggregate(sequence(lit(0), lit(nPlanes - 1)), lit(0L), (acc, p) => {
+      val s = aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+        (a, i) => a + planeW(p, i) * element_at(v, i).cast("double"))
+      acc + when(s > 0, pow2(p)).otherwise(lit(0L))
+    })
+  }
+
+  test("graft_lsh_bucket equals the nested-HOF form on pseudo-random vectors") {
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    // Deterministic pseudo-random 64-dim vectors spanning sign changes.
+    val df = (1 to 200).map { r =>
+      (r.toLong, Array.tabulate(64)(i =>
+        (((r * 2654435761L + i * 40503L) % 1997L).toFloat / 1997f) - 0.5f))
+    }.toDF("id", "v")
+    for (planes <- Seq(4, 8)) {
+      val rows = df.select(
+        call_function("graft_lsh_bucket", col("v"), lit(planes)).as("native"),
+        hofLshBucket(col("v"), planes, 64).as("ref")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"planes=$planes native=${r.getLong(0)} ref=${r.getLong(1)}"))
+      // every bucket fits in nPlanes bits
+      rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < (1L << planes)))
+    }
+  }
+
+  test("graft_lsh_bucket participates in whole-stage codegen") {
+    VectorExpressions.register(spark)
+    val df = spark.range(10)
+      .select(transform(sequence(lit(1), lit(64)),
+        i => (col("id") - i).cast("float")).as("v"))
+      .select(call_function("graft_lsh_bucket", col("v"), lit(8)).as("b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"expected codegen in plan:\n$plan")
+    assert(df.collect().length == 10)
+  }
+
   test("null array yields null") {
     VectorExpressions.register(spark)
     import spark.implicits._
