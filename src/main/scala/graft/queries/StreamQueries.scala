@@ -22,7 +22,8 @@ object StreamQueries {
     * type with no-grace watermark and final-only (append) emission —
     * the AirlineAircraftCountStream topology. */
   def q32StreamWindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val events = EventStreams.fileReplaySource(spark, dir)
+    val ss = EventStreams.streamSession(spark)
+    val events = EventStreams.fileReplaySource(ss, dir)
     val counts = EventStreams.windowedDistinct(events, col("event_type"), "event_type")
     EventStreams.runToMemory(spark, counts)
       .orderBy("win_start", "event_type")
@@ -33,7 +34,8 @@ object StreamQueries {
     * the stream treats it as broadcast state), then windowed counts per
     * registry name. */
   def q33StreamEnrichJoin(spark: SparkSession, dir: String): DataFrame = {
-    val events = EventStreams.fileReplaySource(spark, dir)
+    val ss = EventStreams.streamSession(spark)
+    val events = EventStreams.fileReplaySource(ss, dir)
     val registry = Tables(spark, dir, "nation")
       .select(col("n_nationkey").as("reg_key"), col("n_name").as("reg_name"))
     val typeInfo = Tables(spark, dir, "events")
@@ -54,7 +56,8 @@ object StreamQueries {
     * the AirportAircraftCountStream topology, with the grid-bucketed
     * equi-join instead of the reference's per-event airport-store scan. */
   def q34StreamGeoWindow(spark: SparkSession, dir: String): DataFrame = {
-    val events = EventStreams.fileReplaySource(spark, dir)
+    val ss = EventStreams.streamSession(spark)
+    val events = EventStreams.fileReplaySource(ss, dir)
     val airports = Tables(spark, dir, "nation")
       .withColumn("ap_lat", (col("n_nationkey") * 7 % 120 - 60).cast("double"))
       .withColumn("ap_lon", (col("n_nationkey") * 13 % 360 - 180).cast("double"))
@@ -71,7 +74,8 @@ object StreamQueries {
     * watermark passes its end (last event + gap), so the replay result is
     * the batch islands-and-gaps answer restricted to closed sessions. */
   def q37StreamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
-    val events = EventStreams.fileReplaySource(spark, dir)
+    val ss = EventStreams.streamSession(spark)
+    val events = EventStreams.fileReplaySource(ss, dir)
     val sessions = events
       .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
@@ -88,9 +92,11 @@ object StreamQueries {
     * parity). The result is the final store snapshot: one row per event
     * type carrying its most recent closed window. */
   def q35StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val events = EventStreams.fileReplaySource(spark, dir)
+    val ss = EventStreams.streamSession(spark)
+    val events = EventStreams.fileReplaySource(ss, dir)
     val counts = EventStreams.windowedDistinct(events, col("event_type"), "event_type")
-    EventStreams.runUpsertLastWindowWins(spark, counts, "event_type")
+    EventStreams.runUpsertLastWindowWins(ss, counts, "event_type",
+        "target/upsert-store/q35")
       .orderBy("event_type")
   }
 }

@@ -5,7 +5,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
-import scala.collection.concurrent.TrieMap
 
 /** The streaming half of the engine — the reference's Kafka Streams
   * topology (/root/reference/stream-processing/) re-expressed in Structured
@@ -167,10 +166,39 @@ object EventStreams {
 
   private val sinkCounter = new AtomicInteger(0)
 
+  /** Streaming-tuned child session. `spark.sql.shuffle.partitions` is ALSO
+    * the state-store partition count, fixed at the first checkpoint — a
+    * batch-oriented 32 (or 200) means 32 state stores, 32 commit files and
+    * 32 tasks per micro-batch for what is KB-scale per-window state here.
+    * A child session (shared SparkContext/CacheManager, isolated SQLConf)
+    * scopes a stateful-appropriate partition count to the stream without
+    * mutating the caller's session. At 100 TB the same knob goes UP with
+    * key cardinality instead — it is per-topology, which is exactly why it
+    * must not leak into the shared session.
+    *
+    * Builder-time configs (timezone, nanosAsLong) live in the shared
+    * SparkConf and are inherited; only runtime `conf.set` state is not. */
+  def streamSession(spark: SparkSession, statePartitions: Int = 4,
+                    rocksDbState: Boolean = false): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // The 100 TB state option: the default HDFS-backed provider keeps every
+    // (key, window) entry on the executor HEAP — right for the KB-scale
+    // state of these replays, wrong when keyed state outgrows memory (the
+    // reference leans on Kafka Streams' RocksDB stores + changelog topics
+    // for exactly this). RocksDB spills to local disk with bounded heap;
+    // same results, different residence — parity spec-asserted.
+    if (rocksDbState) s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
   /** K5: run a (finite) streaming plan to completion with AvailableNow into
     * a memory sink and hand back the materialized result. Swap
     * `format("memory")` for kafka/parquet for a production sink — the plan
-    * upstream is identical. */
+    * upstream is identical. The sink table registers in the catalog of the
+    * session that OWNS the streaming plan (which may be a [[streamSession]]
+    * child), so it is read back from there. */
   def runToMemory(spark: SparkSession, streamed: DataFrame): DataFrame = {
     val name = s"graft_stream_${sinkCounter.incrementAndGet()}"
     val q = streamed.writeStream
@@ -180,35 +208,81 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    streamed.sparkSession.table(name)
   }
 
   /** K6: upsert sink — foreachBatch applies last-window-wins per key, the
     * Mongo ReplaceOne-on-_id semantics of the reference's Connect sink.
-    * Returns the final store snapshot. Batches arrive in order; within a
-    * batch the max-window row per key wins, so the result is independent
-    * of micro-batch slicing. */
+    *
+    * The store is a VERSIONED PARQUET KEY-STORE, not driver memory: each
+    * micro-batch merges the previous snapshot with the batch's emitted
+    * windows via a partition-parallel per-key max-window reduction (a
+    * `row_number` over the key — shuffles on the key, never collects), and
+    * writes snapshot `v<batchId>`. Writing a NEW version instead of
+    * overwriting in place keeps the read-merge-write cycle crash-safe (a
+    * killed batch leaves the previous snapshot intact) and makes retries
+    * idempotent (re-running batch N rewrites the same v<N> from the same
+    * parent — append emits each window at most once, and a replayed window
+    * carries the same exact count). At 100 TB the same shape holds: the
+    * merge is a shuffle bounded by live key cardinality, the driver never
+    * sees a row, and the snapshot outlives the driver. Result is
+    * independent of micro-batch slicing because max(win_start) per key is
+    * associative across any batch partitioning (spec-asserted).
+    *
+    * `storeDir` is wiped at start so replayed runs are self-contained; a
+    * production deployment keeps it to resume last-window-wins across
+    * restarts. */
+  /** The last-window-wins reduction: one row per key — the max-win_start
+    * row across base ∪ emitted. A `row_number` over the key partition:
+    * shuffles on the key, fully executor-parallel. Associative across any
+    * batch slicing (merge(merge(s, b1), b2) == merge(s, b1 ∪ b2)), which is
+    * what makes the upsert sink's result independent of how the stream was
+    * micro-batched — spec-asserted in StreamingReplaySpec. */
+  def upsertMerge(base: DataFrame, emitted: DataFrame, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(desc("win_start"))
+    base.unionByName(emitted)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   def runUpsertLastWindowWins(spark: SparkSession, streamed: DataFrame,
-                              keyCol: String): DataFrame = {
-    val store = TrieMap.empty[String, (String, Long)] // key -> (win_start, count)
+                              keyCol: String, storeDir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(hconf)
+    if (fs.exists(root)) fs.delete(root, true)
+
+    def latestVersion(): Option[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+        .sortBy(_.getPath.getName.drop(1).toLong)
+        .lastOption.map(_.getPath)
+
     val q = streamed.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(col(keyCol), col("win_start"), col("distinct_users"))
-          .collect() // emitted windows only: tiny (one row per key+minute)
-          .sortBy(r => (r.getString(1), r.getString(0)))
-          .foreach { r =>
-            val prev = store.get(r.getString(0))
-            if (prev.forall(_._1 <= r.getString(1)))
-              store.put(r.getString(0), (r.getString(1), r.getLong(2)))
-          }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val emitted = batch.select(col(keyCol), col("win_start"), col("distinct_users"))
+        val base = latestVersion() match {
+          case Some(p) => s.read.parquet(p.toString)
+          case None    => emitted.limit(0)
+        }
+        upsertMerge(base, emitted, keyCol)
+          .write.mode("overwrite").parquet(s"$storeDir/v$batchId")
         ()
       }
       .start()
     q.awaitTermination()
-    import spark.implicits._
-    store.toSeq.map { case (k, (w, c)) => (k, w, c) }
-      .toDF(keyCol, "win_start", "distinct_users")
+    latestVersion() match {
+      case Some(p) => spark.read.parquet(p.toString)
+      case None    => // stream emitted nothing: empty result, upstream schema
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField(keyCol, StringType),
+            StructField("win_start", StringType),
+            StructField("distinct_users", LongType))))
+    }
   }
 }

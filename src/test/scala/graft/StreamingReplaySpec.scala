@@ -139,6 +139,58 @@ class StreamingReplaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsert merge is associative — result independent of batch slicing") {
+    import spark.implicits._
+    val all = Seq(
+      ("a", "2024-01-01 10:00:00", 2L), ("a", "2024-01-01 10:01:00", 3L),
+      ("b", "2024-01-01 10:00:00", 1L), ("b", "2024-01-01 10:02:00", 5L),
+      ("c", "2024-01-01 10:01:00", 4L))
+    def df(rows: Seq[(String, String, Long)]) =
+      rows.toDF("event_type", "win_start", "distinct_users")
+    val empty = df(all).limit(0)
+    def result(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, String, Long)].collect().toSet
+    val oneShot = result(EventStreams.upsertMerge(empty, df(all), "event_type"))
+    assert(oneShot == Set(
+      ("a", "2024-01-01 10:01:00", 3L),
+      ("b", "2024-01-01 10:02:00", 5L),
+      ("c", "2024-01-01 10:01:00", 4L)))
+    // every contiguous 2-way slicing, plus an interleaved one
+    val slicings = (1 until all.size).map(i => Seq(all.take(i), all.drop(i))) :+
+      Seq(Seq(all(1), all(3)), Seq(all(0), all(2), all(4)))
+    slicings.foreach { slices =>
+      val folded = slices.foldLeft(empty) { (acc, s) =>
+        EventStreams.upsertMerge(acc, df(s), "event_type") }
+      assert(result(folded) == oneShot, s"slicing $slices diverged")
+    }
+  }
+
+  test("upsert sink merges executor-side into a versioned parquet store") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Long)]
+    val events = ms.toDF().toDF("ts", "event_type", "user_id")
+    ms.addData(
+      (ts("2024-01-01 10:00:10"), "A", 1L), (ts("2024-01-01 10:00:20"), "A", 2L),
+      (ts("2024-01-01 10:01:05"), "A", 1L), (ts("2024-01-01 10:00:30"), "B", 7L),
+      (ts("2024-01-01 10:02:30"), "A", 9L)) // advances watermark; its window stays open
+    val counts = EventStreams.windowedDistinct(
+      EventStreams.normalize(events), col("event_type"), "event_type")
+    val storeDir = "target/upsert-store/spec"
+    val out = EventStreams
+      .runUpsertLastWindowWins(spark, counts, "event_type", storeDir)
+      .select("event_type", "win_start", "distinct_users")
+      .as[(String, String, Long)].collect().toSet
+    // last CLOSED window per key wins; [10:02, 10:03) never closes
+    assert(out == Set(
+      ("a", "2024-01-01 10:01:00", 1L),
+      ("b", "2024-01-01 10:00:00", 1L)), s"got $out")
+    // the store is on-disk parquet snapshots, not driver memory
+    val versions = new java.io.File(storeDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(versions.nonEmpty)
+  }
+
   test("enrich attaches static lookups and serializes executor-side JSON") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
