@@ -61,6 +61,7 @@ object SparkEntry {
     "q41_docs_dedup_corpus" -> (DocQueries.q41DocsDedupCorpus _),
     "q42_set_ops" -> (ParityPlusQueries.q42SetOps _),
     "q43_percentiles" -> (ParityPlusQueries.q43Percentiles _),
+    "q44_geo_auto_rewrite" -> (ParityPlusQueries.q44GeoAutoRewrite _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -588,6 +589,19 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
         |       count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q44_geo_auto_rewrite" ->
+      """WITH ap AS (SELECT n_name, CAST(n_nationkey * 7 % 120 - 60 AS DOUBLE) AS ap_lat,
+        |                   CAST(n_nationkey * 13 % 360 - 180 AS DOUBLE) AS ap_lon FROM nation),
+        |ev AS (SELECT user_id, CAST(event_id * 17 % 120 - 60 AS DOUBLE) AS ev_lat,
+        |              CAST(event_id * 29 % 360 - 180 AS DOUBLE) AS ev_lon FROM events),
+        |m AS (SELECT n_name, user_id,
+        |             pow(sin(radians(ap_lat - ev_lat) / 2), 2)
+        |               + cos(radians(ev_lat)) * cos(radians(ap_lat)) * pow(sin(radians(ap_lon - ev_lon) / 2), 2) AS a
+        |      FROM ev CROSS JOIN ap)
+        |SELECT n_name AS airport, count(*) AS match_count,
+        |       count(DISTINCT user_id) AS distinct_aircraft
+        |FROM m WHERE 2 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)) <= 650.0
+        |GROUP BY n_name ORDER BY airport""".stripMargin,
     "q35_stream_upsert" ->
       """WITH ev0 AS (
         |  SELECT * FROM events

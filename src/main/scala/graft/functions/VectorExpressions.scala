@@ -292,8 +292,13 @@ object VectorExpressions {
   }
 }
 
-/** Entry point for spark.sql.extensions. */
+/** Entry point for spark.sql.extensions: the custom functions plus the
+  * geo-join auto-rewrite rule (crossJoin + haversine radius filter →
+  * grid-bucketed equi-join). Per-session runtime scoping is also
+  * available via `spark.experimental.extraOptimizations`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     VectorExpressions.inject(extensions)
+    extensions.injectOptimizerRule(_ => graft.plans.GeoGridJoinRule)
+  }
 }

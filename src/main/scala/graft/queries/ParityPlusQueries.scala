@@ -105,6 +105,41 @@ object ParityPlusQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Optimizer-level geo join (the Rule[LogicalPlan] path): the query is
+    * WRITTEN as the naive crossJoin + haversine radius filter — literally
+    * the reference's per-event airport-scan semantics
+    * (AirportAircraftCountStream.java:224-235) — and
+    * [[graft.plans.GeoGridJoinRule]] rewrites the plan into the
+    * grid-bucketed equi-join, so the declarative theta join never executes
+    * as a nested loop. GeoGridRuleSpec asserts the plan shape and edge
+    * soundness (poles, antimeridian); the oracle asserts results. q14 is
+    * the hand-tuned explicit form of the same operator.
+    *
+    * Runs in a child session so the rule (runtime-scoped via
+    * `experimental.extraOptimizations`; cluster path is
+    * `spark.sql.extensions=graft.functions.GraftExtensions`) and the
+    * uncached read bind to this query only. */
+  def q44GeoAutoRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.experimental.extraOptimizations = Seq(graft.plans.GeoGridJoinRule)
+    s.conf.set("spark.graft.cacheInputs", "false") // plans must bind to s
+    val ev = Tables(s, dir, "events")
+      .withColumn("ev_lat", (col("event_id") * 17 % 120 - 60).cast("double"))
+      .withColumn("ev_lon", (col("event_id") * 29 % 360 - 180).cast("double"))
+    val airports = Tables(s, dir, "nation")
+      .withColumn("ap_lat", (col("n_nationkey") * 7 % 120 - 60).cast("double"))
+      .withColumn("ap_lon", (col("n_nationkey") * 13 % 360 - 180).cast("double"))
+      .select("n_name", "ap_lat", "ap_lon")
+    ev.crossJoin(airports)
+      .filter(graft.ops.core.haversineKm(
+        col("ev_lat"), col("ev_lon"), col("ap_lat"), col("ap_lon")) <= 650.0)
+      .groupBy(col("n_name").as("airport"))
+      .agg(
+        count(lit(1)).as("match_count"),
+        countDistinct(col("user_id")).as("distinct_aircraft"))
+      .orderBy(asc("airport"))
+  }
+
   /** ROLLUP grouping sets over the route-shaped keys: per (flag, status),
     * per flag subtotal, and grand total in one pass — Spark expands to a
     * single shuffle with grouping-id, no N-pass union. Natural data has no
