@@ -62,6 +62,8 @@ object SparkEntry {
     "q42_set_ops" -> (ParityPlusQueries.q42SetOps _),
     "q43_percentiles" -> (ParityPlusQueries.q43Percentiles _),
     "q44_geo_auto_rewrite" -> (ParityPlusQueries.q44GeoAutoRewrite _),
+    "q45_stream_stream_join" -> (StreamQueries.q45StreamStreamJoin _),
+    "q46_embed_ivf_ann" -> (EmbedQueries.q46EmbedIvfAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -602,6 +604,53 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS distinct_aircraft
         |FROM m WHERE 2 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)) <= 650.0
         |GROUP BY n_name ORDER BY airport""".stripMargin,
+    // ts compared at microsecond precision on both sides: Spark rebuilds
+    // the nano ts at micros; the oracle CASTs TIMESTAMP_NS -> TIMESTAMP.
+    "q45_stream_stream_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         lower(trim(event_type)) AS event_type
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+        |    AND ts IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id
+        |FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    "q46_embed_ivf_ann" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM emb WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+        |         list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) for i in range(1, 65)])
+        |           / (e.nrm * c.cnrm) AS score
+        |  FROM emb e CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm, cid FROM (
+        |    SELECT vec_id, embedding, nrm, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         round(
+        |           list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)])
+        |             / (q.qnrm * e.nrm), 6) AS cosine
+        |  FROM emb e JOIN assign a ON e.vec_id = a.vec_id
+        |             JOIN qprobe q ON a.cid = q.cid
+        |  WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "q35_stream_upsert" ->
       """WITH ev0 AS (
         |  SELECT * FROM events

@@ -96,6 +96,54 @@ object EmbedQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-style ANN — the second similarity scale path beside q28's LSH:
+    * a coarse quantizer partitions vectors into inverted lists, queries
+    * probe only the nProbe nearest lists.
+    *
+    *   - Centroids: the 16 seed vectors (vec_id < 16). A production IVF
+    *     trains k-means offline and ships centroids as a dim table; the
+    *     query-side plumbing — assign, probe, rank — is identical, so the
+    *     seeded quantizer keeps the whole path deterministic and
+    *     oracle-checkable with zero RNG.
+    *   - Assignment: every vector scores 16 broadcast centroids (narrow,
+    *     codegen'd graft_dot) and keeps the argmax via max_by — ONE
+    *     shuffle keyed by the unique vec_id, or zero if assignment is
+    *     precomputed in the write path (the production choice).
+    *   - Probe: each query takes its nProbe=2 best lists, candidates come
+    *     from an equi-join on the list id — bounded by list occupancy,
+    *     never a full scan. Recall is tuned by nProbe (vs q28's
+    *     planes/tables): IVF lists adapt to the data's density while LSH
+    *     buckets are oblivious — carrying both is deliberate. */
+  def q46EmbedIvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    withDot(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm"))).as("score"))
+    val assign = scored.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
+    val lists = emb.join(assign, "vec_id")
+    val wProbe = Window.partitionBy("vec_id").orderBy(desc("score"), asc("cid"))
+    val qprobe = scored.filter(col("vec_id") < 5)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("cid"))
+    val candidates = lists.join(broadcast(qprobe), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding-cosine NEAR-DUP pairs — the fifth dedup family member
     * (exact / MinHash / SimHash / n-gram Jaccard live in DocQueries):
     * bucket every vector with 4 sign-random-projection planes, self

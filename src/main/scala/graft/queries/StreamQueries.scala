@@ -88,6 +88,37 @@ object StreamQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Stream–STREAM join (parity-plus: the reference's topology only ever
+    * joins a stream against static/GlobalKTable state — SURVEY §2.4; Spark
+    * joins two live streams): correlate each view with the same user's
+    * purchases in the following 2 hours. Both sides carry event-time
+    * watermarks and the join condition carries the time range, which is
+    * what lets Spark EVICT buffered rows once the watermark passes their
+    * reachable window — the state-boundedness requirement at 100 TB (an
+    * unconstrained stream-stream join buffers both streams forever).
+    * Inner-join emission does not wait for the watermark, so the replay
+    * equals the batch join — oracle-checkable. Cross-batch buffering is
+    * spec-asserted in StreamingReplaySpec. */
+  def q45StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventStreams.streamSession(spark)
+    val views = EventStreams.fileReplaySource(ss, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "0 seconds")
+    val purchases = EventStreams.fileReplaySource(ss, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"))
+    EventStreams.runToMemory(ss, joined)
+      .orderBy("view_id", "purchase_id")
+  }
+
   /** K6: upsert sink — last closed window wins per key (Mongo ReplaceOne
     * parity). The result is the final store snapshot: one row per event
     * type carrying its most recent closed window. */

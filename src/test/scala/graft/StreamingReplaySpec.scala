@@ -139,6 +139,39 @@ class StreamingReplaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches across micro-batch boundaries, bounded by range") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vs = MemoryStream[(Timestamp, Long, Long)]
+    val ps = MemoryStream[(Timestamp, Long, Long)]
+    val views = vs.toDF().toDF("view_ts", "user_id", "view_id")
+      .withWatermark("view_ts", "0 seconds")
+    val purchases = ps.toDF().toDF("purchase_ts", "p_user_id", "purchase_id")
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"))
+      .select("view_id", "purchase_id")
+    val q = joined.writeStream
+      .format("memory").queryName("ss_join_sink").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      vs.addData((ts("2024-01-01 10:00:00"), 1L, 100L))
+      q.processAllAvailable()
+      // the matching purchase arrives a BATCH LATER: found via buffered state
+      ps.addData((ts("2024-01-01 10:30:00"), 1L, 200L))
+      q.processAllAvailable()
+      // outside the 2h range and a different user: neither may match
+      ps.addData((ts("2024-01-01 13:30:00"), 1L, 201L),
+        (ts("2024-01-01 10:40:00"), 2L, 202L))
+      q.processAllAvailable()
+      val out = spark.table("ss_join_sink")
+        .select("view_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((100L, 200L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("upsert merge is associative — result independent of batch slicing") {
     import spark.implicits._
     val all = Seq(
