@@ -66,6 +66,19 @@ object EventStreams {
       .filter(col("event_type").isNotNull && length(col("event_type")) > 0 &&
         col("ts").isNotNull && col("user_id").isNotNull)
 
+  /** Ingest dedup for at-least-once sources (a Kafka producer retry, a
+    * replayed file): drop re-deliveries of the same event id arriving
+    * within the watermark delay. `dropDuplicatesWithinWatermark` keeps
+    * per-id state only until the watermark passes the first sighting plus
+    * the delay — bounded state, unlike a plain stream `dropDuplicates`
+    * whose id set grows forever. The reference gets this from Kafka's
+    * transactional producer + Streams EOS; this is the Structured
+    * Streaming form of the same exactly-once ingest guarantee
+    * (spec-asserted across micro-batches in StreamingReplaySpec). */
+  def dedupedWithinWatermark(events: DataFrame, idCol: String,
+                             delay: String): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(idCol)
+
   /** J6 + J7 + P9 + P10: enrich each event from two static lookups —
     * per-aircraft stats joined on the primary key (user_id → registry,
     * StreamProcessor.java:42-47) and per-type info joined on a key

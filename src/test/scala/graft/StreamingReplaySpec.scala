@@ -139,6 +139,32 @@ class StreamingReplaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest dedup drops within-watermark re-deliveries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val deduped = EventStreams.dedupedWithinWatermark(
+      EventStreams.normalize(events), "event_id", "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_sink").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: event 1 plus an in-batch duplicate
+      ms.addData((1L, ts("2024-01-01 10:00:00"), 7L, "A"),
+        (1L, ts("2024-01-01 10:00:00"), 7L, "A"))
+      q.processAllAvailable()
+      // batch 2: a RETRY of event 1 within the 10-minute delay (dropped)
+      // and a fresh event 2
+      ms.addData((1L, ts("2024-01-01 10:00:05"), 7L, "A"),
+        (2L, ts("2024-01-01 10:03:00"), 7L, "A"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_sink")
+        .select("event_id").as[Long].collect().toSeq.sorted
+      assert(out == Seq(1L, 2L), s"got $out")
+    } finally q.stop()
+  }
+
   test("stream-stream join matches across micro-batch boundaries, bounded by range") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
