@@ -389,12 +389,14 @@ object SparkEntry {
         |q AS (
         |  SELECT vec_id AS q_id, embedding AS qv, bucket FROM wb WHERE vec_id < 5),
         |p2 AS (
+        |  -- multi-probe: candidate bucket within Hamming distance 2 of the
+        |  -- query bucket == the spark side's 37 exploded probe keys
         |  SELECT q.q_id, e.vec_id,
         |         round(
         |           list_sum([CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
         |           (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, 65)])) *
         |            sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]))), 6) AS cosine
-        |  FROM wb e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.q_id)
+        |  FROM wb e JOIN q ON bit_count(xor(e.bucket, q.bucket)) <= 2 WHERE e.vec_id <> q.q_id)
         |SELECT q_id, vec_id, cosine, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM p2)

@@ -65,15 +65,24 @@ object EmbedQueries {
   private def lshBucket(v: Column, nPlanes: Int): Column =
     call_function("graft_lsh_bucket", v, lit(nPlanes))
 
-  /** ANN via sign-random-projection LSH: 8 deterministic hyperplanes → an
-    * 8-bit bucket per vector → queries equi-join candidates on bucket →
-    * exact cosine + top-3 within bucket only.
+  /** ANN via MULTI-PROBE sign-random-projection LSH: 8 deterministic
+    * hyperplanes → an 8-bit bucket per vector; each query probes every
+    * bucket within Hamming distance 2 of its own (37 keys: itself, the 8
+    * one-flip and the 28 two-flip neighbors — the places a near neighbor
+    * lands when one or two projections straddle zero), then exact cosine +
+    * top-3 within probed buckets.
     *
-    * This is the 100 TB path for q27: the candidate join is an equi-join on
-    * a 1-byte key instead of a broadcast scan of everything, trading recall
-    * (only same-bucket neighbors are found) for a shuffle bounded by bucket
-    * occupancy. Probe multiple neighboring buckets / more tables to raise
-    * recall — the plumbing is identical. */
+    * This is the 100 TB path for q27: the scan side still carries ONE
+    * bucket per vector; only the (tiny) query side explodes to its probe
+    * keys, so the candidate join stays a pure equi-join bounded by 37 ×
+    * bucket occupancy (~20% of the corpus here) — never a full scan.
+    * Probe values are distinct, so no candidate pair is produced twice.
+    * Recall is the knob, measured not implied (AnnRecallSpec): on this
+    * deliberately near-uniform synthetic corpus, recall@3 ≈ 2× the
+    * candidate fraction (0.40 at 20%) — sign-LSH can only exploit what
+    * angular structure exists; on clustered real embeddings the same
+    * probe budget buys far more. Fewer planes / more probes / more tables
+    * all continue the trade with identical plumbing. */
   def q28EmbedAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     withDot(spark)
     val emb = Tables(spark, dir, "embeddings")
@@ -81,9 +90,13 @@ object EmbedQueries {
     val withBucket = emb.select(col("vec_id"), col("embedding"),
       l2(col("embedding")).as("nrm"),
       lshBucket(col("embedding"), 8).cast("long").as("bucket"))
+    val flips = Seq(0L) ++
+      (0 until 8).map(p => 1L << p) ++
+      (for { a <- 0 until 8; b <- a + 1 until 8 } yield (1L << a) | (1L << b))
+    val probes = flips.map(m => col("bucket").bitwiseXOR(lit(m)))
     val queries = withBucket.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("nrm").as("qnrm"), col("bucket"))
+        col("nrm").as("qnrm"), explode(array(probes: _*)).as("bucket"))
     val scored = withBucket.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),

@@ -67,6 +67,6 @@ object Tables {
   def csvInferTrimmed(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.option("header", "true")
       .option("inferSchema", "true").csv(path)
-    df.toDF(df.columns.map(_.trim): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.trim): _*)
   }
 }

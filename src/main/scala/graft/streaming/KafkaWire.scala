@@ -74,7 +74,7 @@ object KafkaWire {
   def toWire(df: DataFrame, keyCol: String): DataFrame =
     df.select(
       col(keyCol).cast("string").cast("binary").as("key"),
-      to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).cast("binary").as("value"))
 
   /** The one-line source swap for [[EventStreams.fileReplaySource]].
     * Requires the spark-sql-kafka connector on the classpath. */

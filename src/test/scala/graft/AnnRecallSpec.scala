@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Honest recall accounting for the two ANN scale paths: approximate
+  * search trades recall for bounded candidate sets, and that trade should
+  * be MEASURED, not implied. Ground truth is q27's brute-force top-k
+  * restricted to k=3; recall@3 = |approx ∩ truth| / |truth| over the five
+  * query vectors. The pins are deterministic (seeded quantizer, no RNG) —
+  * if a refactor silently degrades a path (bucket math drift, probe bug),
+  * the pinned floor fails before any oracle does, because the oracles
+  * assert the approximate result AS SPECIFIED, not its quality. */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.filter(org.apache.spark.sql.functions.col("rank") <= 3)
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+  private def recall(approx: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double = {
+    val hits = truth.map { case (q, t) =>
+      (approx.getOrElse(q, Set.empty) intersect t).size.toDouble / t.size }
+    hits.sum / truth.size
+  }
+
+  test("LSH and IVF recall@3 vs brute force stays above the documented floor") {
+    val truth = topk(graft.queries.EmbedQueries.q27EmbedCosineTopk(spark, sf))
+    assert(truth.size == 5)
+    val lsh = recall(topk(graft.queries.EmbedQueries.q28EmbedAnnLsh(spark, sf)), truth)
+    val ivf = recall(topk(graft.queries.EmbedQueries.q46EmbedIvfAnn(spark, sf)), truth)
+    info(f"recall@3: lsh=$lsh%.3f ivf=$ivf%.3f")
+    // deterministic pins (sf0.01, no RNG anywhere): measured lsh=0.40
+    // (Hamming<=2 probing, ~20% candidate fraction — near-uniform synthetic
+    // vectors give sign-LSH little angular structure to exploit; clustered
+    // real embeddings do far better at the same probe budget) and
+    // ivf=0.933 (nProbe=2 of 16 lists). Fail = a path silently degraded.
+    assert(lsh >= 0.35, f"LSH recall collapsed: $lsh%.3f")
+    assert(ivf >= 0.90, f"IVF recall collapsed: $ivf%.3f")
+    // both paths must actually return candidates for every query
+    assert(topk(graft.queries.EmbedQueries.q46EmbedIvfAnn(spark, sf)).size == 5)
+  }
+}
