@@ -485,7 +485,7 @@ object SparkEntry {
         |           list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
         |           (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)])) *
         |            sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]))), 6) AS cosine
-        |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |  FROM wb a JOIN wb b ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cosine FROM p2
         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "q37_stream_session_window" ->
