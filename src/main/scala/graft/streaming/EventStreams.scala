@@ -266,10 +266,14 @@ object EventStreams {
     val fs = root.getFileSystem(hconf)
     if (fs.exists(root)) fs.delete(root, true)
 
+    // Only COMMITTED snapshots count: a batch killed mid-write leaves a
+    // version dir without _SUCCESS, which must never be read as "latest"
+    // when a production caller resumes without wiping the store.
     def latestVersion(): Option[org.apache.hadoop.fs.Path] =
       if (!fs.exists(root)) None
       else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
         .sortBy(_.getPath.getName.drop(1).toLong)
         .lastOption.map(_.getPath)
 
