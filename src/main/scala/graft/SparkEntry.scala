@@ -64,6 +64,7 @@ object SparkEntry {
     "q44_geo_auto_rewrite" -> (ParityPlusQueries.q44GeoAutoRewrite _),
     "q45_stream_stream_join" -> (StreamQueries.q45StreamStreamJoin _),
     "q46_embed_ivf_ann" -> (EmbedQueries.q46EmbedIvfAnn _),
+    "q47_corpus_manifest" -> (DocQueries.q47CorpusManifest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -653,6 +654,67 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM cand)
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "q47_corpus_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)) AS hv
+        |  FROM s),
+        |bd AS (
+        |  SELECT doc_id,
+        |         unnest([concat_ws('|', CAST(b AS VARCHAR),
+        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b) + 1) + (2 * b) * 7919) % 1000000007)) AS VARCHAR),
+        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b + 1) + 1) + (2 * b + 1) * 7919) % 1000000007)) AS VARCHAR))
+        |                 for b in range(0, 4)]) AS band_key
+        |  FROM hs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |nd AS (
+        |  SELECT doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |                 len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+        |    FROM cand
+        |    JOIN s sa ON cand.doc_a = sa.doc_id
+        |    JOIN s sb ON cand.doc_b = sb.doc_id)
+        |  WHERE jaccard >= 0.7),
+        |ex AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep
+        |    FROM documents)
+        |  WHERE doc_id <> keep),
+        |losers AS (SELECT doc_b AS doc_id FROM nd UNION SELECT doc_id FROM ex),
+        |ann AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(toks, x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))),
+        |           (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint
+        |  FROM t),
+        |q AS (
+        |  SELECT *, round(0.4 * ttr + 0.3 * (1.0 - stop_ratio)
+        |                  + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        |  FROM ann)
+        |SELECT doc_id, lang,
+        |       CASE WHEN stop_ratio >= 0.02 THEN 'en' ELSE 'und' END AS predicted_lang,
+        |       n_tokens, quality,
+        |       CASE WHEN quality >= 0.75 THEN 'high'
+        |            WHEN quality >= 0.5 THEN 'medium' ELSE 'low' END AS quality_band,
+        |       fingerprint
+        |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "q35_stream_upsert" ->
       """WITH ev0 AS (
         |  SELECT * FROM events

@@ -208,6 +208,16 @@ object DocQueries {
     * hashes only. */
   def q41DocsDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    docs
+      .join(dedupLosers(docs), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** The doc_ids the dedup policies remove: exact losers (q20 policy —
+    * every doc except the min doc_id per content hash) plus near-dup
+    * losers (q25 policy — the larger doc_id of each verified pair). */
+  private def dedupLosers(docs: DataFrame): DataFrame = {
     val exactLosers = docs
       .select(md5(lower(trim(col("text")))).as("text_hash"), col("doc_id"))
       .withColumn("keep", min("doc_id").over(
@@ -215,9 +225,41 @@ object DocQueries {
       .filter(col("doc_id") =!= col("keep"))
       .select("doc_id")
     val nearLosers = minhashNeardup(docs, 0.7).select(col("doc_b").as("doc_id"))
-    docs
-      .join(exactLosers.union(nearLosers).distinct(), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"))
+    exactLosers.union(nearLosers).distinct()
+  }
+
+  /** The materialized TRAINING-DATA MANIFEST — what a curation run
+    * actually ships downstream: the dedup-surviving corpus (q41's exact +
+    * near-dup policies) annotated per document with the curation signals
+    * of the q21–q24 family — token budget, quality score + band,
+    * predicted language, content fingerprint. Composition, not
+    * recomputation: the loser set reuses the same persisted shingle table
+    * as q25/q41 (cache-manager-deduped), annotations are one narrow pass
+    * over the corpus, and the final step is a single doc_id anti-join. */
+  def q47CorpusManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = toks(col("text"))
+    val ratio = size(filter(t, x => x === "the" || x === "a")).cast("double") / size(t)
+    val base = docs.select(
+      col("doc_id"), col("lang"),
+      size(t).as("n_tokens"),
+      ratio.as("stop_ratio"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+      when(ratio >= 0.02, "en").otherwise("und").as("predicted_lang"),
+      aggregate(t, lit(0L), (h, x) => (h * 31L + md5Long(x, 8)) % 1000000007L)
+        .as("fingerprint"))
+    val quality = round(
+      lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+        lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6)
+    base
+      .join(dedupLosers(docs), Seq("doc_id"), "left_anti")
+      .select(
+        col("doc_id"), col("lang"), col("predicted_lang"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        quality.as("quality"),
+        when(quality >= 0.75, "high").when(quality >= 0.5, "medium")
+          .otherwise("low").as("quality_band"),
+        col("fingerprint"))
       .orderBy("doc_id")
   }
 
