@@ -32,14 +32,25 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
   *
   *   - cellLatDeg = radius / 110.0 km/deg (conservative meridian degree),
   *     so matching rows are never more than one lat cell apart;
-  *   - cellLonDeg = the smallest divisor of 360 covering the radius's
-  *     longitude span at |lat| = 80° (so one lon ring suffices for every
-  *     row below the polar cut), with pmod wrap at the antimeridian;
-  *   - rows above the 80° polar cut get a catch-all lon cell (-1): left
-  *     rows map to it directly, right rows within one lat cell of the cut
-  *     emit it for their 3 lat neighbors (sentinel -2 when not, which can
-  *     never match). Longitude compression at the poles therefore cannot
-  *     create misses.
+  *   - cellLonDeg = the smallest divisor of 360 covering the EXACT
+  *     worst-case longitude span of a radius-r pair below the polar cut:
+  *     from hav(d/R) >= cosφ₁·cosφ₂·hav(Δlon), a qualifying pair obeys
+  *     Δlon <= 2·asin(sin(r/2R)/√(cosφ₁cosφ₂)) <= 2·asin(sin(r/2R)/cos 80°)
+  *     when both |lat| <= 80°. (The linearized r/(111.195·cos 80°) bound
+  *     slightly UNDERESTIMATES this — asin is superlinear — which opened
+  *     miss bands just under each divisor; the asin form closes them.)
+  *     pmod wraps the ring at the antimeridian.
+  *   - rows within one lat cell of the 80° polar cut or above it get a
+  *     catch-all lon cell (-1): left rows with |lat| > 80 - cellLatDeg map
+  *     to it directly, right rows with |lat| > 80 - 2·cellLatDeg emit it
+  *     for their 3 lat neighbors (sentinel -2 when not, which can never
+  *     match). The margin makes cut-straddling pairs (left just below 80°,
+  *     right above — where √(cosφ₁cosφ₂) < cos 80° and lon cells can be 2
+  *     apart) meet in the catch-all instead of relying on lon cells at
+  *     all: any right row within r of a catch-all left row satisfies
+  *     |rLat| > 80 - cellLatDeg - r/111.195 > 80 - 2·cellLatDeg, so its
+  *     polar emission is present, and their lat cells differ by at most 1.
+  *     Longitude compression at the poles therefore cannot create misses.
   *
   * Each qualifying pair matches exactly ONE emitted cell (normal lon cells
   * are distinct mod nLon >= 3; the polar cell is distinct from them), so
@@ -132,7 +143,14 @@ object GeoGridJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       if (radiusKm <= 0) None
       else {
         val cellLatDeg = math.max(radiusKm / 110.0, 0.1)
-        val minLonDeg = radiusKm / (111.195 * math.cos(math.toRadians(PolarCutDeg)))
+        // exact max Δlon of a radius-r pair with both |lat| <= PolarCut:
+        // sin(Δlon/2)·√(cosφ₁cosφ₂) <= sin(r/2R), worst case at the cut.
+        // (2R = 12742 km, matching haversineKm's constant.)
+        val sinHalf = math.sin(radiusKm / 12742.0) /
+          math.cos(math.toRadians(PolarCutDeg))
+        val minLonDeg =
+          if (sinHalf >= 1.0) Double.PositiveInfinity
+          else 2.0 * math.toDegrees(math.asin(sinHalf))
         val lonDegOpt = LonDivisors.find(_ >= minLonDeg)
         if (cellLatDeg > 90.0 - PolarCutDeg || lonDegOpt.isEmpty) None
         else Some(build(l, r, cond, hint, lLat, lLon, rLat, rLon,
@@ -154,20 +172,24 @@ object GeoGridJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                     cellLatDeg: Double, cellLonDeg: Double): LogicalPlan = {
     val nLon = math.round(360.0 / cellLonDeg).toInt // >= 3 by LonDivisors cap
 
-    // LEFT: one (latCell, lonCell) key; polar rows get the catch-all -1.
+    // LEFT: one (latCell, lonCell) key; rows within one lat cell of the
+    // polar cut (or above it) get the catch-all -1, so cut-straddling
+    // pairs never depend on lon-cell adjacency.
     val lLatAlias = Alias(latCell(lLat, cellLatDeg), "_g_cell_lat")()
     val lLonAlias = Alias(
-      If(GreaterThan(Abs(lLat), d(PolarCutDeg)),
+      If(GreaterThan(Abs(lLat), d(PolarCutDeg - cellLatDeg)),
         i(-1), lonCellRaw(lLon, cellLonDeg, nLon)), "_g_cell_lon")()
     val newL = Project(l.output ++ Seq(lLatAlias, lLonAlias), l)
 
     // RIGHT: base cell + polar flag, then explode the 1-ring neighbors
     // plus the 3 polar catch-all entries (sentinel -2 when not near the
     // cut — the left side never produces -2, so they can never match).
+    // Emission depth 2·cellLatDeg matches the widened left threshold:
+    // every right row within r of a catch-all left row carries the flag.
     val rcLat = Alias(latCell(rLat, cellLatDeg), "_g_rc_lat")()
     val rcLon = Alias(lonCellRaw(rLon, cellLonDeg, nLon), "_g_rc_lon")()
     val nearPole = Alias(
-      GreaterThan(Abs(rLat), d(PolarCutDeg - cellLatDeg)), "_g_polar")()
+      GreaterThan(Abs(rLat), d(PolarCutDeg - 2.0 * cellLatDeg)), "_g_polar")()
     val rBase = Project(r.output ++ Seq(rcLat, rcLon, nearPole), r)
     val (rcLatA, rcLonA, polarA) =
       (rcLat.toAttribute, rcLon.toAttribute, nearPole.toAttribute)

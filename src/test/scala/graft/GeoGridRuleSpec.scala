@@ -87,13 +87,35 @@ class GeoGridRuleSpec extends AnyFunSuite {
 
   test("randomized parity vs unrewritten, multiple radii") {
     val s = ruleSession()
-    for ((radius, seed) <- Seq((150.0, 3L), (800.0, 5L), (950.0, 9L))) {
+    // includes the historical miss bands: radii just under a LonDivisors
+    // value (asin(x) > x opened a sliver above the linearized bound, e.g.
+    // ~555-580 km at the 30° divisor) and 1000-1100 km where pairs
+    // straddling the 80° polar cut used to fall 2 lon cells apart.
+    for ((radius, seed) <- Seq((150.0, 3L), (800.0, 5L), (950.0, 9L),
+        (555.0, 13L), (575.0, 17L), (580.0, 19L), (1000.0, 23L),
+        (1050.0, 29L), (1100.0, 31L))) {
       val a = naive(points(s, 250, seed), points(s, 40, seed + 1), radius)
         .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
       val b = naive(points(spark, 250, seed), points(spark, 40, seed + 1), radius)
         .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
       assert(a == b, s"radius=$radius mismatch: ${a diff b} / ${b diff a}")
     }
+  }
+
+  test("polar-cut straddle at wide Δlon is not dropped (regression)") {
+    // Left row just below the cut keeps a normal lon cell; right row above
+    // it compresses longitude (√(cos 80°·cos 85°) < cos 80°), so their lon
+    // cells can be 2 apart — only the widened catch-all margin catches the
+    // pair. haversine((80,-0.5),(85,60.3)) ≈ 969 km <= 1000.
+    val s = ruleSession()
+    import s.implicits._
+    val l = Seq((1L, 80.0, -0.5)).toDF("id", "lat", "lon")
+    val r = Seq((2L, 85.0, 60.3)).toDF("id", "lat", "lon")
+    val df = naive(l, r, 1000.0)
+    assert(df.queryExecution.optimizedPlan.toString.contains("_g_cell_lat"),
+      "rule did not fire at radius 1000")
+    assert(df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ==
+      Set(1L -> 2L), "straddle pair dropped by the rewrite")
   }
 
   test("registered q44 runs through the rewrite (plan pinned)") {
