@@ -23,6 +23,30 @@ object DocQueries {
   /** Tokenize: lowercase, trim, split on whitespace runs. */
   private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** The shared TOKENIZED corpus every doc-family query reads:
+    * (doc_id, lang, chars, bpe, toks), persisted once. Two reasons this is
+    * a table and not a per-query expression:
+    *   - HOF expressions are interpreted and not CSE'd, so a projection
+    *     that mentions `toks(text)` k times re-runs the regex split k times
+    *     per row; materializing the array column removes the multiplier.
+    *   - q21–q25 and q47 all start from the same tokenization; at cluster
+    *     scale this is the checkpoint a curation run materializes once
+    *     rather than re-tokenizing 100 TB per consumer. (Spark's cache
+    *     manager dedups same-plan persists, so every caller here shares
+    *     one InMemoryRelation.)
+    * Raw text is dropped — the cached row carries only fixed-width stats
+    * and the token array. */
+  private def tokenizedDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"), col("lang"),
+        length(col("text")).as("chars"),
+        // BPE-ish subword proxy: letter runs, digit runs, single marks.
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .as("bpe"),
+        toks(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Distinct 3-word shingles of a token array (empty when < 3 tokens).
     *
     * Built from three shifted `slice`s merged with `zip_with`, NOT from an
@@ -60,20 +84,15 @@ object DocQueries {
   /** Per-language corpus statistics: token counts, type/token ratio, token
     * length — all computed with HOFs over the token array in one pass. */
   def q21DocsTextStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val t = toks(col("text"))
-    docs
+    val t = col("toks")
+    tokenizedDocs(Tables(spark, dir, "documents"))
       .select(
         col("lang"),
-        length(col("text")).as("chars"),
+        col("chars"),
         size(t).as("n"),
         size(array_distinct(t)).as("nd"),
         aggregate(t, lit(0), (acc, x) => acc + length(x)).as("sumlen"),
-        // BPE-ish subword proxy: letter runs, digit runs, and single
-        // non-alnum marks each count as one token (a regex stand-in for a
-        // real BPE vocab — the counting shape is what a token-budget
-        // pipeline needs).
-        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe"))
+        col("bpe"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("doc_count"),
@@ -90,9 +109,8 @@ object DocQueries {
     * weights are arbitrary but fixed — the operator shape (pure arithmetic
     * over HOF-derived stats, no shuffle until the final sort) is the point. */
   def q22DocsQuality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val t = toks(col("text"))
-    val base = docs.select(
+    val t = col("toks")
+    val base = tokenizedDocs(Tables(spark, dir, "documents")).select(
       col("doc_id"),
       size(t).as("n_tokens"),
       (size(filter(t, x => x === "the" || x === "a")).cast("double") / size(t)).as("stop_ratio"),
@@ -118,10 +136,9 @@ object DocQueries {
     * operator shape — per-doc n-gram/marker scoring, then a tiny confusion
     * aggregate — is what carries to a real corpus. */
   def q23DocsLangId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val t = toks(col("text"))
+    val t = col("toks")
     val ratio = size(filter(t, x => x === "the" || x === "a")).cast("double") / size(t)
-    docs
+    tokenizedDocs(Tables(spark, dir, "documents"))
       .select(col("lang"), when(ratio >= 0.02, "en").otherwise("und").as("predicted_lang"))
       .groupBy("lang", "predicted_lang")
       .agg(count(lit(1)).as("n"))
@@ -132,15 +149,13 @@ object DocQueries {
     * token stream, with each token pre-hashed to 32 bits via md5. Narrow
     * (no shuffle) until the final sort; the fingerprint is join-/group-able
     * at fixed width for downstream near-dup triage. */
-  def q24DocsFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    docs
+  def q24DocsFingerprint(spark: SparkSession, dir: String): DataFrame =
+    tokenizedDocs(Tables(spark, dir, "documents"))
       .select(
         col("doc_id"),
-        aggregate(toks(col("text")), lit(0L),
+        aggregate(col("toks"), lit(0L),
           (h, x) => (h * 31L + md5Long(x, 8)) % 1000000007L).as("fingerprint"))
       .orderBy("doc_id")
-  }
 
   /** Near-duplicate detection: MinHash + LSH banding.
     *
@@ -154,7 +169,8 @@ object DocQueries {
     * candidate count is bounded by true near-dups + banding false positives,
     * never O(n²). */
   def q25DocsMinhashNeardup(spark: SparkSession, dir: String): DataFrame =
-    minhashNeardup(Tables(spark, dir, "documents"), 0.7)
+    minhashNeardupToks(
+      tokenizedDocs(Tables(spark, dir, "documents")), 0.7)
 
   /** The reusable operator behind q25: takes any (doc_id, text) frame.
     *
@@ -163,14 +179,21 @@ object DocQueries {
     * (`(h·(2s+1) + 7919s) mod p` — the standard universal-hash family).
     * The naive per-seed md5 (8× the digest work) benched 43 s at sf0.1;
     * this shape is ~20× cheaper on the hashing stage. */
-  def minhashNeardup(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashNeardup(docs: DataFrame, threshold: Double): DataFrame =
+    minhashNeardupToks(
+      docs.select(col("doc_id"), toks(col("text")).as("toks")), threshold)
+
+  /** Same operator over an already-tokenized (doc_id, ..., toks) frame —
+    * the form the registered queries use so the whole doc family shares
+    * one tokenized InMemoryRelation. */
+  private def minhashNeardupToks(tokDf: DataFrame, threshold: Double): DataFrame = {
     val P = 1000000007L
     // Persisted: the shingled+hashed table feeds three consumers (band
     // explode + both sides of the Jaccard verify join); at cluster scale
     // this is the checkpoint you'd always materialize rather than
-    // re-tokenizing the corpus per consumer.
-    val withHs = docs
-      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+    // re-shingling the corpus per consumer.
+    val withHs = tokDf
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("hs", transform(col("sh"), x => md5Long(x, 14)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -224,7 +247,8 @@ object DocQueries {
         org.apache.spark.sql.expressions.Window.partitionBy("text_hash")))
       .filter(col("doc_id") =!= col("keep"))
       .select("doc_id")
-    val nearLosers = minhashNeardup(docs, 0.7).select(col("doc_b").as("doc_id"))
+    val nearLosers = minhashNeardupToks(tokenizedDocs(docs), 0.7)
+      .select(col("doc_b").as("doc_id"))
     exactLosers.union(nearLosers).distinct()
   }
 
@@ -238,9 +262,17 @@ object DocQueries {
     * over the corpus, and the final step is a single doc_id anti-join. */
   def q47CorpusManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val t = toks(col("text"))
+    // Anti-join FIRST: losers leave before the expensive per-doc
+    // annotations (fingerprint aggregate, distinct-TTR, stop-ratio
+    // filter) run, so the heavy pass touches survivors only — at a real
+    // 30-50% web-corpus dup rate that's ~2x less annotation work than
+    // annotate-then-discard. The survivors still read the shared
+    // tokenized cache, so tokenization itself isn't repeated either.
+    val survivors = tokenizedDocs(docs)
+      .join(dedupLosers(docs), Seq("doc_id"), "left_anti")
+    val t = col("toks")
     val ratio = size(filter(t, x => x === "the" || x === "a")).cast("double") / size(t)
-    val base = docs.select(
+    val base = survivors.select(
       col("doc_id"), col("lang"),
       size(t).as("n_tokens"),
       ratio.as("stop_ratio"),
@@ -252,7 +284,6 @@ object DocQueries {
       lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
         lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6)
     base
-      .join(dedupLosers(docs), Seq("doc_id"), "left_anti")
       .select(
         col("doc_id"), col("lang"), col("predicted_lang"),
         col("n_tokens").cast("long").as("n_tokens"),
@@ -269,9 +300,7 @@ object DocQueries {
     * q25, different sketch). Pure nested HOFs, no shuffle until sort. */
   def q26DocsSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val docs = Tables(spark, dir, "documents")
-    docs
-      .withColumn("toks", toks(col("text")))
+    tokenizedDocs(Tables(spark, dir, "documents"))
       // token pre-hash stays a built-in HOF (md5 dominates); the 60-bit
       // counter sketch runs as the native codegen'd expression — the
       // nested-HOF form allocated a 60-long accumulator per token and

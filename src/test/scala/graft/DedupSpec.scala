@@ -30,4 +30,23 @@ class DedupSpec extends AnyFunSuite {
       .select("jaccard").as[Double].collect()
     assert(j.toSeq == Seq(1.0))
   }
+
+  test("q47 annotates AFTER the anti-join, from the tokenized cache (plan pin)") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = DocQueries.q47CorpusManifest(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan
+    val anti = plan.collectFirst {
+      case j @ Join(_, _, LeftAnti, _, _) => j
+    }.getOrElse(fail(s"no LeftAnti join in q47 plan:\n$plan"))
+    // the heavy per-doc annotation (the rolling-hash fingerprint) must NOT
+    // be computed below the anti-join — losers leave first
+    assert(!anti.left.toString.contains("aggregate("),
+      s"fingerprint computed before the anti-join:\n${anti.left}")
+    assert(plan.toString.contains("aggregate("),
+      "fingerprint annotation missing entirely")
+    // and the survivors read the shared tokenized InMemoryRelation
+    assert(anti.left.toString.contains("InMemoryRelation"),
+      s"anti-join left side does not read the tokenized cache:\n${anti.left}")
+  }
 }
