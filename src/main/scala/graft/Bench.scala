@@ -35,23 +35,41 @@ object Bench {
   /** Per-query seconds from the newest driver-written BENCH_r*.json, if
     * any. The driver wraps our JSON line inside a "tail" string field, so
     * this extracts the last `"queries":{...}` object textually rather than
-    * JSON-parsing the wrapper. */
+    * JSON-parsing the wrapper.
+    *
+    * Rounds are ordered by the NUMERIC round in the filename (lexicographic
+    * order breaks at r10 vs r9). If the driver has already written this
+    * round's own file into cwd (a rerun), comparing against it would disarm
+    * the outlier guard — set SPARK_GRAFT_BENCH_EXCLUDE_ROUND=<n> to skip
+    * round n, or SPARK_GRAFT_BENCH_PREV=<path> to pin the baseline file. */
   private[graft] def previousRoundTimes(dir: java.io.File): Map[String, Double] = {
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-    files.lastOption.map { f =>
+    val pinned = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_))
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE_ROUND")
+      .flatMap(_.toIntOption)
+    val roundOf = "BENCH_r(\\d+)\\.json".r
+    val candidates = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        f.getName match {
+          case roundOf(n) if !excluded.contains(n.toInt) => Some(n.toInt -> f)
+          case _ => None
+        }
+      }.sortBy(_._1).map(_._2)
+    pinned.orElse(candidates.lastOption).map { f =>
       val text = try scala.io.Source.fromFile(f, "UTF-8").mkString
                  catch { case _: Throwable => "" }
-      // the wrapper escapes the embedded line's quotes, so anchor on the
-      // bare word and tolerate \" in the entry regex
-      val start = text.lastIndexOf("queries")
-      if (start < 0) Map.empty[String, Double]
-      else {
-        val body = text.substring(start, math.min(text.length, start + 65536))
-          .takeWhile(_ != '}')
-        val entry = """\\?"(q[0-9][^"\\]*)\\?":([0-9][0-9.eE+-]*)""".r
-        entry.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // The wrapper escapes the embedded line's quotes, so anchor on the
+      // literal key (quoted or escape-quoted) — a bare word match could hit
+      // the word "queries" inside a WARN line in the tail and silently
+      // yield an empty map.
+      val anchor = """\\?"queries\\?":\{""".r
+      anchor.findAllMatchIn(text).toSeq.lastOption match {
+        case None => Map.empty[String, Double]
+        case Some(m) =>
+          val body = text.substring(m.end, math.min(text.length, m.end + 65536))
+            .takeWhile(_ != '}')
+          val entry = """\\?"(q[0-9][^"\\]*)\\?":([0-9][0-9.eE+-]*)""".r
+          entry.findAllMatchIn(body)
+            .map(e => e.group(1) -> e.group(2).toDouble).toMap
       }
     }.getOrElse(Map.empty)
   }
@@ -92,14 +110,14 @@ object Bench {
     val names = SparkEntry.queries.keys.toVector
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
 
-    def runOnce(name: String): Double = {
+    def runOnce(name: String, recordError: Boolean): Double = {
       val t0 = System.nanoTime()
       try {
         materialize(SparkEntry.queries(name)(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
-          errors.getOrElseUpdate(name,
+          if (recordError) errors.getOrElseUpdate(name,
             e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200))
           -1.0
       }
@@ -107,14 +125,17 @@ object Bench {
 
     /** One full round-robin sweep over `qs`, appending a sample each. */
     def sweep(qs: Seq[String],
-              acc: scala.collection.mutable.Map[String, Vector[Double]]): Unit =
+              acc: scala.collection.mutable.Map[String, Vector[Double]],
+              loadAcc: scala.collection.mutable.ArrayBuffer[Double],
+              recordError: Boolean): Unit =
       for (_ <- 1 to repeats) {
-        loads += loadavg1m()
-        qs.foreach(n => acc(n) = acc.getOrElse(n, Vector.empty) :+ runOnce(n))
+        loadAcc += loadavg1m()
+        qs.foreach(n =>
+          acc(n) = acc.getOrElse(n, Vector.empty) :+ runOnce(n, recordError))
       }
 
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
-    sweep(names, samples)
+    sweep(names, samples, loads, recordError = true)
     def minOf(v: Vector[Double]): Double = if (v.exists(_ < 0)) -1.0 else v.min
     var results = names.map(n => n -> minOf(samples(n)))
 
@@ -124,11 +145,22 @@ object Bench {
     val flagged = results.collect {
       case (n, t) if t > 0 && prev.get(n).exists(p => p > 0 && t > 3 * p) => n
     }
+    val rerunLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     if (flagged.nonEmpty) {
       System.err.println(s"[bench] re-running >3x-of-previous outliers: " +
         flagged.mkString(", "))
-      sweep(flagged, samples)
-      results = names.map(n => n -> minOf(samples(n)))
+      // Re-measurement is opportunistic: a transient failure here must not
+      // poison the valid primary-sweep min, so take the min over the
+      // rerun's SUCCESSFUL samples only and keep the primary min otherwise.
+      val rerun = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+      sweep(flagged, rerun, rerunLoads, recordError = false)
+      val better = flagged.map { n =>
+        val ok = rerun.getOrElse(n, Vector.empty).filter(_ >= 0)
+        n -> (if (ok.isEmpty) Double.MaxValue else ok.min)
+      }.toMap
+      results = results.map { case (n, t) =>
+        n -> (if (t >= 0) math.min(t, better.getOrElse(n, Double.MaxValue)) else t)
+      }
     }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -136,10 +168,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val loadJson = loads.mkString("[", ",", "]")
+    val rerunLoadJson = rerunLoads.mkString("[", ",", "]")
     val reranJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"warmup_sec":$warmupSec,"loadavg":$loadJson,"reran":$reranJson,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"warmup_sec":$warmupSec,"loadavg":$loadJson,"loadavg_rerun":$rerunLoadJson,"reran":$reranJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

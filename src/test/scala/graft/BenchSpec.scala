@@ -23,6 +23,26 @@ class BenchSpec extends AnyFunSuite {
     assert(m == Map("q01_a" -> 0.5, "q47_corpus_manifest" -> 1.08))
   }
 
+  test("rounds sort numerically, not lexicographically") {
+    val dir = Files.createTempDirectory("benchspec4").toFile
+    // lexicographic sort would pick r9 over r10
+    Files.write(dir.toPath.resolve("BENCH_r9.json"),
+      """{"tail":"{\"queries\":{\"q01_a\":9.0}}"}""".getBytes)
+    Files.write(dir.toPath.resolve("BENCH_r10.json"),
+      """{"tail":"{\"queries\":{\"q01_a\":10.0}}"}""".getBytes)
+    assert(Bench.previousRoundTimes(dir) == Map("q01_a" -> 10.0))
+  }
+
+  test("log noise containing the word 'queries' after the metric line is ignored") {
+    val dir = Files.createTempDirectory("benchspec5").toFile
+    // a WARN mentioning 'queries' after the metric line must not hijack
+    // the anchor (the old bare-word lastIndexOf did exactly that)
+    val wrapped =
+      """{"tail":"{\"metric\":\"total\",\"queries\":{\"q03_c\":0.7}} WARN slow queries detected in log"}"""
+    Files.write(dir.toPath.resolve("BENCH_r05.json"), wrapped.getBytes)
+    assert(Bench.previousRoundTimes(dir) == Map("q03_c" -> 0.7))
+  }
+
   test("previousRoundTimes handles a bare unwrapped line and absence") {
     val dir = Files.createTempDirectory("benchspec2").toFile
     Files.write(dir.toPath.resolve("BENCH_r01.json"),
