@@ -65,6 +65,7 @@ object SparkEntry {
     "q45_stream_stream_join" -> (StreamQueries.q45StreamStreamJoin _),
     "q46_embed_ivf_ann" -> (EmbedQueries.q46EmbedIvfAnn _),
     "q47_corpus_manifest" -> (DocQueries.q47CorpusManifest _),
+    "q48_stream_stream_left_outer" -> (StreamQueries.q48StreamStreamLeftOuter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -730,5 +731,26 @@ object SparkEntry {
         |SELECT event_type, strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
         |       CAST(du AS BIGINT) AS distinct_users
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    // Left-outer stream-stream join: restricted to views whose 2h match
+    // window closed >= 1 min under the final watermark (min of the two
+    // sides' max event times); unmatched views carry purchase_id = -1.
+    "q48_stream_stream_left_outer" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         lower(trim(event_type)) AS event_type
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+        |    AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |v AS (SELECT event_id AS view_id, user_id, ts FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS p_ts
+        |      FROM ev WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(p_ts) FROM p)) AS w),
+        |vr AS (SELECT v.view_id, v.user_id, v.ts FROM v, wm
+        |       WHERE v.ts + INTERVAL 121 MINUTE < wm.w)
+        |SELECT vr.view_id, coalesce(p.purchase_id, -1) AS purchase_id, vr.user_id
+        |FROM vr LEFT JOIN p
+        |  ON vr.user_id = p.p_user_id AND p.p_ts > vr.ts
+        | AND p.p_ts <= vr.ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
   )
 }

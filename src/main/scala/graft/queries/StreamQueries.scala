@@ -119,6 +119,50 @@ object StreamQueries {
       .orderBy("view_id", "purchase_id")
   }
 
+  /** LEFT-OUTER stream–stream join — the state machine beyond q45's inner
+    * form. Inner matches emit immediately, but a view with NO purchase in
+    * its 2-hour window emits null-padded only when the watermark passes
+    * view_ts + 2h and the buffered row is EVICTED (emit-on-eviction;
+    * asserted batch-by-batch in StreamingReplaySpec). Only views whose
+    * match window is safely closed under the final watermark
+    * W = min(max view_ts, max purchase_ts) therefore have a deterministic
+    * row set, so the result is restricted to view_ts + 121 min < W — the
+    * same closed-window restriction every windowed replay here uses (the
+    * 1-minute margin keeps the compare clear of the eviction boundary's
+    * ±1ms semantics). W comes from the batch table under the identical
+    * normalize filters, as a 1-row aggregate cross-joined in (never
+    * collected). Unmatched views carry purchase_id = -1 (not NULL): the
+    * driver hash-compare and Spark/DuckDB sort NULLs differently, and the
+    * q39 rollup precedent is to keep compared columns non-null. */
+  def q48StreamStreamLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventStreams.streamSession(spark)
+    val views = EventStreams.fileReplaySource(ss, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "0 seconds")
+    val purchases = EventStreams.fileReplaySource(ss, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"),
+      "left_outer")
+      .select(col("view_id"), col("purchase_id"), col("user_id"), col("view_ts"))
+    val sink = EventStreams.runToMemory(ss, joined)
+    val wm = EventStreams.normalize(Tables(spark, dir, "events"))
+      .agg(least(
+        max(when(col("event_type") === "view", col("ts"))),
+        max(when(col("event_type") === "purchase", col("ts")))).as("w"))
+    sink.crossJoin(wm)
+      .filter(col("view_ts") + expr("INTERVAL 121 MINUTES") < col("w"))
+      .select(col("view_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"), col("user_id"))
+      .orderBy("view_id", "purchase_id")
+  }
+
   /** K6: upsert sink — last closed window wins per key (Mongo ReplaceOne
     * parity). The result is the final store snapshot: one row per event
     * type carrying its most recent closed window. */

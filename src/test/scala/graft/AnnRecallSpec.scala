@@ -43,6 +43,21 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(topk(graft.queries.EmbedQueries.q46EmbedIvfAnn(spark, sf)).size == 5)
   }
 
+  test("clustered embeddings: the same probe budgets buy far higher recall") {
+    // The near-uniform pins above are the honest WORST case; this is the
+    // measured counterpart on data with angular structure (deterministic
+    // 16-cluster mixture, intra-cluster cosine ~0.96 — ClusteredEmbeddings).
+    // Identical query code, identical probe budgets — only the data changes.
+    val dir = ClusteredEmbeddings.ensure(spark)
+    val truth = topk(graft.queries.EmbedQueries.q27EmbedCosineTopk(spark, dir))
+    assert(truth.size == 5)
+    val lsh = recall(topk(graft.queries.EmbedQueries.q28EmbedAnnLsh(spark, dir)), truth)
+    val ivf = recall(topk(graft.queries.EmbedQueries.q46EmbedIvfAnn(spark, dir)), truth)
+    info(f"clustered recall@3: lsh=$lsh%.3f ivf=$ivf%.3f (near-uniform: 0.40 / 0.93)")
+    assert(lsh >= 0.85, f"clustered LSH recall collapsed: $lsh%.3f")
+    assert(ivf >= 0.95, f"clustered IVF recall collapsed: $ivf%.3f")
+  }
+
   test("near-dup pair recall vs brute force stays above the documented floor") {
     import org.apache.spark.sql.functions._
     graft.functions.VectorExpressions.register(spark)

@@ -198,6 +198,57 @@ class StreamingReplaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: null-padded rows emit only on watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vs = MemoryStream[(Timestamp, Long, Long)]
+    val ps = MemoryStream[(Timestamp, Long, Long)]
+    val views = vs.toDF().toDF("view_ts", "user_id", "view_id")
+      .withWatermark("view_ts", "0 seconds")
+    val purchases = ps.toDF().toDF("purchase_ts", "p_user_id", "purchase_id")
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"),
+      "left_outer")
+      .select(col("view_id"), col("purchase_id"))
+    val q = joined.writeStream
+      .format("memory").queryName("ss_louter_sink").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def rows() = spark.table("ss_louter_sink")
+        .select(col("view_id"), col("purchase_id"))
+        .as[(Long, Option[Long])].collect().toSet
+      // Batch 1: view 100 (u1) will match later; view 101 (u2) never does.
+      vs.addData((ts("2024-01-01 10:00:00"), 1L, 100L),
+        (ts("2024-01-01 10:00:00"), 2L, 101L))
+      q.processAllAvailable()
+      // Batch 2: the matching purchase arrives a batch later — the inner
+      // row emits from buffered state, but 101 must NOT null-pad yet: the
+      // watermark (10:00) is still below its eviction point (12:00).
+      ps.addData((ts("2024-01-01 10:30:00"), 1L, 200L))
+      q.processAllAvailable()
+      assert(rows() == Set((100L, Some(200L))),
+        s"no null-padding before eviction; got ${rows()}")
+      // Batch 3: advance BOTH sides past 12:00 so the global watermark
+      // (min of the two) passes view_ts + 2h — 101 is evicted and only
+      // now emits null-padded. (13:00 purchase fails ts-range vs 13:00
+      // view, so neither new row matches or evicts here.)
+      vs.addData((ts("2024-01-01 13:00:00"), 9L, 999L))
+      ps.addData((ts("2024-01-01 13:00:00"), 9L, 998L))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 15000
+      while (!rows().contains((101L, None)) && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      assert(rows().contains((101L, None)),
+        s"evicted unmatched view must emit null-padded; got ${rows()}")
+      assert(!rows().exists(r => r._1 == 100L && r._2.isEmpty),
+        "a matched view must never also null-pad")
+    } finally q.stop()
+  }
+
   test("upsert merge is associative — result independent of batch slicing") {
     import spark.implicits._
     val all = Seq(
