@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: measure how the dedup / ANN / streaming families GROW,
+  * not just how fast they are at one size (SCALE.md is written from this
+  * main's output; the driver testdata tops out at sf0.1, so amplified
+  * inputs are derived here).
+  *
+  * Amplification builds a ×k corpus out of k deterministic copies of the
+  * sf0.1 tables, constructed so each copy is an INDEPENDENT instance of
+  * the same problem — the regime a 100 TB corpus actually is (more of the
+  * same structure), under which a scale-safe operator must grow ~linearly:
+  *
+  *   - documents: copy c shifts doc_id and suffixes every token with
+  *     `_c`, which changes every shingle hash (so band buckets do NOT
+  *     collide across copies) while preserving each copy's internal
+  *     near-dup structure exactly (Jaccard is invariant under token
+  *     renaming). Banding that holds ⇒ candidate pairs ≈ k × the ×1
+  *     count; degenerate buckets would grow ~k².
+  *   - embeddings: copy c shifts vec_id by 10⁷·c with identical vector
+  *     geometry (queries stay the five originals; LSH/IVF bucket
+  *     occupancy grows exactly ×k — the candidate-bound stress case).
+  *   - events: copy c shifts event_id/user_id into disjoint ranges on the
+  *     SAME timeline — k× rows and k× distinct users per window, the
+  *     state-growth stress case for windowed aggregation and the
+  *     stream–stream joins (disjoint user ranges keep cross-copy join
+  *     output empty, so output growth is linear by construction and any
+  *     super-linear runtime is the ENGINE's, not the workload's).
+  *
+  * Pair-listing near-dup queries with a fixed cosine threshold over
+  * near-uniform vectors (q36) are excluded: their OUTPUT is inherently
+  * ~quadratic in corpus size on such data, so "linear" is not the right
+  * pin — the structural knob they share (the banded/probed equi-join) is
+  * what the document-candidate count measures.
+  *
+  * Usage: runMain graft.ScaleRehearsal [src] [outRoot] [factors]
+  * (defaults: /root/testdata/sf0.1, target/scale, 1,3,10). Prints one JSON
+  * line per (factor, metric); timings are min-of-2 warm runs.
+  */
+object ScaleRehearsal {
+
+  /** Write df as a SINGLE parquet file at <destDir>/<name>.parquet — the
+    * testdata layout the sources expect (the streaming source's
+    * pathGlobFilter matches the file name, so a part-file directory would
+    * be invisible to it). Harness-side only; data-path writes stay
+    * partitioned. */
+  private def singleFileParquet(df: DataFrame, destDir: String, name: String): Unit = {
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(s"$destDir/_tmp_$name")
+    val dest = new org.apache.hadoop.fs.Path(s"$destDir/$name.parquet")
+    val fs = dest.getFileSystem(hconf)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    if (fs.exists(dest)) fs.delete(dest, true)
+    fs.rename(part, dest)
+    fs.delete(tmp, true)
+  }
+
+  /** Build (once) the ×k dir with amplified documents/embeddings/events. */
+  private def amplified(spark: SparkSession, src: String, outRoot: String,
+                        k: Int): String = {
+    val dir = s"$outRoot/x$k"
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_AMPLIFIED")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return dir
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    singleFileParquet((0 until k).map { c =>
+      if (c == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1_$c").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _), dir, "documents")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    singleFileParquet((0 until k).map { c =>
+      emb.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _), dir, "embeddings")
+
+    // Under nanosAsLong the raw ts arrives as a plain long and round-trips
+    // unchanged; every reader rebuilds the timestamp from it identically.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    singleFileParquet((0 until k).map { c =>
+      ev.select((col("event_id") + lit(c * 1000000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(c * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _), dir, "events")
+
+    fs.create(marker).close()
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outRoot = args.lift(1).getOrElse("target/scale")
+    val factors = args.lift(2).getOrElse("1,3,10").split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def materialize(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    /** min-of-2 warm: one untimed run settles caches/JIT, then best of 2. */
+    def bench(body: => Unit): Double = { body; math.min(timed(body), timed(body)) }
+
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q20_exact_dedup" -> (graft.queries.DocQueries.q20DocsExactDedup _),
+      "q25_minhash_neardup" -> (graft.queries.DocQueries.q25DocsMinhashNeardup _),
+      "q47_corpus_manifest" -> (graft.queries.DocQueries.q47CorpusManifest _),
+      "q27_brute_topk" -> (graft.queries.EmbedQueries.q27EmbedCosineTopk _),
+      "q28_ann_lsh" -> (graft.queries.EmbedQueries.q28EmbedAnnLsh _),
+      "q46_ann_ivf" -> (graft.queries.EmbedQueries.q46EmbedIvfAnn _),
+      "q32_stream_windowed_distinct" -> (graft.queries.StreamQueries.q32StreamWindowedDistinct _),
+      "q45_stream_stream_join" -> (graft.queries.StreamQueries.q45StreamStreamJoin _),
+      "q48_stream_stream_left_outer" -> (graft.queries.StreamQueries.q48StreamStreamLeftOuter _))
+
+    factors.foreach { k =>
+      val dir = amplified(spark, src, outRoot, k)
+      // Warm the Tables hot-set for this dir so timings exclude first-touch.
+      Seq("documents", "embeddings", "events")
+        .foreach(t => materialize(graft.sources.Tables(spark, dir, t)))
+
+      // Structural count: banded candidate pairs (the quantity that must
+      // stay ~linear for MinHash+LSH to survive the scale-up).
+      val candCount = graft.queries.DocQueries.minhashCandidates(
+        graft.sources.Tables(spark, dir, "documents")).count()
+      println(s"""{"rehearsal":true,"factor":$k,"metric":"minhash_candidates","value":$candCount}""")
+
+      queries.foreach { case (name, q) =>
+        val rows = q(spark, dir).count()
+        val sec = bench(materialize(q(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"$name","seconds":$sec,"rows":$rows}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -216,28 +216,38 @@ object DocQueries {
     tok.unpersist()
   }
 
-  /** Same operator over an already-tokenized (doc_id, ..., toks) frame —
-    * the form the registered queries use so the whole doc family shares
-    * one tokenized InMemoryRelation. */
-  private def minhashNeardupToks(tokDf: DataFrame, threshold: Double): DataFrame = {
-    val P = 1000000007L
-    val withHs = shingledHashed(tokDf)
-    val docsSh = withHs.select("doc_id", "sh")
+  /** The banded candidate pairs BEFORE the exact-Jaccard verify — the
+    * quantity whose growth decides whether MinHash+LSH survives a scale-up
+    * (linear in corpus size when banding holds, quadratic when buckets
+    * degenerate). Public so the scale rehearsal (graft.ScaleRehearsal /
+    * SCALE.md) can measure it directly; q25 consumes it via the verify
+    * join. */
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    candPairs(shingledHashed(
+      docs.select(col("doc_id"), toks(col("text")).as("toks"))))
 
+  private def candPairs(withHs: DataFrame): DataFrame = {
+    val P = 1000000007L
     def sig(s: Int): Column =
       array_min(transform(col("hs"), h => (h * (2 * s + 1) + s * 7919L) % P))
     // Band id baked into the key so one equi-join covers all bands.
     val bandKeys = (0 until 4).map(b =>
       concat_ws("|", lit(b), sig(2 * b), sig(2 * b + 1)))
     val bands = withHs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
-
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
 
-    cand
+  /** Same operator over an already-tokenized (doc_id, ..., toks) frame —
+    * the form the registered queries use so the whole doc family shares
+    * one tokenized InMemoryRelation. */
+  private def minhashNeardupToks(tokDf: DataFrame, threshold: Double): DataFrame = {
+    val withHs = shingledHashed(tokDf)
+    val docsSh = withHs.select("doc_id", "sh")
+    candPairs(withHs)
       .join(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),

@@ -259,6 +259,33 @@ object EventStreams {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Latest COMMITTED snapshot under `storeDir` — the store's recovery
+    * read. Only version dirs carrying `_SUCCESS` count: a writer killed
+    * between versioned writes leaves a version dir without `_SUCCESS`
+    * (possibly with partial or corrupt part files), which must never be
+    * read as "latest" when a caller resumes. Torn versions are simply
+    * invisible; the store falls back to the newest committed ancestor
+    * (property-asserted across random committed/torn version sequences in
+    * UpsertRecoveryPropsSpec). */
+  def latestCommittedVersion(spark: SparkSession,
+                             storeDir: String): Option[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
+        s.getPath.getName.drop(1).forall(_.isDigit) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .sortBy(_.getPath.getName.drop(1).toLong)
+      .lastOption.map(_.getPath)
+  }
+
+  /** The upsert store's resume entry point: the snapshot a restarted
+    * deployment merges its next batch onto. */
+  def readUpsertStore(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    latestCommittedVersion(spark, storeDir)
+      .map(p => spark.read.parquet(p.toString))
+
   def runUpsertLastWindowWins(spark: SparkSession, streamed: DataFrame,
                               keyCol: String, storeDir: String): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -266,16 +293,8 @@ object EventStreams {
     val fs = root.getFileSystem(hconf)
     if (fs.exists(root)) fs.delete(root, true)
 
-    // Only COMMITTED snapshots count: a batch killed mid-write leaves a
-    // version dir without _SUCCESS, which must never be read as "latest"
-    // when a production caller resumes without wiping the store.
     def latestVersion(): Option[org.apache.hadoop.fs.Path] =
-      if (!fs.exists(root)) None
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
-          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-        .sortBy(_.getPath.getName.drop(1).toLong)
-        .lastOption.map(_.getPath)
+      latestCommittedVersion(spark, storeDir)
 
     val q = streamed.writeStream
       .outputMode("append")
