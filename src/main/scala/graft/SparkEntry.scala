@@ -66,6 +66,9 @@ object SparkEntry {
     "q46_embed_ivf_ann" -> (EmbedQueries.q46EmbedIvfAnn _),
     "q47_corpus_manifest" -> (DocQueries.q47CorpusManifest _),
     "q48_stream_stream_left_outer" -> (StreamQueries.q48StreamStreamLeftOuter _),
+    "q49_stratified_sample" -> (DocQueries.q49StratifiedSample _),
+    "q50_token_budget_pack" -> (DocQueries.q50TokenBudgetPack _),
+    "q51_decontaminate" -> (DocQueries.q51Decontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -752,5 +755,59 @@ object SparkEntry {
         |  ON vr.user_id = p.p_user_id AND p.p_ts > vr.ts
         | AND p.p_ts <= vr.ts + INTERVAL 2 HOUR
         |ORDER BY view_id, purchase_id""".stripMargin,
+    // Deterministic stratified sample: salted md5 of the doc id mod 100
+    // under per-language keep-rates (en 25%, tail languages 75%).
+    "q49_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5(concat('graft-sample|',
+        |        CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 100
+        |      < CASE WHEN lang = 'en' THEN 25 ELSE 75 END
+        |ORDER BY doc_id""".stripMargin,
+    // Token-budget packing: per-language running token total in quality
+    // order (6-rounded score, doc_id tie-break), kept while <= 2000.
+    "q50_token_budget_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         round(0.4 * ttr + 0.3 * (1.0 - stop_ratio)
+        |               + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        |  FROM b),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+        |            ORDER BY quality DESC, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, lang, n_tokens, quality,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 2000
+        |ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+    // Decontamination: held-out (src19) docs sharing >= 10 distinct
+    // 3-gram shingle hashes with the training split.
+    "q51_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id, source,
+        |         list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)) AS hv
+        |  FROM s),
+        |tr AS (SELECT DISTINCT unnest(hv) AS h FROM hs WHERE source != 'src19'),
+        |te AS (SELECT doc_id, unnest(hv) AS h FROM hs WHERE source = 'src19')
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM te JOIN tr USING (h)
+        |GROUP BY doc_id HAVING count(*) >= 10
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -257,6 +257,80 @@ object DocQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Deterministic STRATIFIED SAMPLING (q49) — the training-mix knob every
+    * curation run turns: per-language keep-rates (downweight the dominant
+    * language, keep the tail) applied via a salted hash of the doc id
+    * (md5 → 56-bit long, mod 100), NOT `rand()`/`sampleBy`. Zero RNG is
+    * the load-bearing property at 100 TB: the sample is reproducible
+    * across engines, retries and partial re-runs (a task retry with
+    * rand() re-draws and silently changes the corpus), and membership is
+    * decidable per-row with no shuffle — the filter rides the scan. */
+  def q49StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      md5Long(concat(lit("graft-sample|"), col("doc_id").cast("string")), 14) % 100
+    val rate = when(col("lang") === "en", 25).otherwise(75)
+    Tables(spark, dir, "documents")
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** TOKEN-BUDGET PACKING (q50): per language, admit documents in quality
+    * order until a token budget is exhausted — the "fill the training mix"
+    * step after scoring (q22) and dedup. A running-total window (ROWS
+    * unbounded-preceding, quality-desc with doc_id tie-break on the
+    * 6-rounded score so the order is total and engine-independent) keeps
+    * the cumulative token count; the filter keeps rows while it fits.
+    * One shuffle on the stratum key — the same cost as any per-language
+    * aggregation; budgets per stratum are how a 100 TB mix is actually
+    * specified (tokens, not documents). */
+  def q50TokenBudgetPack(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("toks")
+    val base = tokenizedDocs(Tables(spark, dir, "documents")).select(
+      col("doc_id"), col("lang"),
+      size(t).cast("long").as("n_tokens"),
+      (size(filter(t, x => x === "the" || x === "a")).cast("double") / size(t))
+        .as("stop_ratio"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+    val scored = base.select(col("doc_id"), col("lang"), col("n_tokens"),
+      round(lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+        lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6)
+        .as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("quality"), asc("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= 2000)
+      .orderBy("lang", "cum_tokens", "doc_id")
+  }
+
+  /** DECONTAMINATION (q51): flag held-out documents sharing ≥ 10 distinct
+    * 3-gram shingles with the training split — the train/test-overlap
+    * audit every evaluation pipeline runs before trusting a benchmark
+    * number. Reuses the SAME persisted shingle-hash table as the dedup
+    * family (one corpus pass feeds dedup, manifest and decontamination),
+    * then: distinct train-side shingle hashes (56-bit fixed width — at
+    * 100 TB this is the shuffle key, never the text), a shingle-hash
+    * equi-join from the test side, and a per-document overlap count. The
+    * candidate volume is bounded by actual shingle matches — never
+    * |test| × |train|. */
+  def q51Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val sh = shingledHashed(tokenizedDocs(docs))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val trainShingles = sh.filter(col("source") =!= "src19")
+      .select(explode(col("hs")).as("h")).distinct()
+    val testShingles = sh.filter(col("source") === "src19")
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    testShingles.join(trainShingles, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 10)
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end dedup pipeline product: the corpus with exact
     * duplicates (q20 policy: keep min doc_id per content hash) AND
     * near-duplicates (q25 policy: in each verified pair, the larger doc_id
