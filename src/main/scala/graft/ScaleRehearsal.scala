@@ -123,6 +123,9 @@ object ScaleRehearsal {
       "q20_exact_dedup" -> (graft.queries.DocQueries.q20DocsExactDedup _),
       "q25_minhash_neardup" -> (graft.queries.DocQueries.q25DocsMinhashNeardup _),
       "q47_corpus_manifest" -> (graft.queries.DocQueries.q47CorpusManifest _),
+      "q49_stratified_sample" -> (graft.queries.DocQueries.q49StratifiedSample _),
+      "q50_token_budget_pack" -> (graft.queries.DocQueries.q50TokenBudgetPack _),
+      "q51_decontaminate" -> (graft.queries.DocQueries.q51Decontaminate _),
       "q27_brute_topk" -> (graft.queries.EmbedQueries.q27EmbedCosineTopk _),
       "q28_ann_lsh" -> (graft.queries.EmbedQueries.q28EmbedAnnLsh _),
       "q46_ann_ivf" -> (graft.queries.EmbedQueries.q46EmbedIvfAnn _),
