@@ -69,6 +69,7 @@ object SparkEntry {
     "q49_stratified_sample" -> (DocQueries.q49StratifiedSample _),
     "q50_token_budget_pack" -> (DocQueries.q50TokenBudgetPack _),
     "q51_decontaminate" -> (DocQueries.q51Decontaminate _),
+    "q52_curated_mix" -> (DocQueries.q52CuratedMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -809,5 +810,71 @@ object SparkEntry {
         |FROM te JOIN tr USING (h)
         |GROUP BY doc_id HAVING count(*) >= 10
         |ORDER BY doc_id""".stripMargin,
+    // Curated training mix: dedup losers out (q47's CTEs), stratified
+    // sample in (q49's salted-hash rates), then the q50 budget pack.
+    "q52_curated_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)) AS hv
+        |  FROM s),
+        |bd AS (
+        |  SELECT doc_id,
+        |         unnest([concat_ws('|', CAST(b AS VARCHAR),
+        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b) + 1) + (2 * b) * 7919) % 1000000007)) AS VARCHAR),
+        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b + 1) + 1) + (2 * b + 1) * 7919) % 1000000007)) AS VARCHAR))
+        |                 for b in range(0, 4)]) AS band_key
+        |  FROM hs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |nd AS (
+        |  SELECT doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |                 len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+        |    FROM cand
+        |    JOIN s sa ON cand.doc_a = sa.doc_id
+        |    JOIN s sb ON cand.doc_b = sb.doc_id)
+        |  WHERE jaccard >= 0.7),
+        |ex AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep
+        |    FROM documents)
+        |  WHERE doc_id <> keep),
+        |losers AS (SELECT doc_b AS doc_id FROM nd UNION SELECT doc_id FROM ex),
+        |surv AS (
+        |  SELECT doc_id, lang, toks FROM t
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |    AND CAST(concat('0x', substr(md5(concat('graft-sample|',
+        |          CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 100
+        |        < CASE WHEN lang = 'en' THEN 25 ELSE 75 END),
+        |b AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |  FROM surv),
+        |q AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         round(0.4 * ttr + 0.3 * (1.0 - stop_ratio)
+        |               + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        |  FROM b),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+        |            ORDER BY quality DESC, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, lang, n_tokens, quality,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 2000
+        |ORDER BY lang, cum_tokens, doc_id""".stripMargin,
   )
 }

@@ -284,26 +284,37 @@ object DocQueries {
     * One shuffle on the stratum key — the same cost as any per-language
     * aggregation; budgets per stratum are how a 100 TB mix is actually
     * specified (tokens, not documents). */
-  def q50TokenBudgetPack(spark: SparkSession, dir: String): DataFrame = {
+  def q50TokenBudgetPack(spark: SparkSession, dir: String): DataFrame =
+    packToBudget(scoredDocs(tokenizedDocs(Tables(spark, dir, "documents"))), 2000L)
+      .orderBy("lang", "cum_tokens", "doc_id")
+
+  /** (doc_id, lang, n_tokens, quality) over a tokenized frame — the q22
+    * scoring surface shaped for packing. */
+  private def scoredDocs(tokDf: DataFrame): DataFrame = {
     val t = col("toks")
-    val base = tokenizedDocs(Tables(spark, dir, "documents")).select(
+    val base = tokDf.select(
       col("doc_id"), col("lang"),
       size(t).cast("long").as("n_tokens"),
       (size(filter(t, x => x === "the" || x === "a")).cast("double") / size(t))
         .as("stop_ratio"),
       (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
-    val scored = base.select(col("doc_id"), col("lang"), col("n_tokens"),
+    base.select(col("doc_id"), col("lang"), col("n_tokens"),
       round(lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
         lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6)
         .as("quality"))
+  }
+
+  /** Per-stratum greedy fill: running token total in quality order (the
+    * 6-rounded score with doc_id tie-break makes the order total and
+    * engine-independent), rows kept while the budget fits. */
+  private def packToBudget(scored: DataFrame, budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(desc("quality"), asc("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     scored
       .withColumn("cum_tokens", sum("n_tokens").over(w))
-      .filter(col("cum_tokens") <= 2000)
-      .orderBy("lang", "cum_tokens", "doc_id")
+      .filter(col("cum_tokens") <= budget)
   }
 
   /** DECONTAMINATION (q51): flag held-out documents sharing ≥ 10 distinct
@@ -329,6 +340,28 @@ object DocQueries {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 10)
       .orderBy("doc_id")
+  }
+
+  /** The CURATED TRAINING MIX (q52) — the capstone composition the whole
+    * doc family exists for, in pipeline order: dedup (q20+q25 loser
+    * policies, one anti-join) → deterministic stratified sampling (q49's
+    * salted-hash rates) → quality scoring (q22's surface) → token-budget
+    * packing per language (q50's window fill). Every stage reuses the
+    * shared tokenized/shingle caches and the same operators the
+    * standalone queries register, so this is composition, not
+    * re-implementation — the shape a real 100 TB curation DAG has: one
+    * corpus pass for signals, fixed-width-key joins for policy, one
+    * stratum-keyed shuffle to pack. */
+  def q52CuratedMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bucket =
+      md5Long(concat(lit("graft-sample|"), col("doc_id").cast("string")), 14) % 100
+    val rate = when(col("lang") === "en", 25).otherwise(75)
+    val survivors = tokenizedDocs(docs)
+      .join(dedupLosers(docs), Seq("doc_id"), "left_anti")
+      .filter(bucket < rate)
+    packToBudget(scoredDocs(survivors), 2000L)
+      .orderBy("lang", "cum_tokens", "doc_id")
   }
 
   /** The end-to-end dedup pipeline product: the corpus with exact
