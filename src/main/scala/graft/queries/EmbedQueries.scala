@@ -168,12 +168,14 @@ object EmbedQueries {
     *
     * Each qualifying pair matches EXACTLY once: the flip that connects two
     * buckets is their XOR, and the probe masks {0, 1<<p} are distinct.
-    * Recall is measured, not implied (AnnRecallSpec): 0.58 of the true
-    * ≥0.4 pairs on this near-uniform synthetic corpus (one-bucket
-    * self-join measured 0.12 — the probe is load-bearing); for REAL
-    * near-dups at cosine ≥0.9 the per-plane sign-agreement probability is
-    * ~0.86, putting Hamming≤1 coverage near 0.9 at the same probe cost.
-    * Fewer planes than q28 because pair recall needs coarser buckets. */
+    * Recall is measured, not implied (AnnRecallSpec), on both data
+    * regimes: 0.58 of the true ≥0.4 pairs on the near-uniform synthetic
+    * corpus (one-bucket self-join measured 0.12 — the probe is
+    * load-bearing), and 0.95 on the clustered mixture fixture
+    * (ClusteredEmbeddings) at the SAME probe cost — matching the
+    * per-plane sign-agreement prediction (~0.86/plane at cosine ≥0.9 ⇒
+    * Hamming≤1 coverage ≈ 0.9+). Fewer planes than q28 because pair
+    * recall needs coarser buckets. */
   def q36EmbedCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
     withDot(spark)
     val emb = Tables(spark, dir, "embeddings")
