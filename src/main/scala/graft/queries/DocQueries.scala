@@ -202,16 +202,18 @@ object DocQueries {
       .withColumn("hs", transform(col("sh"), x => md5Long(x, 14)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Release the session-scoped shared caches (tokenized corpus + shingle
-    * table) that the doc family builds over `dir`'s documents table.
-    * The registered queries deliberately leave them cached (the bench and
-    * verify harnesses re-read the family many times per session and the
-    * cache manager keeps exactly one copy per plan); a library caller
-    * embedding a single query in a long-lived session calls this when the
-    * doc family is done. Unpersisting a never-cached plan is a no-op, so
-    * this is always safe. */
+  /** Release the session-scoped shared caches (tokenized corpus, shingle
+    * table, dedup-loser set) that the doc family builds over `dir`'s
+    * documents table. The registered queries deliberately leave them
+    * cached (the bench and verify harnesses re-read the family many times
+    * per session and the cache manager keeps exactly one copy per plan);
+    * a library caller embedding a single query in a long-lived session
+    * calls this when the doc family is done. Unpersisting a never-cached
+    * plan is a no-op, so this is always safe. */
   def unpersistShared(spark: SparkSession, dir: String): Unit = {
-    val tok = tokenizedDocs(Tables(spark, dir, "documents"))
+    val docs = Tables(spark, dir, "documents")
+    val tok = tokenizedDocs(docs)
+    dedupLosers(docs).unpersist()
     shingledHashed(tok).unpersist()
     tok.unpersist()
   }
@@ -381,7 +383,16 @@ object DocQueries {
 
   /** The doc_ids the dedup policies remove: exact losers (q20 policy —
     * every doc except the min doc_id per content hash) plus near-dup
-    * losers (q25 policy — the larger doc_id of each verified pair). */
+    * losers (q25 policy — the larger doc_id of each verified pair).
+    *
+    * Persisted like the tokenized/shingle tables (and released by the
+    * same [[unpersistShared]]): three consumers (q41 corpus, q47
+    * manifest, q52 mix) anti-join against this set, and without the cache
+    * each re-runs the band join + Jaccard verify. A few doc_ids per
+    * thousand documents — the cheapest relation in the family to keep and
+    * the most expensive to recompute. At cluster scale this is the
+    * "losers manifest" a curation DAG writes once and every downstream
+    * stage anti-joins against. */
   private def dedupLosers(docs: DataFrame): DataFrame = {
     val exactLosers = docs
       .select(md5(lower(trim(col("text")))).as("text_hash"), col("doc_id"))
@@ -392,6 +403,7 @@ object DocQueries {
     val nearLosers = minhashNeardupToks(tokenizedDocs(docs), 0.7)
       .select(col("doc_b").as("doc_id"))
     exactLosers.union(nearLosers).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The materialized TRAINING-DATA MANIFEST — what a curation run
