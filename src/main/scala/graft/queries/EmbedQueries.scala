@@ -128,7 +128,12 @@ object EmbedQueries {
     *     from an equi-join on the list id — bounded by list occupancy,
     *     never a full scan. Recall is tuned by nProbe (vs q28's
     *     planes/tables): IVF lists adapt to the data's density while LSH
-    *     buckets are oblivious — carrying both is deliberate. */
+    *     buckets are oblivious — carrying both is deliberate.
+    *   - List-id cardinality = nlist (16 here) bounds the candidate
+    *     join's hash parallelism; production IVF runs nlist in the
+    *     thousands-to-millions (√n rule), which removes the ceiling the
+    *     same way more planes do for LSH. AQE skew-split covers hot
+    *     lists in the meantime. */
   def q46EmbedIvfAnn(spark: SparkSession, dir: String): DataFrame = {
     withDot(spark)
     val emb = Tables(spark, dir, "embeddings")
@@ -175,7 +180,14 @@ object EmbedQueries {
     * (ClusteredEmbeddings) at the SAME probe cost — matching the
     * per-plane sign-agreement prediction (~0.86/plane at cosine ≥0.9 ⇒
     * Hamming≤1 coverage ≈ 0.9+). Fewer planes than q28 because pair
-    * recall needs coarser buckets. */
+    * recall needs coarser buckets.
+    *
+    * Scale note on key cardinality: 2^4 bucket values bound hash-shuffle
+    * parallelism at 16 — fine here, a ceiling on a big cluster. The knobs,
+    * in preference order: more planes (coarseness permitting), AQE's skew
+    * split (on by default; divides an oversized bucket's sort-merge
+    * partition by size, same key or not), and `core.saltedJoin` as the
+    * manual fallback when the plan must be pinned. */
   def q36EmbedCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
     withDot(spark)
     val emb = Tables(spark, dir, "embeddings")
