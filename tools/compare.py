@@ -26,8 +26,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # partial dirs (e.g. the x10 amplified corpus) carry a table subset
+        if os.path.exists(f"{sfdir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failed = []
     for name, sql in sorted(oracle.items()):
