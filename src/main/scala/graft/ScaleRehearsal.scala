@@ -118,6 +118,13 @@ object ScaleRehearsal {
     }
     /** min-of-2 warm: one untimed run settles caches/JIT, then best of 2. */
     def bench(body: => Unit): Double = { body; math.min(timed(body), timed(body)) }
+    // Same contention hygiene as Bench: ship the load average with every
+    // line so a contaminated run is diagnosable from the output (the
+    // round-3 bench artifact postmortem).
+    def loadavg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
 
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q20_exact_dedup" -> (graft.queries.DocQueries.q20DocsExactDedup _),
@@ -148,7 +155,7 @@ object ScaleRehearsal {
       queries.foreach { case (name, q) =>
         val rows = q(spark, dir).count()
         val sec = bench(materialize(q(spark, dir)))
-        println(s"""{"rehearsal":true,"factor":$k,"metric":"$name","seconds":$sec,"rows":$rows}""")
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"$name","seconds":$sec,"rows":$rows,"loadavg":${loadavg1m()}}""")
       }
     }
     spark.stop()
