@@ -70,6 +70,7 @@ object SparkEntry {
     "q50_token_budget_pack" -> (DocQueries.q50TokenBudgetPack _),
     "q51_decontaminate" -> (DocQueries.q51Decontaminate _),
     "q52_curated_mix" -> (DocQueries.q52CuratedMix _),
+    "q53_json_etl" -> (EtlQueries.q53JsonEtl _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -876,5 +877,13 @@ object SparkEntry {
         |       CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= 2000
         |ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+    // JSON-lines round trip: the aggregate over what Spark re-reads from
+    // its own JSON export must equal the aggregate over the source table
+    // (ts compared at micro precision — the JSON carries epoch micros).
+    "q53_json_etl" ->
+      """SELECT event_type, count(*) AS event_count,
+        |       count(DISTINCT user_id) AS distinct_users,
+        |       strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_seen
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -74,4 +74,34 @@ object EtlQueries {
         countDistinct(col("o_custkey")).as("distinct_customers"))
       .orderBy("file_year")
   }
+
+  /** S5-adjacent: JSON-LINES ingest — the reference's actual producer drop
+    * format (producer/data/opensky_states.json; producer.py:59-75 emits
+    * one JSON record per state vector). Writes the events table as JSON
+    * lines with event time as epoch micros (JSON has no timestamp type —
+    * the same convention as the KafkaWire payload), reads it back with an
+    * EXPLICIT schema (inference would cost a second full scan, the same
+    * rule as CSV — SURVEY §1.4), rebuilds the timestamp, and aggregates —
+    * so the oracle checks the whole JSON write→read→aggregate round trip
+    * at micro precision. */
+  def q53JsonEtl(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "events_json")
+    Tables(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts_us", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    spark.read.schema(schema).json(out)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("distinct_users"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+      .orderBy("event_type")
+  }
 }
