@@ -28,15 +28,41 @@ object Tables {
     * are small enough that a broadcast re-read is cheap. */
   private val hot = Set("lineitem", "orders", "events", "documents", "embeddings")
 
+  /** Hot tables whose cached relation is additionally spread across the
+    * session's parallelism. Only tables whose consumers are FLOAT-ORDER
+    * INSENSITIVE qualify: repartitioning reorders rows, and a double
+    * sum/avg aggregated in a different order can flip a 4-decimal
+    * rounding against the (sequential) DuckDB oracle. The doc/embedding
+    * families hash, count and compare per row — no cross-row float
+    * accumulation — while lineitem/orders/events feed avg/sum-of-double
+    * aggregates and stay in file order. */
+  private val spread = Set("documents", "embeddings")
+
   private val cache = TrieMap.empty[(String, String, String), DataFrame]
 
-  /** Load `<dir>/<name>.parquet`, persisted if hot and caching enabled. */
+  /** Load `<dir>/<name>.parquet`, persisted if hot and caching enabled.
+    *
+    * [[spread]] tables are REPARTITIONED to the session's parallelism at
+    * build time: the testdata tables are single parquet files with one row
+    * group, which Spark cannot split — so without this, every narrow pass
+    * downstream (the doc family's tokenize/annotate stages) runs as ONE
+    * task no matter how many cores the session has (measured: q47's
+    * annotation pass went superlinear on the ×30 amplified corpus purely
+    * from this). One cheap round-robin exchange at cache build buys every
+    * consumer full parallelism. At 100 TB the same files carry thousands
+    * of row groups and split naturally — which is why the
+    * `cacheInputs=false` cluster path stays a pure pushdown-friendly scan
+    * with no forced exchange. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val cachingOn =
       !spark.conf.getOption("spark.graft.cacheInputs").contains("false")
     if (cachingOn && hot(name)) {
       cache.getOrElseUpdate((spark.sparkContext.applicationId, dir, name), {
-        read(spark, dir, name).persist(StorageLevel.MEMORY_AND_DISK)
+        val df = read(spark, dir, name)
+        val laidOut =
+          if (spread(name)) df.repartition(spark.sparkContext.defaultParallelism)
+          else df
+        laidOut.persist(StorageLevel.MEMORY_AND_DISK)
       })
     } else read(spark, dir, name)
   }
