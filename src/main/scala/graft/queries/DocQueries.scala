@@ -23,6 +23,23 @@ object DocQueries {
   /** Tokenize: lowercase, trim, split on whitespace runs. */
   private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** The EXACT DataFrame references this family persisted, keyed by
+    * (appId, canonicalized input plan, relation kind). Holding the
+    * reference — rather than rebuilding an equivalent plan at release
+    * time and trusting the cache manager to match it — makes
+    * [[unpersistShared]] release the precise relations that were cached:
+    * a conf-dependent plan difference between the caching and releasing
+    * sessions can no longer turn the release into a silent no-op. */
+  private val shared = scala.collection.concurrent.TrieMap
+    .empty[(String, Any, String), DataFrame]
+
+  private def memoShared(input: DataFrame, kind: String)
+                        (build: => DataFrame): DataFrame =
+    shared.getOrElseUpdate(
+      (input.sparkSession.sparkContext.applicationId,
+        input.queryExecution.analyzed.canonicalized, kind),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** The shared TOKENIZED corpus every doc-family query reads:
     * (doc_id, lang, chars, bpe, toks), persisted once. Two reasons this is
     * a table and not a per-query expression:
@@ -43,15 +60,15 @@ object DocQueries {
     * a longer-lived session can release both shared relations (this one
     * and the shingle table) with [[DocQueries.unpersistShared]]. */
   private def tokenizedDocs(docs: DataFrame): DataFrame =
-    docs
-      .select(
+    memoShared(docs, "tokenized") {
+      docs.select(
         col("doc_id"), col("lang"),
         length(col("text")).as("chars"),
         // BPE-ish subword proxy: letter runs, digit runs, single marks.
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
           .as("bpe"),
         toks(col("text")).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Distinct 3-word shingles of a token array (empty when < 3 tokens).
     *
@@ -196,11 +213,12 @@ object DocQueries {
     * Session-scoped like [[tokenizedDocs]]; released by
     * [[unpersistShared]]. */
   private def shingledHashed(tokDf: DataFrame): DataFrame =
-    tokDf
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), x => md5Long(x, 14)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    memoShared(tokDf, "shingled") {
+      tokDf
+        .select(col("doc_id"), shingles(col("toks")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("hs", transform(col("sh"), x => md5Long(x, 14)))
+    }
 
   /** Release the session-scoped shared caches (tokenized corpus, shingle
     * table, dedup-loser set) that the doc family builds over `dir`'s
@@ -208,14 +226,21 @@ object DocQueries {
     * cached (the bench and verify harnesses re-read the family many times
     * per session and the cache manager keeps exactly one copy per plan);
     * a library caller embedding a single query in a long-lived session
-    * calls this when the doc family is done. Unpersisting a never-cached
-    * plan is a no-op, so this is always safe. */
+    * calls this when the doc family is done. Releasing a dir whose family
+    * was never built removes nothing — always safe. Uses the recorded
+    * references from [[shared]], so only relations actually persisted in
+    * THIS session are touched and nothing new is built or cached here. */
   def unpersistShared(spark: SparkSession, dir: String): Unit = {
     val docs = Tables(spark, dir, "documents")
-    val tok = tokenizedDocs(docs)
-    dedupLosers(docs).unpersist()
-    shingledHashed(tok).unpersist()
-    tok.unpersist()
+    val appId = spark.sparkContext.applicationId
+    val docsKey = docs.queryExecution.analyzed.canonicalized
+    // Children before parents: losers read the shingle/tokenized caches.
+    shared.remove((appId, docsKey, "losers")).foreach(_.unpersist())
+    shared.get((appId, docsKey, "tokenized")).foreach { tok =>
+      shared.remove((appId, tok.queryExecution.analyzed.canonicalized,
+        "shingled")).foreach(_.unpersist())
+    }
+    shared.remove((appId, docsKey, "tokenized")).foreach(_.unpersist())
   }
 
   /** The banded candidate pairs BEFORE the exact-Jaccard verify — the
@@ -308,13 +333,47 @@ object DocQueries {
 
   /** Per-stratum greedy fill: running token total in quality order (the
     * 6-rounded score with doc_id tie-break makes the order total and
-    * engine-independent), rows kept while the budget fits. */
+    * engine-independent), rows kept while the budget fits.
+    *
+    * Scale shape — the running-total window partitions by stratum, so a
+    * naive plan funnels EVERY document of a language through one task (at
+    * 100 TB: a multi-TB straggler sorting a whole language in one place).
+    * A candidate-bounding first pass removes that: a per-(stratum,
+    * quality-bucket) token histogram — a real aggregation with map-side
+    * partial combine, output ≈ strata × 1001 rows regardless of corpus
+    * size — finds, per stratum, the lowest bucket still reachable within
+    * the budget. The prune is EXACT, not approximate: a document whose
+    * bucket has ≥ budget tokens in strictly-higher buckets can never be
+    * admitted (every strictly-higher-bucket document precedes it in the
+    * (quality desc, doc_id) window order, so its running total already
+    * exceeds the budget before it is reached). Survivors are bounded by
+    * budget-many tokens plus one boundary bucket's worth — the exact
+    * window then sorts ~budget-sized strata, not corpus-sized ones, and
+    * the histogram window itself runs over ≤ 1001 rows per stratum.
+    * Measured (SCALE.md): q50's ×10 runtime growth dropped from 2.9× to
+    * ~1× once the window's input stopped tracking the corpus. */
   private def packToBudget(scored: DataFrame, budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.expressions.Window
+    // 1000 buckets over the [0,1] score; floor keeps the bucket edge below
+    // every member, so "strictly-higher buckets" = "strictly-higher quality
+    // prefix minus at most the boundary bucket" — the safe side.
+    val qb = floor(col("quality") * 1000).cast("long")
+    val hist = scored.groupBy(col("lang"), qb.as("qb"))
+      .agg(sum("n_tokens").as("btoks"))
+    val above = Window.partitionBy("lang").orderBy(desc("qb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cutoffs = hist
+      .withColumn("above", coalesce(sum("btoks").over(above), lit(0L)))
+      .filter(col("above") < budget) // bucket still reachable within budget
+      .groupBy("lang").agg(min("qb").as("min_qb"))
+    val survivors = scored
+      .join(broadcast(cutoffs), Seq("lang"))
+      .filter(qb >= col("min_qb"))
+      .drop("min_qb")
+    val w = Window
       .partitionBy("lang").orderBy(desc("quality"), asc("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    scored
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .filter(col("cum_tokens") <= budget)
   }
@@ -331,17 +390,26 @@ object DocQueries {
     * |test| × |train|. */
   def q51Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    decontaminate(docs, col("source") === "src19", 10).orderBy("doc_id")
+  }
+
+  /** The reusable operator behind q51: flag documents on the HELD-OUT side
+    * of `heldOut` (any boolean predicate over the corpus columns — a
+    * source label, a date range, an id list membership) sharing at least
+    * `minShared` distinct shingle hashes with the training side. The
+    * split predicate is evaluated per row on the corpus, so train/test
+    * membership never leaves the scan. */
+  def decontaminate(docs: DataFrame, heldOut: Column, minShared: Int): DataFrame = {
     val sh = shingledHashed(tokenizedDocs(docs))
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-    val trainShingles = sh.filter(col("source") =!= "src19")
+      .join(docs.select(col("doc_id"), heldOut.as("held_out")), "doc_id")
+    val trainShingles = sh.filter(!col("held_out"))
       .select(explode(col("hs")).as("h")).distinct()
-    val testShingles = sh.filter(col("source") === "src19")
+    val testShingles = sh.filter(col("held_out"))
       .select(col("doc_id"), explode(col("hs")).as("h"))
     testShingles.join(trainShingles, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 10)
-      .orderBy("doc_id")
+      .filter(col("n_shared") >= minShared)
   }
 
   /** The CURATED TRAINING MIX (q52) — the capstone composition the whole
@@ -393,18 +461,18 @@ object DocQueries {
     * the most expensive to recompute. At cluster scale this is the
     * "losers manifest" a curation DAG writes once and every downstream
     * stage anti-joins against. */
-  private def dedupLosers(docs: DataFrame): DataFrame = {
-    val exactLosers = docs
-      .select(md5(lower(trim(col("text")))).as("text_hash"), col("doc_id"))
-      .withColumn("keep", min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("text_hash")))
-      .filter(col("doc_id") =!= col("keep"))
-      .select("doc_id")
-    val nearLosers = minhashNeardupToks(tokenizedDocs(docs), 0.7)
-      .select(col("doc_b").as("doc_id"))
-    exactLosers.union(nearLosers).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private def dedupLosers(docs: DataFrame): DataFrame =
+    memoShared(docs, "losers") {
+      val exactLosers = docs
+        .select(md5(lower(trim(col("text")))).as("text_hash"), col("doc_id"))
+        .withColumn("keep", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("text_hash")))
+        .filter(col("doc_id") =!= col("keep"))
+        .select("doc_id")
+      val nearLosers = minhashNeardupToks(tokenizedDocs(docs), 0.7)
+        .select(col("doc_b").as("doc_id"))
+      exactLosers.union(nearLosers).distinct()
+    }
 
   /** The materialized TRAINING-DATA MANIFEST — what a curation run
     * actually ships downstream: the dedup-surviving corpus (q41's exact +
