@@ -54,7 +54,7 @@ object Bench {
           case _ => None
         }
       }.sortBy(_._1).map(_._2)
-    pinned.orElse(candidates.lastOption).map { f =>
+    def parse(f: java.io.File): Map[String, Double] = {
       val text = try scala.io.Source.fromFile(f, "UTF-8").mkString
                  catch { case _: Throwable => "" }
       // The wrapper escapes the embedded line's quotes, so anchor on the
@@ -71,7 +71,20 @@ object Bench {
           entry.findAllMatchIn(body)
             .map(e => e.group(1) -> e.group(2).toDouble).toMap
       }
-    }.getOrElse(Map.empty)
+    }
+    val chosen = pinned.orElse(candidates.lastOption)
+    val times = chosen.map(parse).getOrElse(Map.empty)
+    // A pinned-but-unusable baseline must not silently disarm the guard
+    // the operator explicitly armed: say so on stderr (the JSON line stays
+    // machine-parseable on stdout).
+    if (times.isEmpty && pinned.isDefined)
+      System.err.println(s"[bench] WARNING: pinned baseline " +
+        s"${pinned.get} is missing, unreadable, or has no queries object — " +
+        "the >3x outlier guard is DISARMED for this run")
+    else if (times.isEmpty && chosen.isDefined)
+      System.err.println(s"[bench] WARNING: baseline ${chosen.get} parsed " +
+        "to an empty query map — the >3x outlier guard is DISARMED")
+    times
   }
 
   def main(args: Array[String]): Unit = {

@@ -36,8 +36,9 @@ import org.apache.spark.sql.functions._
   * what the document-candidate count measures.
   *
   * Usage: runMain graft.ScaleRehearsal [src] [outRoot] [factors]
-  * (defaults: /root/testdata/sf0.1, target/scale, 1,3,10). Prints one JSON
-  * line per (factor, metric); timings are min-of-2 warm runs.
+  * (defaults: /root/testdata/sf0.1, target/scale, 1,3,10,30). Prints one
+  * JSON line per (factor, metric); timings are min-of-2 warm runs at
+  * factors ≤ 10, one shallow counting pass past that.
   */
 object ScaleRehearsal {
 
@@ -83,12 +84,18 @@ object ScaleRehearsal {
         col("embedding"), col("label"))
     }.reduce(_ unionByName _), dir, "embeddings")
 
-    // Under nanosAsLong the raw ts arrives as a plain long and round-trips
-    // unchanged; every reader rebuilds the timestamp from it identically.
+    // The shipped fixture stores TIMESTAMP(NANOS), which Spark (under
+    // nanosAsLong) can read but not write back. The amplified copy emits a
+    // real micro TIMESTAMP — timestamp_micros(ts div 1000), the exact
+    // rebuild every engine-side reader applies anyway — so DuckDB reads
+    // the SAME type as the engine and the events-family oracles stay
+    // value-checkable at amplified factors (they were previously excluded
+    // because DuckDB saw BIGINT where the shipped fixture has TIMESTAMP).
     val ev = spark.read.parquet(s"$src/events.parquet")
     singleFileParquet((0 until k).map { c =>
       ev.select((col("event_id") + lit(c * 1000000000L)).as("event_id"),
-        col("ts"), (col("user_id") + lit(c * 10000000L)).as("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        (col("user_id") + lit(c * 10000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _), dir, "events")
 
@@ -99,7 +106,7 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outRoot = args.lift(1).getOrElse("target/scale")
-    val factors = args.lift(2).getOrElse("1,3,10").split(",").map(_.trim.toInt).toSeq
+    val factors = args.lift(2).getOrElse("1,3,10,30").split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -140,10 +147,17 @@ object ScaleRehearsal {
       "q45_stream_stream_join" -> (graft.queries.StreamQueries.q45StreamStreamJoin _),
       "q48_stream_stream_left_outer" -> (graft.queries.StreamQueries.q48StreamStreamLeftOuter _))
 
+    // Factors past ×10 run in SHALLOW mode: structural counts for the doc
+    // family only (one pass each, no min-of-2 timing) — the cheap extra
+    // decade that shows whether the candidate ratio keeps holding.
+    val shallowSet = Set("q20_exact_dedup", "q25_minhash_neardup",
+      "q49_stratified_sample", "q51_decontaminate")
+
     factors.foreach { k =>
+      val deep = k <= 10
       val dir = amplified(spark, src, outRoot, k)
       // Warm the Tables hot-set for this dir so timings exclude first-touch.
-      Seq("documents", "embeddings", "events")
+      (if (deep) Seq("documents", "embeddings", "events") else Seq("documents"))
         .foreach(t => materialize(graft.sources.Tables(spark, dir, t)))
 
       // Structural count: banded candidate pairs (the quantity that must
@@ -152,11 +166,40 @@ object ScaleRehearsal {
         graft.sources.Tables(spark, dir, "documents")).count()
       println(s"""{"rehearsal":true,"factor":$k,"metric":"minhash_candidates","value":$candCount}""")
 
-      queries.foreach { case (name, q) =>
+      val active = if (deep) queries else queries.filter(q => shallowSet(q._1))
+      active.foreach { case (name, q) =>
         val rows = q(spark, dir).count()
-        val sec = bench(materialize(q(spark, dir)))
+        val sec = if (deep) bench(materialize(q(spark, dir)))
+                  else timed(materialize(q(spark, dir)))
         println(s"""{"rehearsal":true,"factor":$k,"metric":"$name","seconds":$sec,"rows":$rows,"loadavg":${loadavg1m()}}""")
       }
+
+      // IVF at production nlist (the √n rule): candidate volume must be
+      // bounded by probed-list occupancy (≈ nProbe/nlist of the corpus
+      // under balanced lists), and recall is pinned against the
+      // brute-force top-3 — the documented parallelism-ceiling knob
+      // (EmbedQueries.ivfAnn) discharged by measurement, not prose.
+      if (deep) {
+        import graft.queries.EmbedQueries
+        val nVec = graft.sources.Tables(spark, dir, "embeddings").count()
+        val nlistBig = math.max(16, math.round(math.sqrt(nVec.toDouble)).toInt)
+        val brute = EmbedQueries.q27EmbedCosineTopk(spark, dir)
+          .filter(col("rank") <= 3).select("q_id", "vec_id")
+        val bruteN = brute.count()
+        Seq((16, 2), (nlistBig, 2), (nlistBig, 8)).foreach { case (nl, np) =>
+          val cands = EmbedQueries.ivfCandidates(spark, dir, nl, np).count()
+          val hits = EmbedQueries.ivfAnn(spark, dir, nl, np)
+            .select("q_id", "vec_id").join(brute, Seq("q_id", "vec_id")).count()
+          val sec = bench(materialize(EmbedQueries.ivfAnn(spark, dir, nl, np)))
+          val recall = hits.toDouble / bruteN
+          println(s"""{"rehearsal":true,"factor":$k,"metric":"ivf_ann","n_vectors":$nVec,"nlist":$nl,"nprobe":$np,"candidates":$cands,"recall_at3":$recall,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+        }
+      }
+
+      // Release the per-dir doc-family caches before the next factor — the
+      // library's own lifecycle hook, which also keeps the ×30 pass from
+      // stacking three corpora's tokenized/shingle relations in memory.
+      graft.queries.DocQueries.unpersistShared(spark, dir)
     }
     spark.stop()
   }

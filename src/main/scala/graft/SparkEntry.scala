@@ -277,14 +277,19 @@ object SparkEntry {
         |  SELECT lang, length(text) AS chars,
         |         string_split_regex(lower(trim(text)), '\s+') AS toks,
         |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
-        |  FROM documents)
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, chars, len(toks) AS n, bpe,
+        |         CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 1e9) AS BIGINT) AS ttr_e9,
+        |         CAST(round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) * 1e9) AS BIGINT) AS tlen_e9
+        |  FROM t)
         |SELECT lang, count(*) AS doc_count,
-        |       round(avg(len(toks)), 4) AS avg_tokens,
+        |       round(avg(n), 4) AS avg_tokens,
         |       round(avg(bpe), 4) AS avg_bpe_tokens,
-        |       round(avg(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 6) AS avg_ttr,
-        |       round(avg(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)), 6) AS avg_token_len,
+        |       round(CAST(sum(ttr_e9) AS DOUBLE) / 1e9 / count(*), 6) AS avg_ttr,
+        |       round(CAST(sum(tlen_e9) AS DOUBLE) / 1e9 / count(*), 6) AS avg_token_len,
         |       round(avg(chars), 4) AS avg_chars
-        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "q22_docs_quality" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

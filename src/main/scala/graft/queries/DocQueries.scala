@@ -105,7 +105,17 @@ object DocQueries {
   }
 
   /** Per-language corpus statistics: token counts, type/token ratio, token
-    * length — all computed with HOFs over the token array in one pass. */
+    * length — all computed with HOFs over the token array in one pass.
+    *
+    * The two ratio means (avg_ttr, avg_token_len) quantize each per-row
+    * ratio to 1e-9 and sum as LONG before dividing by the count: a
+    * partial-aggregate merge combines exact integers, so the result is
+    * identical under ANY partitioning / merge order — a plain
+    * avg-of-double here would vary in the last bits with parallelism and
+    * could flip the 6-decimal rounding against the sequential DuckDB
+    * oracle. The integer-valued means (tokens, bpe, chars) are exact in
+    * double as long as partial sums stay under 2^53, so plain avg is
+    * already order-insensitive for them. */
   def q21DocsTextStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("toks")
     tokenizedDocs(Tables(spark, dir, "documents"))
@@ -116,13 +126,20 @@ object DocQueries {
         size(array_distinct(t)).as("nd"),
         aggregate(t, lit(0), (acc, x) => acc + length(x)).as("sumlen"),
         col("bpe"))
+      .select(col("lang"), col("chars"), col("n"), col("bpe"),
+        round(col("nd").cast("double") / col("n") * lit(1e9)).cast("long")
+          .as("ttr_e9"),
+        round(col("sumlen").cast("double") / col("n") * lit(1e9)).cast("long")
+          .as("tlen_e9"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("doc_count"),
         round(avg(col("n")), 4).as("avg_tokens"),
         round(avg(col("bpe")), 4).as("avg_bpe_tokens"),
-        round(avg(col("nd").cast("double") / col("n")), 6).as("avg_ttr"),
-        round(avg(col("sumlen").cast("double") / col("n")), 6).as("avg_token_len"),
+        round(sum(col("ttr_e9")).cast("double") / lit(1e9) / count(lit(1)), 6)
+          .as("avg_ttr"),
+        round(sum(col("tlen_e9")).cast("double") / lit(1e9) / count(lit(1)), 6)
+          .as("avg_token_len"),
         round(avg(col("chars")), 4).as("avg_chars"))
       .orderBy("lang")
   }

@@ -134,11 +134,33 @@ object EmbedQueries {
     *     thousands-to-millions (√n rule), which removes the ceiling the
     *     same way more planes do for LSH. AQE skew-split covers hot
     *     lists in the meantime. */
-  def q46EmbedIvfAnn(spark: SparkSession, dir: String): DataFrame = {
+  def q46EmbedIvfAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfAnn(spark, dir, nlist = 16, nProbe = 2)
+
+  /** The parameterized operator behind q46. `nlist` is the coarse-quantizer
+    * size (production: k-means offline, nlist ≈ √n — the knob that removes
+    * the candidate-join parallelism ceiling); `nProbe` trades recall for
+    * candidate volume. The scale rehearsal runs this at nlist ≈ √n over the
+    * ×10 corpus (SCALE.md) to demonstrate the documented ceiling knob with
+    * measurements, not prose. */
+  def ivfAnn(spark: SparkSession, dir: String, nlist: Int, nProbe: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    ivfCandidates(spark, dir, nlist, nProbe)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
+
+  /** The IVF candidate set (q_id, vec_id, cosine) BEFORE top-k — the
+    * quantity bounded by probed-list occupancy (≈ nProbe/nlist of the
+    * corpus under balanced lists), which is what decides whether IVF
+    * survives a scale-up. Public so the rehearsal can count it. */
+  def ivfCandidates(spark: SparkSession, dir: String,
+                    nlist: Int, nProbe: Int): DataFrame = {
     withDot(spark)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
-    val cents = emb.filter(col("vec_id") < 16)
+    val cents = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
     val scored = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
@@ -149,19 +171,14 @@ object EmbedQueries {
     val wProbe = Window.partitionBy("vec_id").orderBy(desc("score"), asc("cid"))
     val qprobe = scored.filter(col("vec_id") < 5)
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("cid"))
-    val candidates = lists.join(broadcast(qprobe), Seq("cid"))
+    lists.join(broadcast(qprobe), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("qv"), col("embedding")) /
           (col("qnrm") * col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
-    candidates
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .orderBy("q_id", "rank")
   }
 
   /** Embedding-cosine NEAR-DUP pairs — the fifth dedup family member

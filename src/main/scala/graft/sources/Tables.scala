@@ -32,10 +32,12 @@ object Tables {
     * session's parallelism. Only tables whose consumers are FLOAT-ORDER
     * INSENSITIVE qualify: repartitioning reorders rows, and a double
     * sum/avg aggregated in a different order can flip a 4-decimal
-    * rounding against the (sequential) DuckDB oracle. The doc/embedding
-    * families hash, count and compare per row — no cross-row float
-    * accumulation — while lineitem/orders/events feed avg/sum-of-double
-    * aggregates and stay in file order. */
+    * rounding against the (sequential) DuckDB oracle. The embedding
+    * family hashes, counts and compares per row; the doc family's one
+    * cross-row float mean (q21's ratio averages) quantizes each ratio to
+    * an integer BEFORE summation precisely so this repartition stays
+    * safe (DocQueries.q21DocsTextStats) — while lineitem/orders/events
+    * feed genuine avg/sum-of-double aggregates and stay in file order. */
   private val spread = Set("documents", "embeddings")
 
   private val cache = TrieMap.empty[(String, String, String), DataFrame]

@@ -46,13 +46,30 @@ object EventStreams {
 
   /** S5: replay the events table as a file stream. Requires a session built
     * with spark.sql.legacy.parquet.nanosAsLong=true (the testdata's
-    * TIMESTAMP(NANOS) parquet) — a session-build setting, not mutated here. */
+    * TIMESTAMP(NANOS) parquet) — a session-build setting, not mutated here.
+    *
+    * The stream schema must match the file's physical type, so the batch
+    * footer decides the `ts` shape: the shipped fixture stores
+    * TIMESTAMP(NANOS) (arriving as nano-long under the flag, rebuilt to
+    * micros here), while rewritten fixtures (e.g. the scale-rehearsal
+    * amplified tables) store a plain micro TIMESTAMP that passes through —
+    * the same dual handling graft.sources.Tables applies on the batch
+    * side. */
   def fileReplaySource(spark: SparkSession, dir: String): DataFrame = {
+    val tsIsLong = spark.read.parquet(s"$dir/events.parquet")
+      .schema.fields.exists(f => f.name == "ts" && f.dataType == LongType)
+    val schema =
+      if (tsIsLong) eventSchema
+      else StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampType) else f))
     val raw = spark.readStream
-      .schema(eventSchema)
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    normalize(raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val withTs =
+      if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    normalize(withTs)
   }
 
   /** P8 re-key + normalize: the streaming key column is an explicit
