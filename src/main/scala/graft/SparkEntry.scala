@@ -71,6 +71,7 @@ object SparkEntry {
     "q51_decontaminate" -> (DocQueries.q51Decontaminate _),
     "q52_curated_mix" -> (DocQueries.q52CuratedMix _),
     "q53_json_etl" -> (EtlQueries.q53JsonEtl _),
+    "q54_multimodal_wav_decode" -> (EmbedQueries.q54MultimodalWavDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -890,5 +891,18 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS distinct_users,
         |       strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_seen
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // WAV decode round-trip: the engine synthesizes PCM16 from the text
+    // bytes ((b-128)*256 at 8 kHz), decodes it with the real RIFF parser,
+    // and the oracle restates each decoded feature from the bytes
+    // directly: sample count = byte count, duration = integer-division
+    // milliseconds, peak = most-negative sample's magnitude (every sample
+    // is (b-128)*256 with b < 128 in this corpus, so |min| dominates).
+    "q54_multimodal_wav_decode" ->
+      """SELECT doc_id,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+        |       CAST(octet_length(encode(text)) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |       CAST((128 - list_min(list_transform(string_split(text, ''), x -> ord(x)))) * 256 AS BIGINT) AS peak_amplitude
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

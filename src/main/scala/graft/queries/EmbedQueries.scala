@@ -230,6 +230,21 @@ object EmbedQueries {
     * deterministically; media codecs aren't in this container), while THIS
     * query is the schema/partitioning shape a binary-asset table scan has
     * at scale: metadata extraction is narrow, constant memory per row. */
+  /** MULTIMODAL DECODE (q54): the audio path end-to-end REAL. Each document
+    * is synthesized into a genuine RIFF/WAVE PCM16 payload (sample i =
+    * (byte_i − 128)·256 at 8 kHz — deterministic, no RNG), then decoded by
+    * the actual byte-level codec (graft.functions.Multimodal.decodeWavPcm16:
+    * RIFF chunk walk, PCM16-mono validation, full sample scan) in bounded
+    * batches per partition. The extracted features are exact integer
+    * arithmetic — sample count, integer-division duration, peak
+    * |amplitude| — so DuckDB states them independently from the text bytes
+    * and the decode is value-checked, not shape-checked. Narrow end to end
+    * (encode and decode are per-row; the only shuffle is the final sort). */
+  def q54MultimodalWavDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal.wavFeatures(
+      graft.functions.Multimodal.documentsAsWavBlobs(spark, dir))
+      .toDF().orderBy("doc_id")
+
   def q29MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val payload = encode(col("text"), "UTF-8")

@@ -38,4 +38,72 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.extractFeatures(ds, batchSize = 10).collect()
     assert(out.map(_.doc_id).sorted.toSeq == (1L to 301L))
   }
+
+  test("WAV PCM16 encode/decode round-trips samples and rate exactly") {
+    val samples = Array.tabulate(3000)(i => ((i * 37) % 65536 - 32768).toShort)
+    val bytes = Multimodal.encodeWavPcm16(samples, 44100)
+    val (rate, decoded) = Multimodal.decodeWavPcm16(bytes)
+    assert(rate == 44100)
+    assert(decoded.sameElements(samples))
+  }
+
+  test("WAV decoder walks interleaved chunks instead of assuming offset 44") {
+    val samples = Array[Short](100, -200, 300)
+    val std = Multimodal.encodeWavPcm16(samples, 8000)
+    // splice a LIST chunk between fmt and data (odd 5-byte body + word pad)
+    val fmtEnd = 12 + 8 + 16
+    val junk = "LIST".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(5).array() ++ Array[Byte](1, 2, 3, 4, 5) ++ Array[Byte](0)
+    val spliced = std.take(fmtEnd) ++ junk ++ std.drop(fmtEnd)
+    val (rate, decoded) = Multimodal.decodeWavPcm16(spliced)
+    assert(rate == 8000 && decoded.sameElements(samples))
+  }
+
+  test("WAV decoder rejects non-WAV and non-PCM16-mono payloads") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16("not a wave file at all".getBytes)
+    }
+    val stereoish = Multimodal.encodeWavPcm16(Array[Short](1, 2), 8000)
+    stereoish(22) = 2 // channels field -> 2
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(stereoish) }
+  }
+
+  test("PPM P6 encode/decode round-trips dimensions and pixels, eats comments") {
+    val rgb = Array.tabulate(2 * 3 * 3)(i => (i * 7 % 256).toByte)
+    val bytes = Multimodal.encodePpm(2, 3, rgb)
+    val (w, h, maxval, pixels) = Multimodal.decodePpm(bytes)
+    assert((w, h, maxval) == (2, 3, 255))
+    assert(pixels.sameElements(rgb))
+    val withComment = ("P6\n# a comment\n2 3\n255\n".getBytes("US-ASCII")) ++ rgb
+    val (w2, h2, _, pixels2) = Multimodal.decodePpm(withComment)
+    assert((w2, h2) == (2, 3) && pixels2.sameElements(rgb))
+    intercept[IllegalArgumentException] { Multimodal.decodePpm("P5 junk".getBytes) }
+  }
+
+  test("mime dispatch: wav frames are real block peaks, ppm frames carry dims") {
+    val samples = Array.tabulate(2500)(i => (i - 1250).toShort) // peak 1250 & 1249
+    val wav = MediaBlob(1, "audio/wav", Multimodal.encodeWavPcm16(samples, 8000))
+    val rgb = Array.fill(4 * 2 * 3)(17.toByte)
+    val ppm = MediaBlob(2, "image/x-portable-pixmap", Multimodal.encodePpm(4, 2, rgb))
+    val out = Multimodal.extractFeatures(Seq(wav, ppm).toDS()).collect()
+      .sortBy(_.doc_id)
+    // 2500 samples / 1024-sample blocks -> 3 frames; block peaks are exact:
+    // block1 = -1250..-227 -> 1250, block2 = -226..797 -> 797, block3 -> 1249
+    assert(out(0).frames.toSeq == Seq(1250, 797, 1249))
+    assert(out(1).frames.take(3).toSeq == Seq(4, 2, 255) &&
+      out(1).frames.drop(3).toSeq == Seq(17, 17))
+  }
+
+  test("wavFeatures matches the q54 oracle arithmetic on a known payload") {
+    val text = "Hello graft" // ASCII; min byte 'H' = 72 -> peak (128-72)*256
+    val bytes = text.getBytes("UTF-8")
+    val samples = bytes.map(b => (((b & 0xff) - 128) * 256).toShort)
+    val ds = Seq(MediaBlob(9, "audio/wav",
+      Multimodal.encodeWavPcm16(samples, 8000))).toDS()
+    val f = Multimodal.wavFeatures(ds).collect().head
+    assert(f.sample_rate == 8000 && f.n_samples == bytes.length)
+    assert(f.duration_ms == bytes.length * 1000L / 8000)
+    assert(f.peak_amplitude == (128 - bytes.min) * 256)
+  }
 }
