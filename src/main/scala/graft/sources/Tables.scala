@@ -37,33 +37,51 @@ object Tables {
     * cross-row float mean (q21's ratio averages) quantizes each ratio to
     * an integer BEFORE summation precisely so this repartition stays
     * safe (DocQueries.q21DocsTextStats) — while lineitem/orders/events
-    * feed genuine avg/sum-of-double aggregates and stay in file order. */
-  private val spread = Set("documents", "embeddings")
+    * feed genuine avg/sum-of-double aggregates and stay in file order.
+    *
+    * The value is the ROWS-PER-PARTITION divisor for the size-scaled
+    * repartition (see [[apply]]); ~1000 rows/task amortizes scheduling
+    * for the per-row work these families do. A consumer whose per-row
+    * cost is amplified far beyond that (q36's pair-verify join evaluates
+    * hundreds of dot products per embedding row) fans out its OWN input
+    * instead (EmbedQueries.q36EmbedCosineNeardup) — tuning the shared
+    * cache for the heaviest consumer is what regressed the
+    * overhead-bound probe queries in round 5. */
+  private val spread = Map("documents" -> 1000L, "embeddings" -> 1000L)
 
   private val cache = TrieMap.empty[(String, String, String), DataFrame]
 
   /** Load `<dir>/<name>.parquet`, persisted if hot and caching enabled.
     *
-    * [[spread]] tables are REPARTITIONED to the session's parallelism at
-    * build time: the testdata tables are single parquet files with one row
-    * group, which Spark cannot split — so without this, every narrow pass
-    * downstream (the doc family's tokenize/annotate stages) runs as ONE
-    * task no matter how many cores the session has (measured: q47's
-    * annotation pass went superlinear on the ×30 amplified corpus purely
-    * from this). One cheap round-robin exchange at cache build buys every
-    * consumer full parallelism. At 100 TB the same files carry thousands
-    * of row groups and split naturally — which is why the
-    * `cacheInputs=false` cluster path stays a pure pushdown-friendly scan
-    * with no forced exchange. */
+    * [[spread]] tables are REPARTITIONED at build time: the testdata
+    * tables are single parquet files with one row group, which Spark
+    * cannot split — so without this, every narrow pass downstream (the
+    * doc family's tokenize/annotate stages) runs as ONE task no matter
+    * how many cores the session has (measured: q47's annotation pass went
+    * superlinear on the ×30 amplified corpus purely from this). The
+    * partition count SCALES WITH THE TABLE — one partition per ~1000 rows,
+    * capped at the session parallelism — because the fix must not
+    * overshoot the other way: unconditionally fanning a 2000-row table
+    * out to 32 partitions made every downstream stage scheduler-overhead-
+    * dominated at sf0.1 (the round-5 q20/q46 slowdowns: 32 tasks × ~60
+    * rows per stage; measured +0.3–0.5 s each, recovered by this rule).
+    * At 100 TB the same files carry thousands of row groups and split
+    * naturally — which is why the `cacheInputs=false` cluster path stays
+    * a pure pushdown-friendly scan with no forced exchange. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val cachingOn =
       !spark.conf.getOption("spark.graft.cacheInputs").contains("false")
     if (cachingOn && hot(name)) {
       cache.getOrElseUpdate((spark.sparkContext.applicationId, dir, name), {
         val df = read(spark, dir, name)
-        val laidOut =
-          if (spread(name)) df.repartition(spark.sparkContext.defaultParallelism)
-          else df
+        val laidOut = spread.get(name) match {
+          case Some(rowsPerPartition) =>
+            val target = math.min(
+              spark.sparkContext.defaultParallelism.toLong,
+              math.max(1L, df.count() / rowsPerPartition)).toInt
+            df.repartition(target)
+          case None => df
+        }
         laidOut.persist(StorageLevel.MEMORY_AND_DISK)
       })
     } else read(spark, dir, name)
