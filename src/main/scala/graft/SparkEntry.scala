@@ -72,6 +72,7 @@ object SparkEntry {
     "q52_curated_mix" -> (DocQueries.q52CuratedMix _),
     "q53_json_etl" -> (EtlQueries.q53JsonEtl _),
     "q54_multimodal_wav_decode" -> (EmbedQueries.q54MultimodalWavDecode _),
+    "q55_multimodal_ppm_decode" -> (EmbedQueries.q55MultimodalPpmDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -904,5 +905,20 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) * 1000 // 8000 AS BIGINT) AS duration_ms,
         |       CAST((128 - list_min(list_transform(string_split(text, ''), x -> ord(x)))) * 256 AS BIGINT) AS peak_amplitude
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // PPM decode round-trip: pixel i of the 1-row image is (b, 255-b,
+    // (7b) mod 256) over the text bytes; the oracle restates the decoded
+    // header fields and per-channel maxima from the bytes directly.
+    "q55_multimodal_ppm_decode" ->
+      """WITH o AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), x -> ord(x)) AS ords
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(ords) AS BIGINT) AS width,
+        |       CAST(1 AS BIGINT) AS height,
+        |       CAST(255 AS BIGINT) AS maxval,
+        |       CAST(list_max(ords) AS BIGINT) AS max_r,
+        |       CAST(255 - list_min(ords) AS BIGINT) AS max_g,
+        |       CAST(list_max(list_transform(ords, x -> (7 * x) % 256)) AS BIGINT) AS max_b
+        |FROM o ORDER BY doc_id""".stripMargin,
   )
 }

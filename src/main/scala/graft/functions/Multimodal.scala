@@ -212,6 +212,63 @@ object Multimodal {
     }
   }
 
+  /** Typed features of a decoded P6 image — header fields plus per-channel
+    * maxima, every one exact integer arithmetic over the decoded plane
+    * (the q55 oracle surface). */
+  final case class PpmFeatures(
+      doc_id: Long, width: Long, height: Long, maxval: Long,
+      max_r: Long, max_g: Long, max_b: Long)
+
+  /** Typed image features via the REAL P6 parser: header walk (magic,
+    * comments, dims, maxval) then a full scan of the RGB plane. Same
+    * bounded-batch shape as [[extractFeatures]]. */
+  def ppmFeatures(blobs: Dataset[MediaBlob],
+                  batchSize: Int = DefaultBatchSize): Dataset[PpmFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { b =>
+          val (w, h, maxval, rgb) = decodePpm(b.payload)
+          var (mr, mg, mb) = (0, 0, 0); var i = 0
+          while (i < rgb.length) {
+            mr = math.max(mr, rgb(i) & 0xff)
+            mg = math.max(mg, rgb(i + 1) & 0xff)
+            mb = math.max(mb, rgb(i + 2) & 0xff)
+            i += 3
+          }
+          PpmFeatures(b.doc_id, w.toLong, h.toLong, maxval.toLong,
+            mr.toLong, mg.toLong, mb.toLong)
+        }
+      }
+    }
+  }
+
+  /** Render each document as a REAL 1×N P6 image — pixel i of the single
+    * row maps byte b_i of the UTF-8 text to (R,G,B) = (b, 255−b,
+    * (7·b) mod 256). Single-row layout avoids padding, so every decoded
+    * feature is a pure function of the text bytes and the DuckDB oracle
+    * can restate it independently (q55). */
+  def documentsAsPpmBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    graft.sources.Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val rgb = new Array[Byte](bytes.length * 3)
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          rgb(i * 3) = b.toByte
+          rgb(i * 3 + 1) = (255 - b).toByte
+          rgb(i * 3 + 2) = ((7 * b) % 256).toByte
+          i += 1
+        }
+        MediaBlob(id, "image/x-portable-pixmap",
+          encodePpm(bytes.length, 1, rgb))
+      }
+  }
+
   /** Lift the documents table into a MediaBlob dataset (text bytes standing
     * in for media payloads — same schema a real asset table has). */
   def documentsAsBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {

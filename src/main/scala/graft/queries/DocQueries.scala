@@ -368,8 +368,12 @@ object DocQueries {
     * window then sorts ~budget-sized strata, not corpus-sized ones, and
     * the histogram window itself runs over ≤ 1001 rows per stratum.
     * Measured (SCALE.md): q50's ×10 runtime growth dropped from 2.9× to
-    * ~1× once the window's input stopped tracking the corpus. */
-  private def packToBudget(scored: DataFrame, budget: Long): DataFrame = {
+    * ~1× once the window's input stopped tracking the corpus.
+    *
+    * Public as the reusable operator form (like [[decontaminate]]): takes
+    * any (doc_id, lang, n_tokens, quality) frame; q50/q52 are the
+    * registered instantiations. */
+  def packToBudget(scored: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // 1000 buckets over the [0,1] score; floor keeps the bucket edge below
     // every member, so "strictly-higher buckets" = "strictly-higher quality

@@ -253,6 +253,18 @@ object EmbedQueries {
       graft.functions.Multimodal.documentsAsWavBlobs(spark, dir))
       .toDF().orderBy("doc_id")
 
+  /** MULTIMODAL IMAGE DECODE (q55): q54's twin for the image mime. Each
+    * document renders as a genuine 1×N binary PPM (P6) whose pixels are a
+    * fixed function of the text bytes; the real parser (header walk +
+    * full RGB-plane scan) extracts dimensions, maxval, and per-channel
+    * maxima — all exact integers DuckDB restates independently. With q54
+    * this makes BOTH demonstration mimes (audio + image) end-to-end real:
+    * synth → container bytes → codec → oracle-checked features. */
+  def q55MultimodalPpmDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal.ppmFeatures(
+      graft.functions.Multimodal.documentsAsPpmBlobs(spark, dir))
+      .toDF().orderBy("doc_id")
+
   def q29MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val payload = encode(col("text"), "UTF-8")

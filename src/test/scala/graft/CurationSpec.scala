@@ -71,6 +71,49 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packing's histogram prefilter is exact on adversarial strata") {
+    import spark.implicits._
+    // The prefilter prunes docs whose quality bucket has >= budget tokens
+    // strictly above it. These fixtures aim at its edges: a stratum where
+    // EVERY doc shares one bucket (nothing prunable), one where the single
+    // best doc overflows the budget alone (everything prunable after it),
+    // one where the budget covers the whole stratum, and one whose
+    // boundary bucket carries ties that must survive the prune.
+    val rows = Seq(
+      // one-bucket degenerate: identical quality, tie-break by doc_id
+      (1L, "flat", 400L, 0.5), (2L, "flat", 400L, 0.5),
+      (3L, "flat", 400L, 0.5), (4L, "flat", 400L, 0.5),
+      // first doc alone exceeds the budget
+      (10L, "big", 5000L, 0.9), (11L, "big", 10L, 0.8),
+      // budget covers everything
+      (20L, "tiny", 5L, 0.3), (21L, "tiny", 6L, 0.2),
+      // boundary bucket ties: 0.7004/0.7001 share bucket 700 with
+      // different admission outcomes; 0.699 sits one bucket below
+      (30L, "edge", 600L, 0.7004), (31L, "edge", 600L, 0.7001),
+      (32L, "edge", 600L, 0.699), (33L, "edge", 600L, 0.1))
+    val scored = rows.toDF("doc_id", "lang", "n_tokens", "quality")
+    val budget = 1000L
+    val got = graft.queries.DocQueries.packToBudget(scored, budget)
+      .select("lang", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._3))
+    // Independent naive fill per stratum (no prefilter)
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (lang, docs) =>
+      val ordered = docs.sortBy(d => (-d._4, d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).takeWhile(_._2 <= budget)
+        .map { case (d, c) => (lang, d._1, c) }
+    }.sortBy(r => (r._1, r._3))
+    assert(got == expect,
+      s"prefilter diverged from the naive window:\n got=$got\n exp=$expect")
+    // spot-check the edges explicitly: flat keeps docs 1-2 (800 <= 1000 <
+    // 1200); big keeps nothing; tiny keeps both; edge keeps 30 (600) but
+    // not 31 (1200 > budget)
+    assert(got.filter(_._1 == "flat").map(_._2) == Seq(1L, 2L))
+    assert(!got.exists(_._1 == "big"))
+    assert(got.filter(_._1 == "tiny").map(_._2).toSet == Set(20L, 21L))
+    assert(got.filter(_._1 == "edge").map(_._2) == Seq(30L))
+  }
+
   test("decontamination flags only held-out docs, with genuine overlap") {
     import spark.implicits._
     val flagged = graft.queries.DocQueries.q51Decontaminate(spark, sf)

@@ -95,6 +95,18 @@ class MultimodalSpec extends AnyFunSuite {
       out(1).frames.drop(3).toSeq == Seq(17, 17))
   }
 
+  test("ppmFeatures extracts per-channel maxima from the decoded plane") {
+    // 2x2 image with known channel extremes
+    val rgb = Array[Int](
+      10, 200, 30,  90, 20, 130,
+      40, 250, 60,  80, 10, 255).map(_.toByte)
+    val ds = Seq(MediaBlob(3, "image/x-portable-pixmap",
+      Multimodal.encodePpm(2, 2, rgb))).toDS()
+    val f = Multimodal.ppmFeatures(ds).collect().head
+    assert((f.width, f.height, f.maxval) == (2L, 2L, 255L))
+    assert((f.max_r, f.max_g, f.max_b) == (90L, 250L, 255L))
+  }
+
   test("wavFeatures matches the q54 oracle arithmetic on a known payload") {
     val text = "Hello graft" // ASCII; min byte 'H' = 72 -> peak (128-72)*256
     val bytes = text.getBytes("UTF-8")
