@@ -387,9 +387,13 @@ object DocQueries {
       .withColumn("above", coalesce(sum("btoks").over(above), lit(0L)))
       .filter(col("above") < budget) // bucket still reachable within budget
       .groupBy("lang").agg(min("qb").as("min_qb"))
+    // LEFT join + null-pass filter: a stratum the cutoff table cannot
+    // name (a null lang never equi-joins) must fall through to the exact
+    // window un-pruned rather than be silently dropped — prefilter
+    // absence degrades to the pre-optimization plan, never to data loss.
     val survivors = scored
-      .join(broadcast(cutoffs), Seq("lang"))
-      .filter(qb >= col("min_qb"))
+      .join(broadcast(cutoffs), Seq("lang"), "left")
+      .filter(col("min_qb").isNull || qb >= col("min_qb"))
       .drop("min_qb")
     val w = Window
       .partitionBy("lang").orderBy(desc("quality"), asc("doc_id"))

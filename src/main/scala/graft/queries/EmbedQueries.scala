@@ -181,6 +181,62 @@ object EmbedQueries {
           (col("qnrm") * col("nrm")), 6).as("cosine"))
   }
 
+  /** The WRITE PATH of production IVF: compute the coarse-quantizer
+    * assignment ONCE and store the corpus PARTITIONED BY list id. After
+    * this, probing is directory pruning at the storage layer — the
+    * query-time crossJoin/argmax/self-join of [[ivfCandidates]] disappear
+    * entirely (demonstrated with plan pins in IvfWritePathSpec). */
+  def writeIvfLists(spark: SparkSession, dir: String, outPath: String,
+                    nlist: Int): Unit = {
+    withDot(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
+    val assign = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm"))).as("score"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
+    emb.join(assign, "vec_id")
+      .write.mode("overwrite").partitionBy("cid").parquet(outPath)
+  }
+
+  /** The PROBE-ONLY query path over a written list table: each query
+    * scores the (tiny, broadcast) centroid set to pick its nProbe lists,
+    * then joins the listed corpus on the PARTITION column — Spark's
+    * dynamic partition pruning turns the probe into skipped directories,
+    * so the scan reads ~nProbe/nlist of the corpus and nothing shuffles
+    * for assignment. Result-identical to [[ivfAnn]] at the same
+    * (nlist, nProbe) — spec-asserted. */
+  def ivfAnnFromLists(spark: SparkSession, dir: String, listsPath: String,
+                      nlist: Int, nProbe: Int): DataFrame = {
+    withDot(spark)
+    val lists = spark.read.parquet(listsPath)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
+    val wProbe = Window.partitionBy("vec_id").orderBy(desc("score"), asc("cid"))
+    val qprobe = emb.filter(col("vec_id") < 5).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm"))).as("score"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("cid"))
+    val candidates = lists.join(broadcast(qprobe), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding-cosine NEAR-DUP pairs — the fifth dedup family member
     * (exact / MinHash / SimHash / n-gram Jaccard live in DocQueries):
     * bucket every vector with 4 sign-random-projection planes, self-join

@@ -90,19 +90,24 @@ class CurationSpec extends AnyFunSuite {
       // boundary bucket ties: 0.7004/0.7001 share bucket 700 with
       // different admission outcomes; 0.699 sits one bucket below
       (30L, "edge", 600L, 0.7004), (31L, "edge", 600L, 0.7001),
-      (32L, "edge", 600L, 0.699), (33L, "edge", 600L, 0.1))
+      (32L, "edge", 600L, 0.699), (33L, "edge", 600L, 0.1),
+      // null stratum: the cutoff equi-join can't name it — it must fall
+      // through to the exact window un-pruned, not be dropped
+      (40L, null.asInstanceOf[String], 300L, 0.6),
+      (41L, null.asInstanceOf[String], 800L, 0.4))
     val scored = rows.toDF("doc_id", "lang", "n_tokens", "quality")
     val budget = 1000L
     val got = graft.queries.DocQueries.packToBudget(scored, budget)
       .select("lang", "doc_id", "cum_tokens")
-      .as[(String, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._3))
+      .as[(String, Long, Long)].collect().toSeq
+      .sortBy(r => (Option(r._1).getOrElse(""), r._3))
     // Independent naive fill per stratum (no prefilter)
     val expect = rows.groupBy(_._2).toSeq.flatMap { case (lang, docs) =>
       val ordered = docs.sortBy(d => (-d._4, d._1))
       val cums = ordered.scanLeft(0L)(_ + _._3).tail
       ordered.zip(cums).takeWhile(_._2 <= budget)
         .map { case (d, c) => (lang, d._1, c) }
-    }.sortBy(r => (r._1, r._3))
+    }.sortBy(r => (Option(r._1).getOrElse(""), r._3))
     assert(got == expect,
       s"prefilter diverged from the naive window:\n got=$got\n exp=$expect")
     // spot-check the edges explicitly: flat keeps docs 1-2 (800 <= 1000 <
@@ -112,6 +117,8 @@ class CurationSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == "big"))
     assert(got.filter(_._1 == "tiny").map(_._2).toSet == Set(20L, 21L))
     assert(got.filter(_._1 == "edge").map(_._2) == Seq(30L))
+    assert(got.filter(_._1 == null).map(_._2) == Seq(40L),
+      "null stratum must survive the prefilter and pack normally")
   }
 
   test("decontamination flags only held-out docs, with genuine overlap") {
