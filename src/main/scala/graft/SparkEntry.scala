@@ -73,6 +73,7 @@ object SparkEntry {
     "q53_json_etl" -> (EtlQueries.q53JsonEtl _),
     "q54_multimodal_wav_decode" -> (EmbedQueries.q54MultimodalWavDecode _),
     "q55_multimodal_ppm_decode" -> (EmbedQueries.q55MultimodalPpmDecode _),
+    "q56_orc_etl" -> (EtlQueries.q56OrcEtl _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -920,5 +921,14 @@ object SparkEntry {
         |       CAST(255 - list_min(ords) AS BIGINT) AS max_g,
         |       CAST(list_max(list_transform(ords, x -> (7 * x) % 256)) AS BIGINT) AS max_b
         |FROM o ORDER BY doc_id""".stripMargin,
+    // ORC round trip: the aggregate over what Spark re-reads from its own
+    // ORC export must equal the aggregate over the parquet source
+    // (l_quantity is integer-valued, so the long cast is exact).
+    "q56_orc_etl" ->
+      """SELECT l_returnflag, count(*) AS line_count,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       count(DISTINCT l_suppkey) AS distinct_suppliers,
+        |       strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

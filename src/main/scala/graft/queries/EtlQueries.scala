@@ -104,4 +104,29 @@ object EtlQueries {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
       .orderBy("event_type")
   }
+
+  /** K1-adjacent: ORC round trip — the second columnar format Spark
+    * supports natively (the ecosystem the reference sits in mixes
+    * parquet- and ORC-resident warehouses; at 100 TB an engine that can
+    * only scan one columnar format forces a rewrite of the other half).
+    * Same contract as q53: write the lineitem slice as ORC, read it back,
+    * aggregate — the oracle computes the identical aggregate from the
+    * parquet source, so the check covers the whole ORC
+    * write→read→aggregate path including type fidelity (decimal-free
+    * slice: longs, strings and dates ride bit-stable through ORC). */
+  def q56OrcEtl(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "lineitem_orc")
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_returnflag"), col("l_shipdate"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("line_count"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        countDistinct(col("l_suppkey")).as("distinct_suppliers"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship"))
+      .orderBy("l_returnflag")
+  }
 }
