@@ -196,10 +196,12 @@ object ScaleRehearsal {
         }
       }
 
-      // Release the per-dir doc-family caches before the next factor — the
-      // library's own lifecycle hook, which also keeps the ×30 pass from
-      // stacking three corpora's tokenized/shingle relations in memory.
+      // Release the per-dir caches before the next factor — both the
+      // doc-family derived relations and the Tables-level persisted
+      // inputs. Without the latter, the ×30 pass still holds every
+      // earlier factor's fact tables at MEMORY_AND_DISK.
       graft.queries.DocQueries.unpersistShared(spark, dir)
+      graft.sources.Tables.release(spark, dir)
     }
     spark.stop()
   }

@@ -79,6 +79,8 @@ object Multimodal {
     while (buf.remaining() >= 8 && (sampleRate < 0 || samples == null)) {
       val id = tag()
       val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining(),
+        s"bad chunk length $len in '$id' (remaining ${buf.remaining()})")
       val next = buf.position() + len + (len & 1) // chunks are word-aligned
       id match {
         case "fmt " =>

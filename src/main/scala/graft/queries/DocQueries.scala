@@ -372,7 +372,14 @@ object DocQueries {
     *
     * Public as the reusable operator form (like [[decontaminate]]): takes
     * any (doc_id, lang, n_tokens, quality) frame; q50/q52 are the
-    * registered instantiations. */
+    * registered instantiations.
+    *
+    * Precondition for the EXACT-prune claim: `n_tokens >= 1` per row. A
+    * zero-token document adds nothing to the running total, so it can ride
+    * in at a point where all strictly-higher buckets already total exactly
+    * `budget` — a state the prefilter (correctly, for any n_tokens ≥ 1)
+    * prunes. Null `quality` rows pass the prefilter untouched (see the
+    * filter below) and fall to the window's null ordering. */
   def packToBudget(scored: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // 1000 buckets over the [0,1] score; floor keeps the bucket edge below
@@ -389,11 +396,14 @@ object DocQueries {
       .groupBy("lang").agg(min("qb").as("min_qb"))
     // LEFT join + null-pass filter: a stratum the cutoff table cannot
     // name (a null lang never equi-joins) must fall through to the exact
-    // window un-pruned rather than be silently dropped — prefilter
-    // absence degrades to the pre-optimization plan, never to data loss.
+    // window un-pruned rather than be silently dropped, and a null-quality
+    // row (null qb) must likewise pass — `null >= min_qb` is null, which
+    // filter() treats as false, so without the explicit isNull arm the row
+    // would vanish. Prefilter absence degrades to the pre-optimization
+    // plan, never to data loss.
     val survivors = scored
       .join(broadcast(cutoffs), Seq("lang"), "left")
-      .filter(col("min_qb").isNull || qb >= col("min_qb"))
+      .filter(qb.isNull || col("min_qb").isNull || qb >= col("min_qb"))
       .drop("min_qb")
     val w = Window
       .partitionBy("lang").orderBy(desc("quality"), asc("doc_id"))

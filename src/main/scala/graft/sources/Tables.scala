@@ -87,6 +87,18 @@ object Tables {
     } else read(spark, dir, name)
   }
 
+  /** Release every persisted input cached for this (session, dir) — the
+    * Tables-level twin of `DocQueries.unpersistShared`. A multi-corpus run
+    * (the scale rehearsal's ×3/×10/×30 loop) otherwise holds EVERY earlier
+    * factor's fact tables at MEMORY_AND_DISK for the whole run; harmless
+    * at one corpus, pure spill pressure across several. */
+  def release(spark: SparkSession, dir: String): Unit = {
+    val appId = spark.sparkContext.applicationId
+    cache.keys.filter(k => k._1 == appId && k._2 == dir).foreach { k =>
+      cache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The testdata writer emits TIMESTAMP(NANOS) parquet, which Spark 4
     // rejects unless the session was built with

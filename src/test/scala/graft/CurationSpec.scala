@@ -121,6 +121,24 @@ class CurationSpec extends AnyFunSuite {
       "null stratum must survive the prefilter and pack normally")
   }
 
+  test("packing passes null-quality rows through the prefilter") {
+    import spark.implicits._
+    // `null >= min_qb` is null, which filter() treats as false — without
+    // the explicit isNull arm a null-quality row in a stratum that HAS a
+    // cutoff would silently vanish before the window ever saw it. It must
+    // instead reach the window and take its null ordering (last, for the
+    // desc(quality) sort).
+    val rows = Seq[(Long, String, Long, java.lang.Double)](
+      (50L, "nq", 100L, 0.9), (51L, "nq", 200L, null),
+      (52L, "nq", 300L, 0.8))
+    val got = graft.queries.DocQueries
+      .packToBudget(rows.toDF("doc_id", "lang", "n_tokens", "quality"), 1000L)
+      .orderBy("cum_tokens")
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((50L, 100L), (52L, 400L), (51L, 600L)),
+      s"null-quality row must survive the prefilter and sort last: $got")
+  }
+
   test("decontamination flags only held-out docs, with genuine overlap") {
     import spark.implicits._
     val flagged = graft.queries.DocQueries.q51Decontaminate(spark, sf)

@@ -69,6 +69,19 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(stereoish) }
   }
 
+  test("WAV decoder throws (not loops) on a negative/oversized chunk length") {
+    // A negative length would point `next` backwards and re-read the same
+    // chunk forever; the codec contract is to throw on malformed input.
+    val evil = Multimodal.encodeWavPcm16(Array[Short](1, 2, 3), 8000)
+    val buf = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(16, -8) // fmt chunk length -> -8
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(evil) }
+    val huge = Multimodal.encodeWavPcm16(Array[Short](1, 2, 3), 8000)
+    java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue) // fmt chunk claims more than the buffer holds
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(huge) }
+  }
+
   test("PPM P6 encode/decode round-trips dimensions and pixels, eats comments") {
     val rgb = Array.tabulate(2 * 3 * 3)(i => (i * 7 % 256).toByte)
     val bytes = Multimodal.encodePpm(2, 3, rgb)
@@ -105,6 +118,22 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.ppmFeatures(ds).collect().head
     assert((f.width, f.height, f.maxval) == (2L, 2L, 255L))
     assert((f.max_r, f.max_g, f.max_b) == (90L, 250L, 255L))
+  }
+
+  test("fixture documents are ASCII-only (q54/q55 oracle parity precondition)") {
+    // The q54/q55 DuckDB oracles restate the decoded features over
+    // CHARACTERS (string_split + ord, len) while the engine decodes UTF-8
+    // BYTES, and q54's peak formula assumes every byte < 128. Both hold
+    // exactly when the fixture text is pure ASCII — pin that here so a
+    // fixture change fails with this message instead of a confusing
+    // q54/q55 hash diff.
+    val maxByte = graft.sources.Tables(spark, "/root/testdata/sf0.01", "documents")
+      .selectExpr("text").as[String]
+      .map(t => t.getBytes("UTF-8").foldLeft(0)((m, b) => math.max(m, b & 0xff)))
+      .reduce(math.max _)
+    assert(maxByte < 128,
+      s"documents fixture contains non-ASCII byte $maxByte: the q54/q55 " +
+        "byte-vs-character oracle equivalence no longer holds")
   }
 
   test("wavFeatures matches the q54 oracle arithmetic on a known payload") {
