@@ -74,6 +74,8 @@ object SparkEntry {
     "q54_multimodal_wav_decode" -> (EmbedQueries.q54MultimodalWavDecode _),
     "q55_multimodal_ppm_decode" -> (EmbedQueries.q55MultimodalPpmDecode _),
     "q56_orc_etl" -> (EtlQueries.q56OrcEtl _),
+    "q57_boilerplate_ngrams" -> (DocQueries.q57BoilerplateNgrams _),
+    "q58_asof_join" -> (EventQueries.q58AsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -930,5 +932,34 @@ object SparkEntry {
         |       count(DISTINCT l_suppkey) AS distinct_suppliers,
         |       strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Heavy hitters: the oracle counts every bigram exactly (DuckDB's
+    // full groupBy is fine at oracle scale); the engine's sketch-pruned
+    // two-pass plan must land on the identical exact counts.
+    "q57_boilerplate_ngrams" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS tok
+        |  FROM t WHERE len(toks) >= 2),
+        |tot AS (SELECT count(*) AS n_total FROM bg)
+        |SELECT tok, count(*) AS cnt, (SELECT n_total FROM tot) AS n_total
+        |FROM bg GROUP BY tok
+        |HAVING count(*) * 1000 >= (SELECT n_total FROM tot)
+        |ORDER BY cnt DESC, tok""".stripMargin,
+    // As-of join: DuckDB states the same semantics through its NATIVE
+    // ASOF LEFT JOIN operator — an independent implementation of the
+    // operator itself, not just of the arithmetic.
+    "q58_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, v.view_event_id,
+        |       epoch_us(c.ts) - epoch_us(v.view_ts) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+        |ORDER BY c.event_id""".stripMargin,
   )
 }

@@ -173,6 +173,63 @@ object core {
       .drop("_salt")
   }
 
+  /** AS-OF JOIN: for every left row, attach the single most recent right
+    * row of the same key whose time is ≤ the left row's time (inclusive) —
+    * the trade/quote, event/state-snapshot operator Spark has no built-in
+    * for. Left rows with no earlier right row survive with null right
+    * columns (left-outer semantics, matching DuckDB's `ASOF LEFT JOIN`).
+    *
+    * Shape: the scale-safe union-and-sweep plan, not a range join. Both
+    * sides are tagged and unioned, then ONE window pass per key —
+    * `last(right_payload, ignoreNulls)` over (time asc, right-before-left
+    * at ties) — sweeps each key's timeline once, carrying the latest right
+    * payload forward into every left row. Cost at 100 TB: a single hash
+    * shuffle of both sides on the key plus a per-partition sort — the same
+    * exchange a sort-merge equi-join would do — with NO pair explosion.
+    * The naive alternative (`l.join(r, key && r.t <= l.t)` then max-per-l)
+    * materializes every (left, earlier-right) pair first: quadratic per
+    * key. Keys are many (users, instruments), so the per-key window
+    * parallelizes across partitions — this is not a single-partition
+    * funnel.
+    *
+    * Contract: right rows must be unique per (keys, rightTime) — dedupe
+    * upstream or ties resolve nondeterministically (same contract as any
+    * as-of engine). Null times sort first (Spark asc ordering): filter
+    * them upstream if the data can carry them. Payload column names must
+    * not collide across sides. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one equi-key")
+    val lPayload = left.columns.filterNot(keys.contains).toSeq
+    val rPayload = right.columns.filterNot(keys.contains).toSeq
+    val overlap = lPayload.toSet.intersect(rPayload.toSet)
+    require(overlap.isEmpty, s"asofJoin column collision across sides: $overlap")
+    require(lPayload.contains(leftTime) && rPayload.contains(rightTime),
+      "time columns must be non-key columns of their own side")
+    val rStructType = right.select(struct(rPayload.map(col): _*)).schema.head.dataType
+    val l2 = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("_graft_t"), lit(1).as("_graft_side"),
+        lit(null).cast(rStructType).as("_graft_r")) ++
+        lPayload.map(col): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("_graft_t"), lit(0).as("_graft_side"),
+        struct(rPayload.map(col): _*).as("_graft_r")) ++
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // (time asc, side asc): a right row at exactly the left row's time
+    // sorts FIRST, so equal-time matches are included — DuckDB ASOF's
+    // `l.t >= r.t` semantics.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_graft_t").asc, col("_graft_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("_graft_m", last(col("_graft_r"), ignoreNulls = true).over(w))
+      .filter(col("_graft_side") === 1)
+      .select(keys.map(col) ++ lPayload.map(col) ++
+        rPayload.map(c => col("_graft_m").getField(c).as(c)): _*)
+  }
+
   /** Most-frequent value of `valueCol` per `keyCol` with a total tie-break
     * (higher count wins, then smaller value) — the reference's mode idiom
     * (flights_lookup_to_kafka.py:30-46): groupBy + count + row_number. */

@@ -551,6 +551,52 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** BOILERPLATE N-GRAM DETECTION (q57): every bigram occupying at least
+    * 1/1000 of the corpus's bigram slots, with its EXACT count — the
+    * template/boilerplate audit a pretraining pipeline runs before dedup
+    * (navbars, license headers and scraper artifacts show up as n-grams
+    * with corpus-scale frequency).
+    *
+    * Two-pass sketch-pruned exact plan (the scale story is the point):
+    *   1. One narrow pass folds every bigram slot into a Misra–Gries
+    *      sketch ([[graft.functions.MisraGriesCandidates]], k=1024) plus a
+    *      plain count — a regular partial aggregation, O(k) memory per
+    *      task, merge input bounded by partitions × k. With threshold
+    *      n/1000 and k ≥ 1000 the sketch's survivors are a guaranteed
+    *      SUPERSET of the true heavy hitters (error ≤ n/(k+1) across any
+    *      merge tree).
+    *   2. The exact count then runs ONLY over slots whose bigram is in
+    *      the ≤ k-entry broadcast candidate set — the full-cardinality
+    *      groupBy (at 100 TB: billions of distinct n-grams through the
+    *      shuffle) never happens; false positives die on the final
+    *      threshold filter against the exact counts.
+    * Result: exact, oracle-checkable output with the big shuffle keyed on
+    * ≤ 1024 distinct values. (The sf fixtures' vocabulary is smaller than
+    * k, so eviction never fires here — FreqSketchSpec exercises the
+    * eviction and merge guarantees on adversarial skewed data.) */
+  def q57BoilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.FreqSketch.register(spark)
+    val tk = col("toks")
+    val n = size(tk)
+    // Adjacent-pair slices, not an index lambda — same O(n) reasoning as
+    // [[shingles]].
+    val bigrams = when(n >= 2,
+      zip_with(slice(tk, lit(1), n - 1), slice(tk, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val grams = tokenizedDocs(Tables(spark, dir, "documents"))
+      .select(explode(bigrams).as("tok"))
+    val sketch = grams.agg(
+      count(lit(1)).as("n_total"),
+      expr("graft_mg_candidates(tok, 1024)").as("cands"))
+    val cands = sketch.select(col("n_total"), explode(col("cands")).as("tok"))
+    grams.join(broadcast(cands), Seq("tok"))
+      .groupBy("tok", "n_total").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 1000L >= col("n_total"))
+      .select(col("tok"), col("cnt"), col("n_total"))
+      .orderBy(desc("cnt"), asc("tok"))
+  }
+
   /** SimHash fingerprint: 60-bit signature where bit b is the sign of the
     * weighted sum of token-hash bits. Emitted with a 16-bit prefix bucket —
     * the banding key a near-dup pass would equi-join on (same pattern as

@@ -39,6 +39,32 @@ object EventQueries {
       .orderBy(asc("win_start"), asc("event_type"))
   }
 
+  /** AS-OF JOIN (q58): for every click, the most recent view by the same
+    * user at or before the click — attribution's last-touch primitive,
+    * and the classic trade/quote as-of shape re-expressed Spark-first via
+    * [[graft.ops.core.asofJoin]]'s union-and-sweep plan (one key-hash
+    * shuffle + per-partition sort, no range-pair explosion; the scaladoc
+    * there has the 100 TB cost argument). Views are deduplicated per
+    * (user, ts) upstream (keep max event_id) so the as-of pick is total,
+    * and the gap is exact integer microseconds — both mirrored in the
+    * DuckDB oracle, which states the SAME semantics through its native
+    * `ASOF LEFT JOIN` operator, so the two plans confirm each other from
+    * independent implementations. */
+  def q58AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id"))
+      .groupBy("user_id", "view_ts")
+      .agg(max(col("event_id")).as("view_event_id"))
+    asofJoin(clicks, views, Seq("user_id"), "ts", "view_ts")
+      .select(
+        col("event_id"), col("user_id"), col("view_event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+      .orderBy(asc("event_id"))
+  }
+
   /** A14/A15 at scale: same window keyed by the J8 geo match, with
     * approx_count_distinct — demonstrates the documented approximate path
     * (exact HashSet state does not bound memory per key at 100 TB).
