@@ -153,14 +153,19 @@ object Bench {
     var results = names.map(n => n -> minOf(samples(n)))
 
     // Outlier guard: >3x the previous shipped round smells like contention,
-    // not a regression — re-measure before shipping the number.
+    // not a regression — re-measure before shipping the number. For
+    // queries whose previous time exceeds 0.5 s the bar is 1.5x: the
+    // round-7 contamination inflated untouched queries only 1.3-1.6x and
+    // sailed under the 3x guard (BENCHNOTES.md), and at >0.5 s a rerun is
+    // cheap relative to the cost of shipping a poisoned number.
     val prev = previousRoundTimes(new java.io.File("."))
     val flagged = results.collect {
-      case (n, t) if t > 0 && prev.get(n).exists(p => p > 0 && t > 3 * p) => n
+      case (n, t) if t > 0 && prev.get(n).exists(p =>
+        p > 0 && (t > 3 * p || (p > 0.5 && t > 1.5 * p))) => n
     }
     val rerunLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     if (flagged.nonEmpty) {
-      System.err.println(s"[bench] re-running >3x-of-previous outliers: " +
+      System.err.println(s"[bench] re-running outliers vs previous round: " +
         flagged.mkString(", "))
       // Re-measurement is opportunistic: a transient failure here must not
       // poison the valid primary-sweep min, so take the min over the

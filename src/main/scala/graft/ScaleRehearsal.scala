@@ -174,6 +174,45 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"$name","seconds":$sec,"rows":$rows,"loadavg":${loadavg1m()}}""")
       }
 
+      // q57 family: the Misra–Gries guarantee in the regime the sf
+      // fixtures never reach. Amplification suffixes every token per copy,
+      // so the bigram vocabulary grows ×k past the sketch's k=1024 —
+      // per-task eviction and the merge compaction actually fire. The
+      // check is value-level: the sketch's candidate set must stay ≤ 1024
+      // AND be a superset of every bigram whose EXACT count (from the
+      // direct full-shuffle groupBy the sketch pass exists to avoid)
+      // exceeds n/(k+1) — the MG bound, which dominates q57's n/1000
+      // threshold. `missed` must print 0 at every factor.
+      {
+        graft.functions.FreqSketch.register(spark)
+        val grams = graft.queries.DocQueries.bigramSlots(
+          graft.sources.Tables(spark, dir, "documents"))
+        grams.persist()
+        val nTotal = grams.count()
+        val vocab = grams.distinct().count()
+        val candSet = grams
+          .agg(expr("graft_mg_candidates(tok, 1024)").as("c"))
+          .select(explode(col("c")).as("tok"))
+          .collect().map(_.getString(0)).toSet
+        val heavy = grams.groupBy("tok").count()
+          .filter(col("count") > nTotal / 1025.0)
+          .collect().map(_.getString(0)).toSet
+        val missed = heavy.diff(candSet)
+        val q57 = graft.queries.DocQueries.q57BoilerplateNgrams(spark, dir)
+        val q57Rows = q57.count()
+        // Unpersist BEFORE timing: q57's internal bigram scan plan-matches
+        // the persisted relation (cache-manager dedup), and the timing
+        // should measure the real two-pass cost, not a cache read.
+        grams.unpersist(blocking = true)
+        val sec = if (deep) bench(materialize(
+          graft.queries.DocQueries.q57BoilerplateNgrams(spark, dir)))
+          else timed(materialize(
+            graft.queries.DocQueries.q57BoilerplateNgrams(spark, dir)))
+        require(missed.isEmpty,
+          s"MG superset violated at x$k: ${missed.take(5)}")
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q57_mg_guarantee","n_slots":$nTotal,"vocab":$vocab,"candidates":${candSet.size},"heavy":${heavy.size},"missed":${missed.size},"q57_rows":$q57Rows,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // IVF at production nlist (the √n rule): candidate volume must be
       // bounded by probed-list occupancy (≈ nProbe/nlist of the corpus
       // under balanced lists), and recall is pinned against the

@@ -84,6 +84,12 @@ object Multimodal {
       val next = buf.position() + len + (len & 1) // chunks are word-aligned
       id match {
         case "fmt " =>
+          // The generic length guard above only checks len against the
+          // buffer; the 16 bytes of PCM fields read below must also be
+          // DECLARED by the chunk, or a short fmt chunk would silently
+          // read the next chunk's bytes (len >= 16 but truncated buffers
+          // are already rejected by the guard above).
+          require(len >= 16, s"fmt chunk too short: $len")
           val audioFormat = buf.getShort
           val channels = buf.getShort
           sampleRate = buf.getInt

@@ -194,9 +194,20 @@ object core {
     *
     * Contract: right rows must be unique per (keys, rightTime) — dedupe
     * upstream or ties resolve nondeterministically (same contract as any
-    * as-of engine). Null times sort first (Spark asc ordering): filter
-    * them upstream if the data can carry them. Payload column names must
-    * not collide across sides. */
+    * as-of engine). Null-time semantics match SQL comparison (and DuckDB
+    * ASOF): a null-time right row can never satisfy `l.t >= r.t`, so it is
+    * dropped here (Spark's asc ordering would otherwise sort it FIRST and
+    * let the sweep hand it to every row of its key); a null-time left row
+    * matches nothing and comes back null-padded. Payload column names must
+    * not collide across sides.
+    *
+    * Skew exposure: each key's full timeline passes through one window
+    * partition, so one pathologically hot key (a single user with millions
+    * of events) serializes on one task. That is inherent to per-key as-of
+    * ordering (every as-of engine sorts per key); if a hot-key family
+    * emerges, pre-split the key by a time-bucket salt and as-of join per
+    * bucket with boundary carry-over — not done here because it costs a
+    * second pass and no current caller has such keys. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equi-key")
@@ -212,7 +223,7 @@ object core {
         col(leftTime).as("_graft_t"), lit(1).as("_graft_side"),
         lit(null).cast(rStructType).as("_graft_r")) ++
         lPayload.map(col): _*)
-    val r2 = right.select(
+    val r2 = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTime).as("_graft_t"), lit(0).as("_graft_side"),
         struct(rPayload.map(col): _*).as("_graft_r")) ++

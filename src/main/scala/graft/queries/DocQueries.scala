@@ -573,19 +573,13 @@ object DocQueries {
     * Result: exact, oracle-checkable output with the big shuffle keyed on
     * ≤ 1024 distinct values. (The sf fixtures' vocabulary is smaller than
     * k, so eviction never fires here — FreqSketchSpec exercises the
-    * eviction and merge guarantees on adversarial skewed data.) */
+    * eviction and merge guarantees on adversarial skewed data, and
+    * ScaleRehearsal re-checks the superset bound on amplified corpora
+    * whose vocabulary exceeds k, where eviction and merge compaction run
+    * for real.) */
   def q57BoilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.FreqSketch.register(spark)
-    val tk = col("toks")
-    val n = size(tk)
-    // Adjacent-pair slices, not an index lambda — same O(n) reasoning as
-    // [[shingles]].
-    val bigrams = when(n >= 2,
-      zip_with(slice(tk, lit(1), n - 1), slice(tk, lit(2), n - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
-    val grams = tokenizedDocs(Tables(spark, dir, "documents"))
-      .select(explode(bigrams).as("tok"))
+    val grams = bigramSlots(Tables(spark, dir, "documents"))
     val sketch = grams.agg(
       count(lit(1)).as("n_total"),
       expr("graft_mg_candidates(tok, 1024)").as("cands"))
@@ -595,6 +589,22 @@ object DocQueries {
       .filter(col("cnt") * 1000L >= col("n_total"))
       .select(col("tok"), col("cnt"), col("n_total"))
       .orderBy(desc("cnt"), asc("tok"))
+  }
+
+  /** Exploded bigram slots of the tokenized corpus — one row per adjacent
+    * token pair, the input relation of both q57 passes. Adjacent-pair
+    * slices, not an index lambda — same O(n) HOF reasoning as
+    * [[shingles]]. Public so ScaleRehearsal can value-check the
+    * Misra–Gries superset bound against exact counts on the same
+    * relation. */
+  private[graft] def bigramSlots(docs: DataFrame): DataFrame = {
+    val tk = col("toks")
+    val n = size(tk)
+    val bigrams = when(n >= 2,
+      zip_with(slice(tk, lit(1), n - 1), slice(tk, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    tokenizedDocs(docs).select(explode(bigrams).as("tok"))
   }
 
   /** SimHash fingerprint: 60-bit signature where bit b is the sign of the

@@ -92,6 +92,57 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("k1", "x"), ("k2", "a")))
   }
 
+  // --- As-of join (q58; union-and-sweep, ops/core.scala) ---
+
+  test("asofJoin: latest right <= left wins, equal timestamps match, no prior right pads null") {
+    val clicks = Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 50L))
+      .toDF("click_id", "user", "t")
+    val views = Seq(("u1", 100L, "v@100"), ("u1", 200L, "v@200"), ("u2", 60L, "v@60"))
+      .toDF("user", "vt", "tag")
+    val out = core.asofJoin(clicks, views, Seq("user"), "t", "vt")
+      .orderBy("click_id").select("click_id", "tag").collect()
+    // click 1 at t=100 matches the view AT 100 (DuckDB `l.t >= r.t`);
+    // click 2 at 250 takes the latest earlier view (200, not 100);
+    // click 3 at 50 precedes u2's only view → left-outer null padding.
+    assert(out.map(r => (r.getLong(0), Option(r.getString(1)).orNull)).toSeq ==
+      Seq((1L, "v@100"), (2L, "v@200"), (3L, null)))
+  }
+
+  test("asofJoin: null-time right rows never match; null-time left rows pad null") {
+    val clicks = Seq((1L, "u1", Option(100L)), (2L, "u1", Option.empty[Long]))
+      .toDF("click_id", "user", "t")
+    val views = Seq(("u1", Option(10L), "ok"), ("u1", Option.empty[Long], "poison"))
+      .toDF("user", "vt", "tag")
+    val out = core.asofJoin(clicks, views, Seq("user"), "t", "vt")
+      .orderBy("click_id").collect()
+    // Regression for the nulls-sort-first divergence: without the in-op
+    // filter, the null-time click would pick up the null-time "poison" view
+    // (both sort first under asc ordering) — DuckDB ASOF yields no match.
+    assert(out(0).getAs[String]("tag") == "ok")
+    assert(out(1).isNullAt(out(1).fieldIndex("tag")))
+    assert(out(1).isNullAt(out(1).fieldIndex("vt")))
+  }
+
+  test("asofJoin: agrees with a brute-force reference across partitionings") {
+    val rnd = new scala.util.Random(42)
+    val lefts = (1 to 200).map(i =>
+      (i.toLong, s"u${rnd.nextInt(10)}", rnd.nextInt(1000).toLong))
+    val rights = (1 to 150).map(_ => (s"u${rnd.nextInt(12)}", rnd.nextInt(1000).toLong))
+      .distinct // contract: unique per (key, rightTime)
+      .map { case (u, t) => (u, t, s"$u@$t") }
+    val expected = lefts.map { case (id, u, t) =>
+      id -> rights.filter(r => r._1 == u && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3).orNull
+    }.toMap
+    val out = core.asofJoin(
+      lefts.toDF("click_id", "user", "t").repartition(7),
+      rights.toDF("user", "vt", "tag").repartition(5),
+      Seq("user"), "t", "vt")
+      .select("click_id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).orNull).toMap
+    assert(out == expected)
+  }
+
   // --- OTP / min-max normalize (batch_process.py:22-25,71-75) ---
 
   test("otpPercent and minMaxScore constant-range guard") {

@@ -82,6 +82,19 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(huge) }
   }
 
+  test("WAV decoder rejects a short fmt chunk instead of reading into the next one") {
+    // fmt declares len=12 (< the 16 PCM bytes the decoder reads): without
+    // the len>=16 guard the field reads spill into the following chunk's
+    // bytes (or underflow at end-of-buffer) — the contract is IAE.
+    val evil = Multimodal.encodeWavPcm16(Array[Short](1, 2, 3), 8000)
+    java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 12) // fmt chunk length -> 12
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(evil) }
+    // truncated-at-end fmt: header + "fmt " + len=12 + only 12 bytes left
+    val truncated = evil.take(12 + 8 + 12)
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(truncated) }
+  }
+
   test("PPM P6 encode/decode round-trips dimensions and pixels, eats comments") {
     val rgb = Array.tabulate(2 * 3 * 3)(i => (i * 7 % 256).toByte)
     val bytes = Multimodal.encodePpm(2, 3, rgb)
