@@ -182,19 +182,29 @@ object ScaleRehearsal {
       // AND be a superset of every bigram whose EXACT count (from the
       // direct full-shuffle groupBy the sketch pass exists to avoid)
       // exceeds n/(k+1) — the MG bound, which dominates q57's n/1000
-      // threshold. `missed` must print 0 at every factor.
+      // threshold. Amplification also DILUTES every natural bigram below
+      // the bound (per-copy counts stay flat while n grows ×k), which
+      // would make the superset check vacuous at ×k — so three synthetic
+      // hot bigrams (~n/300 each, comfortably above n/1025) are unioned
+      // in: the guarantee is then tested with heavy keys present WHILE
+      // eviction is firing. `missed` must print 0 at every factor.
       {
         graft.functions.FreqSketch.register(spark)
         val grams = graft.queries.DocQueries.bigramSlots(
           graft.sources.Tables(spark, dir, "documents"))
         grams.persist()
-        val nTotal = grams.count()
+        val nCorpus = grams.count()
+        val nHot = math.max(3L, nCorpus / 100L) // 3 keys ≈ n/300 each
+        val hot = spark.range(nHot)
+          .select(concat(lit("graft hot"), col("id") % 3).as("tok"))
+        val slots = grams.unionByName(hot)
+        val nTotal = nCorpus + nHot
         val vocab = grams.distinct().count()
-        val candSet = grams
+        val candSet = slots
           .agg(expr("graft_mg_candidates(tok, 1024)").as("c"))
           .select(explode(col("c")).as("tok"))
           .collect().map(_.getString(0)).toSet
-        val heavy = grams.groupBy("tok").count()
+        val heavy = slots.groupBy("tok").count()
           .filter(col("count") > nTotal / 1025.0)
           .collect().map(_.getString(0)).toSet
         val missed = heavy.diff(candSet)
@@ -210,7 +220,7 @@ object ScaleRehearsal {
             graft.queries.DocQueries.q57BoilerplateNgrams(spark, dir)))
         require(missed.isEmpty,
           s"MG superset violated at x$k: ${missed.take(5)}")
-        println(s"""{"rehearsal":true,"factor":$k,"metric":"q57_mg_guarantee","n_slots":$nTotal,"vocab":$vocab,"candidates":${candSet.size},"heavy":${heavy.size},"missed":${missed.size},"q57_rows":$q57Rows,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q57_mg_guarantee","n_slots":$nTotal,"hot_injected":$nHot,"vocab":$vocab,"candidates":${candSet.size},"heavy":${heavy.size},"missed":${missed.size},"q57_rows":$q57Rows,"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
       // IVF at production nlist (the √n rule): candidate volume must be

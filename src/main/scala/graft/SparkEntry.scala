@@ -76,6 +76,9 @@ object SparkEntry {
     "q56_orc_etl" -> (EtlQueries.q56OrcEtl _),
     "q57_boilerplate_ngrams" -> (DocQueries.q57BoilerplateNgrams _),
     "q58_asof_join" -> (EventQueries.q58AsofJoin _),
+    "q59_docs_repetition" -> (DocQueries.q59DocsRepetition _),
+    "q60_embed_int8_topk" -> (EmbedQueries.q60EmbedInt8Topk _),
+    "q61_batch_sessionize" -> (EventQueries.q61BatchSessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -961,5 +964,75 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.view_ts
         |ORDER BY c.event_id""".stripMargin,
+    // Per-doc repetition: DuckDB counts each doc's bigrams through a
+    // groupBy; the engine computes the same numbers with a per-row sorted
+    // fold (no shuffle) — independent shapes, identical values.
+    "q59_docs_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS tok
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM bg GROUP BY doc_id, tok)
+        |SELECT doc_id,
+        |       CAST(sum(cnt) AS BIGINT) AS total_bigrams,
+        |       CAST(count(*) AS BIGINT) AS distinct_bigrams,
+        |       CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+        |       round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Int8 quantization: rounding is stated explicitly (sign·floor(+0.5))
+    // so both engines run identical arithmetic; quantized dots are exact
+    // integer sums — only the final 6-decimal round touches floats.
+    "q60_embed_int8_topk" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         [CAST(x AS DOUBLE) for x in embedding] AS v,
+        |         list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         [CASE WHEN x >= 0 THEN floor(x * (127.0 / mx) + 0.5)
+        |               ELSE -floor(-x * (127.0 / mx) + 0.5) END
+        |          for x in v] AS qv
+        |  FROM s WHERE mx > 0),
+        |n AS (SELECT vec_id, qv, sqrt(list_sum([x * x for x in qv])) AS nrm FROM q),
+        |p AS (
+        |  SELECT b.vec_id AS q_id, a.vec_id,
+        |         round(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)]) /
+        |               (b.nrm * a.nrm), 6) AS qcos
+        |  FROM n a JOIN n b ON b.vec_id < 5 AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT q_id, vec_id, qcos,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, vec_id) AS rank
+        |  FROM p)
+        |SELECT q_id, vec_id, qcos, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // Batch sessionization: same islands SQL shape as q37's oracle, but
+    // over the full history (no watermark-closure restriction) and
+    // reporting actual last-event time.
+    "q61_batch_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, "value",
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 6 HOUR
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+        |    AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (
+        |  SELECT user_id, ts, "value",
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round("value" * 100, 0) AS BIGINT)) AS DOUBLE)
+        |           / (count(*) * 100.0) AS avg_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -607,6 +607,47 @@ object DocQueries {
     tokenizedDocs(docs).select(explode(bigrams).as("tok"))
   }
 
+  /** Intra-document repetition signal (q59): per document, the share of
+    * bigram slots taken by the single most repeated bigram plus the
+    * distinct-bigram count — the Gopher-style repetition filters a
+    * pretraining pipeline applies per document (templated/spun pages have
+    * a few n-grams at in-document corpus-scale frequency; q57 finds the
+    * CORPUS-level boilerplate, this finds the DOCUMENT-level kind).
+    *
+    * Scale shape: pure narrow per-document computation — tokenize, slice
+    * into bigrams, sort the ≤doc-length array, one linear fold for the
+    * longest equal-run — with NO shuffle anywhere before the final
+    * order-by (PlanPinsSpec pins zero hash exchanges). At 100 TB this is
+    * a map-only pass: the per-doc fold state is three fields regardless
+    * of document size, and nothing leaves the partition. The fold lambda
+    * references only its accumulator and element (the collection is
+    * evaluated once), so the HOF stays O(n log n) per doc — the q25
+    * index-lambda O(n²) trap documented in [[shingles]] does not apply. */
+  def q59DocsRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val tk = col("toks")
+    val n = size(tk)
+    val bigrams = zip_with(slice(tk, lit(1), n - 1), slice(tk, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    tokenizedDocs(Tables(spark, dir, "documents"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("bg", bigrams)
+      .select(
+        col("doc_id"),
+        size(col("bg")).cast("long").as("total_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("distinct_bigrams"),
+        expr(
+          """aggregate(array_sort(bg),
+            |  named_struct('p', '', 'r', 0L, 'b', 0L),
+            |  (a, x) -> named_struct(
+            |    'p', x,
+            |    'r', IF(x = a.p, a.r + 1L, 1L),
+            |    'b', greatest(a.b, IF(x = a.p, a.r + 1L, 1L))),
+            |  a -> a.b)""".stripMargin).as("top_bigram_cnt"))
+      .withColumn("top_ratio",
+        round(col("top_bigram_cnt").cast("double") / col("total_bigrams"), 6))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprint: 60-bit signature where bit b is the sign of the
     * weighted sum of token-hash bits. Emitted with a 16-bit prefix bucket —
     * the banding key a near-dup pass would equi-join on (same pattern as

@@ -337,6 +337,48 @@ object EmbedQueries {
     pairs.filter(col("cosine") >= 0.4).orderBy("vec_a", "vec_b")
   }
 
+  /** Int8 scalar quantization + quantized-space retrieval (q60): each
+    * vector is symmetrically quantized to 64 int8 codes with one
+    * per-vector scale (127 / max|component|), and top-10 retrieval runs
+    * entirely in the quantized space — the storage/shuffle-compression
+    * step every production vector store applies before ANN (4× fewer
+    * bytes per vector moved through every exchange and broadcast at
+    * 100 TB; quantization composes with q46's IVF: store int8 codes in
+    * the inverted lists, rerank survivors at full precision).
+    *
+    * Determinism/oracle parity: rounding is stated explicitly as
+    * sign(x)·floor(|x|·s + 0.5) — identical arithmetic in DuckDB, no
+    * engine rounding-mode ambiguity — and all quantized dots are exact
+    * integer sums (codes ≤ 127 are exact in float32, products sum far
+    * below 2^53), evaluated by the same codegen'd graft_dot as q27, so
+    * engine and oracle agree bit-for-bit before the single 6-decimal
+    * round. The plan is q27's broadcast shape: corpus side never
+    * shuffles; only the 5-query side broadcasts. */
+  def q60EmbedInt8Topk(spark: SparkSession, dir: String): DataFrame = {
+    withDot(spark)
+    val xd = "CAST(x AS DOUBLE)"
+    val codes = Tables(spark, dir, "embeddings")
+      .withColumn("mx",
+        expr(s"aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs($xd)), a -> a)"))
+      .filter(col("mx") > 0)
+      // int8 codes, carried as float32 (exact for |code| <= 127) so the
+      // quantized dot reuses the codegen'd graft_dot hot path.
+      .withColumn("qv", expr(
+        s"transform(embedding, x -> CAST(IF(x >= 0, floor($xd * (127.0d / mx) + 0.5d), -floor(-$xd * (127.0d / mx) + 0.5d)) AS FLOAT))"))
+      .select(col("vec_id"), col("qv"), l2(col("qv")).as("nrm"))
+    val queries = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qqv"), col("qv")) / (col("qnrm") * col("nrm")), 6).as("qcos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("qcos"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy("q_id", "rank")
+  }
+
   /** Multimodal-column plumbing: treat content as an opaque binary payload
     * with typed metadata (mime, byte size, frame count, checksum). The
     * payload here is the utf-8 encoding of `text` — the real decode /

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.core._
 import graft.sources.Tables
@@ -63,6 +64,58 @@ object EventQueries {
         col("event_id"), col("user_id"), col("view_event_id"),
         (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
       .orderBy(asc("event_id"))
+  }
+
+  /** Batch sessionization (q61): gap-based sessions as window functions —
+    * lag to flag gaps ≥ 6 h, a cumulative sum (explicit ROWS frame, both
+    * engines) to number the islands, then one aggregate per (user,
+    * session). The batch twin of q37's streaming `session_window`, with
+    * the same session-start convention (new session at gap ≥ threshold)
+    * and the same normalize guards, but reporting actual last-event time
+    * (batch has no watermark, so no `+gap` close and no open-session
+    * exclusion — the two queries answer different operational questions
+    * and check each other's gap logic through their shared oracle shape).
+    *
+    * Scale shape: ONE hash exchange on user_id — the window's
+    * partitioning also satisfies the downstream groupBy(user_id, sid)
+    * clustering (a strict subset co-locates the superset), so Spark plans
+    * no second exchange (PlanPinsSpec pins it). Per-key window state is
+    * one lag value and one running sum — nothing material even on a
+    * million-event user. */
+  def q61BatchSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .filter(col("event_type").isNotNull &&
+        length(trim(col("event_type"))) > 0 &&
+        col("ts").isNotNull && col("user_id").isNotNull)
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapUs = lit(6L * 3600L * 1000000L)
+    val flagged = ev.withColumn("new_s",
+      when(lag(col("ts"), 1).over(byTime).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byTime)) >= gapUs,
+        1L).otherwise(0L))
+    val numbered = flagged.withColumn("sid",
+      sum(col("new_s")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    numbered.groupBy(col("user_id"), col("sid"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        // Exact-integer mean, NO final round: double avg() is
+        // accumulation-order sensitive (partial sums differ by ulps
+        // between engines), and round(double, 4) itself disagrees across
+        // engines at half-way boundaries (Spark rounds the shortest
+        // decimal rendering, DuckDB the binary value) — integer-cent
+        // quotients hit those boundaries constantly. Summing integer
+        // cents is associative-exact and the single final division is
+        // the same IEEE op in both engines, so the doubles are
+        // bit-identical with nothing to repair.
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+      .withColumn("avg_value",
+        col("sum_cents").cast("double") / (col("n_events") * 100.0))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("avg_value"))
+      .orderBy(asc("user_id"), asc("session_start"))
   }
 
   /** A14/A15 at scale: same window keyed by the J8 geo match, with
