@@ -79,7 +79,27 @@ object SparkEntry {
     "q59_docs_repetition" -> (DocQueries.q59DocsRepetition _),
     "q60_embed_int8_topk" -> (EmbedQueries.q60EmbedInt8Topk _),
     "q61_batch_sessionize" -> (EventQueries.q61BatchSessionize _),
+    "q62_multimodal_resize" -> (EmbedQueries.q62MultimodalResize _),
+    "q63_multimodal_frame_sample" -> (EmbedQueries.q63MultimodalFrameSample _),
+    "q64_asof_join_salted" -> (EventQueries.q64AsofJoinSalted _),
+    "q65_embed_ivf_sq8" -> (EmbedQueries.q65EmbedIvfSq8 _),
   )
+
+  /** q58 and q64 answer the identical attribution question (q64 through
+    * the skew-salted plan), so one oracle statement serves both — the
+    * strongest form of the equality claim: both engines' plans AND both
+    * of ours land on one hash. */
+  private val asofOracle: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, v.view_event_id,
+      |       epoch_us(c.ts) - epoch_us(v.view_ts) AS gap_us
+      |FROM clicks c ASOF LEFT JOIN views v
+      |  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+      |ORDER BY c.event_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -953,17 +973,9 @@ object SparkEntry {
     // As-of join: DuckDB states the same semantics through its NATIVE
     // ASOF LEFT JOIN operator — an independent implementation of the
     // operator itself, not just of the arithmetic.
-    "q58_asof_join" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-        |views AS (
-        |  SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
-        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
-        |SELECT c.event_id, c.user_id, v.view_event_id,
-        |       epoch_us(c.ts) - epoch_us(v.view_ts) AS gap_us
-        |FROM clicks c ASOF LEFT JOIN views v
-        |  ON c.user_id = v.user_id AND c.ts >= v.view_ts
-        |ORDER BY c.event_id""".stripMargin,
+    "q58_asof_join" -> asofOracle,
+    // The skew-salted plan must land on the same hash as q58.
+    "q64_asof_join_salted" -> asofOracle,
     // Per-doc repetition: DuckDB counts each doc's bigrams through a
     // groupBy; the engine computes the same numbers with a per-row sorted
     // fold (no shuffle) — independent shapes, identical values.
@@ -1034,5 +1046,99 @@ object SparkEntry {
         |           / (count(*) * 100.0) AS avg_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // Resize: nearest-neighbor keeps ORIGINAL pixels (index floor(j*w/ow)),
+    // so the resized plane's features are still pure functions of the text
+    // bytes — the oracle samples the same indices by list arithmetic.
+    "q62_multimodal_resize" ->
+      """WITH o AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), x -> ord(x)) AS ords
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(len(ords) AS BIGINT) AS src_width,
+        |         least(16, len(ords)) AS ow,
+        |         [ords[(j * len(ords)) // least(16, len(ords)) + 1]
+        |          for j in range(0, least(16, len(ords)))] AS sam
+        |  FROM o)
+        |SELECT doc_id, src_width,
+        |       CAST(ow AS BIGINT) AS width,
+        |       CAST(1 AS BIGINT) AS height,
+        |       CAST(list_max(sam) AS BIGINT) AS max_r,
+        |       CAST(255 - list_min(sam) AS BIGINT) AS max_g,
+        |       CAST(list_max(list_transform(sam, x -> (7 * x) % 256)) AS BIGINT) AS max_b
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // Frame-sample: frame f covers sample span [f*n//nf, (f+1)*n//nf);
+    // DuckDB restates each frame's peak by slicing the same integer
+    // boundaries out of the synthesized sample list.
+    "q63_multimodal_frame_sample" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ''),
+        |                        x -> abs((ord(x) - 128) * 256)) AS sam
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |         unnest([{'frame': f,
+        |                  'peak': list_max(sam[(f * len(sam)) // least(32, len(sam)) + 1 :
+        |                                       ((f + 1) * len(sam)) // least(32, len(sam))])}
+        |                 for f in range(0, least(32, len(sam)))], recursive := true)
+        |  FROM o)
+        |SELECT doc_id, CAST(frame AS BIGINT) AS frame, CAST(peak AS BIGINT) AS peak
+        |FROM f ORDER BY doc_id, frame""".stripMargin,
+    // IVF-SQ8 ladder: full-precision assignment/probe (q46's CTEs), int8
+    // candidate scoring (q60's quantizer), full-precision rerank of the
+    // top-8 shortlist only. Quantized dots are exact integer sums, so the
+    // shortlist cut needs no rounding to be engine-deterministic.
+    "q65_embed_ivf_sq8" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm,
+        |         list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mx
+        |  FROM embeddings),
+        |n8 AS (
+        |  SELECT vec_id, embedding, nrm,
+        |         [CASE WHEN x >= 0 THEN floor(x * (127.0 / mx) + 0.5)
+        |               ELSE -floor(-x * (127.0 / mx) + 0.5) END
+        |          for x in [CAST(y AS DOUBLE) for y in embedding]] AS qv
+        |  FROM emb WHERE mx > 0),
+        |n AS (SELECT vec_id, embedding, nrm, qv,
+        |             sqrt(list_sum([x * x for x in qv])) AS qvnrm FROM n8),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, e.qv, e.qvnrm, c.cid,
+        |         list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) for i in range(1, 65)])
+        |           / (e.nrm * c.cnrm) AS score
+        |  FROM n e CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS q_id, qv AS q8v, qvnrm AS q8nrm,
+        |         embedding AS qfv, nrm AS qfnrm, cid FROM (
+        |    SELECT vec_id, embedding, nrm, qv, qvnrm, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT q.q_id, e.vec_id, e.embedding, e.nrm, q.qfv, q.qfnrm,
+        |         list_sum([q.q8v[i] * e.qv[i] for i in range(1, 65)])
+        |           / (q.q8nrm * e.qvnrm) AS s8
+        |  FROM n e JOIN assign a ON e.vec_id = a.vec_id
+        |           JOIN qprobe q ON a.cid = q.cid
+        |  WHERE e.vec_id <> q.q_id),
+        |short AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s8 DESC, vec_id) AS rn8
+        |    FROM cand) WHERE rn8 <= 8),
+        |rer AS (
+        |  SELECT q_id, vec_id,
+        |         round(list_sum([CAST(qfv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])
+        |               / (qfnrm * nrm), 6) AS cosine
+        |  FROM short)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM rer)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
   )
 }

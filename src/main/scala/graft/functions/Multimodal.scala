@@ -252,6 +252,97 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize of a P6 image to (≤targetW, ≤targetH): output
+    * pixel (i, j) samples source pixel (i·w/ow, j·h/oh) — the classic
+    * integer mapping, decode → sample → RE-ENCODE through the real codec
+    * (the output is itself a valid P6 payload, as a thumbnail pipeline
+    * would store). Never upsamples: target dims are clamped to the
+    * source's. */
+  def resizePpm(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    require(targetW >= 1 && targetH >= 1, "target dims must be >= 1")
+    val (w, h, maxval, rgb) = decodePpm(bytes)
+    require(maxval == 255, s"only 8-bit P6 supported, maxval $maxval")
+    val ow = math.min(targetW, w)
+    val oh = math.min(targetH, h)
+    val out = new Array[Byte](ow * oh * 3)
+    var j = 0
+    while (j < oh) {
+      val sy = (j.toLong * h / oh).toInt
+      var i = 0
+      while (i < ow) {
+        val sx = (i.toLong * w / ow).toInt
+        val s = (sy * w + sx) * 3
+        val d = (j * ow + i) * 3
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+        i += 1
+      }
+      j += 1
+    }
+    encodePpm(ow, oh, out)
+  }
+
+  /** Resized-image features (q62 surface): resize through [[resizePpm]],
+    * re-decode the re-encoded payload (so the round trip itself is under
+    * test), and report new dims + per-channel maxima of the RESIZED
+    * plane. Same bounded-batch shape as [[extractFeatures]]. */
+  final case class PpmResizedFeatures(
+      doc_id: Long, src_width: Long, width: Long, height: Long,
+      max_r: Long, max_g: Long, max_b: Long)
+
+  def ppmResizeFeatures(blobs: Dataset[MediaBlob], targetW: Int, targetH: Int,
+                        batchSize: Int = DefaultBatchSize): Dataset[PpmResizedFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { b =>
+          val (srcW, _, _, _) = decodePpm(b.payload)
+          val (w, h, _, rgb) = decodePpm(resizePpm(b.payload, targetW, targetH))
+          var (mr, mg, mb) = (0, 0, 0); var i = 0
+          while (i < rgb.length) {
+            mr = math.max(mr, rgb(i) & 0xff)
+            mg = math.max(mg, rgb(i + 1) & 0xff)
+            mb = math.max(mb, rgb(i + 2) & 0xff)
+            i += 3
+          }
+          PpmResizedFeatures(b.doc_id, srcW.toLong, w.toLong, h.toLong,
+            mr.toLong, mg.toLong, mb.toLong)
+        }
+      }
+    }
+  }
+
+  /** Frame-sampled audio (q63 surface): decode, split the sample stream
+    * into ≤nFrames equal spans (frame f covers [f·n/nf, (f+1)·n/nf) — the
+    * integer boundaries a fixed-budget featurizer uses), one row per
+    * frame with its peak |amplitude|. The long-thin output shape (doc ×
+    * frame) is what a downstream audio-embedding step consumes. */
+  final case class WavFramePeak(doc_id: Long, frame: Long, peak: Long)
+
+  def wavFramePeaks(blobs: Dataset[MediaBlob], nFrames: Int,
+                    batchSize: Int = DefaultBatchSize): Dataset[WavFramePeak] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { b =>
+          val (_, samples) = decodeWavPcm16(b.payload)
+          val n = samples.length
+          val nf = math.min(nFrames, n)
+          (0 until nf).iterator.map { f =>
+            val lo = (f.toLong * n / nf).toInt
+            val hi = ((f + 1).toLong * n / nf).toInt
+            var peak = 0; var i = lo
+            while (i < hi) {
+              peak = math.max(peak, math.abs(samples(i).toInt)); i += 1
+            }
+            WavFramePeak(b.doc_id, f.toLong, peak.toLong)
+          }
+        }
+      }
+    }
+  }
+
   /** Render each document as a REAL 1×N P6 image — pixel i of the single
     * row maps byte b_i of the UTF-8 text to (R,G,B) = (b, 255−b,
     * (7·b) mod 256). Single-row layout avoids padding, so every decoded

@@ -204,10 +204,10 @@ object core {
     * Skew exposure: each key's full timeline passes through one window
     * partition, so one pathologically hot key (a single user with millions
     * of events) serializes on one task. That is inherent to per-key as-of
-    * ordering (every as-of engine sorts per key); if a hot-key family
-    * emerges, pre-split the key by a time-bucket salt and as-of join per
-    * bucket with boundary carry-over — not done here because it costs a
-    * second pass and no current caller has such keys. */
+    * ordering (every as-of engine sorts per key); [[asofJoinSalted]] is
+    * the time-bucket-salted variant for when a hot-key family emerges —
+    * result-identical (CoreOpsSpec/CorePropsSpec assert equality), one
+    * extra bucket-summary pass. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equi-key")
@@ -235,6 +235,95 @@ object core {
       .orderBy(col("_graft_t").asc, col("_graft_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2)
+      .withColumn("_graft_m", last(col("_graft_r"), ignoreNulls = true).over(w))
+      .filter(col("_graft_side") === 1)
+      .select(keys.map(col) ++ lPayload.map(col) ++
+        rPayload.map(c => col("_graft_m").getField(c).as(c)): _*)
+  }
+
+  /** Skew-mitigated AS-OF JOIN: [[asofJoin]] semantics exactly, but each
+    * key's timeline is pre-split by a TIME-BUCKET salt so a hot key's
+    * window sort parallelizes across buckets instead of serializing on
+    * one task. Three steps:
+    *
+    *   1. both sides are bucketed by `bucket(time)` (MUST be monotone
+    *      non-decreasing in time — e.g. `floor(unix_micros(t) / I)`;
+    *      monotonicity is what makes every carried row sort strictly
+    *      before all in-bucket rows, so correctness never depends on the
+    *      bucket width);
+    *   2. a bucket-summary pass computes, per (key, left-bucket), the
+    *      latest right row of any STRICTLY earlier bucket (the boundary
+    *      carry) — a window sweep over ≤ (#keys × #buckets) summary rows,
+    *      not the data;
+    *   3. the in-bucket sweep runs the plain union-and-sweep partitioned
+    *      by (key, bucket), with the carry injected as an ordinary right
+    *      row carrying its TRUE timestamp (so output columns, including
+    *      derived gaps, are bit-identical to the unsalted op).
+    *
+    * Cost: one extra shuffle over the bucket summaries. A key with M rows
+    * across B buckets sorts M/B rows per task instead of M. Same null
+    * and tie semantics as [[asofJoin]] (null-time left rows land in a
+    * null bucket with no rights and pad null). */
+  def asofJoinSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTime: String, rightTime: String,
+                     bucket: Column => Column): DataFrame = {
+    require(keys.nonEmpty, "asofJoinSalted needs at least one equi-key")
+    val lPayload = left.columns.filterNot(keys.contains).toSeq
+    val rPayload = right.columns.filterNot(keys.contains).toSeq
+    val overlap = lPayload.toSet.intersect(rPayload.toSet)
+    require(overlap.isEmpty, s"asofJoinSalted column collision across sides: $overlap")
+    require(lPayload.contains(leftTime) && rPayload.contains(rightTime),
+      "time columns must be non-key columns of their own side")
+    val rStructType = right.select(struct(rPayload.map(col): _*)).schema.head.dataType
+    val tType = left.schema(leftTime).dataType
+    val bkt = "_graft_bkt"
+    val lNulls = lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+
+    val l2 = left.select(
+      keys.map(col) ++ Seq(
+        bucket(col(leftTime)).as(bkt),
+        col(leftTime).as("_graft_t"), lit(1).as("_graft_side"),
+        lit(null).cast(rStructType).as("_graft_r")) ++
+        lPayload.map(col): _*)
+    val r2 = right.filter(col(rightTime).isNotNull).select(
+      keys.map(col) ++ Seq(
+        bucket(col(rightTime)).as(bkt),
+        col(rightTime).as("_graft_t"), lit(0).as("_graft_side"),
+        struct(rPayload.map(col): _*).as("_graft_r")) ++ lNulls: _*)
+
+    // Step 2: boundary carries. Last right per (key, bucket), then a sweep
+    // over bucket ids: a left-bucket marker (_graft_bs=0) sorts before the
+    // same bucket's right summary (_graft_bs=1), so `last` hands it the
+    // latest right of strictly-earlier buckets only.
+    val lastW = Window.partitionBy((keys :+ bkt).map(col): _*)
+      .orderBy(col("_graft_t").desc)
+    val lastPerBucket = r2
+      .withColumn("_graft_rn", row_number().over(lastW))
+      .filter(col("_graft_rn") === 1)
+      .select(keys.map(col) ++ Seq(col(bkt), lit(1).as("_graft_bs"),
+        col("_graft_t"), col("_graft_r")): _*)
+    val marks = l2.select((keys :+ bkt).map(col): _*).distinct()
+      .select(keys.map(col) ++ Seq(col(bkt), lit(0).as("_graft_bs"),
+        lit(null).cast(tType).as("_graft_t"),
+        lit(null).cast(rStructType).as("_graft_r")): _*)
+    val carryW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(bkt).asc, col("_graft_bs").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carries = lastPerBucket.unionByName(marks)
+      .withColumn("_graft_cr", last(col("_graft_r"), ignoreNulls = true).over(carryW))
+      .withColumn("_graft_ct", last(col("_graft_t"), ignoreNulls = true).over(carryW))
+      .filter(col("_graft_bs") === 0 && col("_graft_cr").isNotNull)
+      .select(keys.map(col) ++ Seq(col(bkt),
+        col("_graft_ct").as("_graft_t"), lit(0).as("_graft_side"),
+        col("_graft_cr").as("_graft_r")) ++ lNulls: _*)
+
+    // Step 3: the plain sweep, partitioned by (key, bucket). A carry's
+    // true timestamp is strictly below every in-bucket time (monotone
+    // bucket fn), so it sorts first and loses to any real in-bucket right.
+    val w = Window.partitionBy((keys :+ bkt).map(col): _*)
+      .orderBy(col("_graft_t").asc, col("_graft_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2).unionByName(carries)
       .withColumn("_graft_m", last(col("_graft_r"), ignoreNulls = true).over(w))
       .filter(col("_graft_side") === 1)
       .select(keys.map(col) ++ lPayload.map(col) ++

@@ -356,16 +356,8 @@ object EmbedQueries {
     * shuffles; only the 5-query side broadcasts. */
   def q60EmbedInt8Topk(spark: SparkSession, dir: String): DataFrame = {
     withDot(spark)
-    val xd = "CAST(x AS DOUBLE)"
-    val codes = Tables(spark, dir, "embeddings")
-      .withColumn("mx",
-        expr(s"aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs($xd)), a -> a)"))
-      .filter(col("mx") > 0)
-      // int8 codes, carried as float32 (exact for |code| <= 127) so the
-      // quantized dot reuses the codegen'd graft_dot hot path.
-      .withColumn("qv", expr(
-        s"transform(embedding, x -> CAST(IF(x >= 0, floor($xd * (127.0d / mx) + 0.5d), -floor(-$xd * (127.0d / mx) + 0.5d)) AS FLOAT))"))
-      .select(col("vec_id"), col("qv"), l2(col("qv")).as("nrm"))
+    val codes = withInt8Codes(Tables(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("qv8").as("qv"), col("nrm8").as("nrm"))
     val queries = codes.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
     val scored = codes.crossJoin(broadcast(queries))
@@ -376,6 +368,90 @@ object EmbedQueries {
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Symmetric int8 quantization of the `embedding` column: per-vector
+    * scale 127/max|component|, explicit sign·floor(|x|·s + 0.5) rounding
+    * (engine-unambiguous — the q60/q65 oracle parity hinges on it), codes
+    * carried as float32 (exact for |code| ≤ 127) so every quantized dot
+    * runs through the codegen'd graft_dot. Adds `qv8` (codes) and `nrm8`
+    * (their L2); zero-vectors are dropped (no scale exists). */
+  private def withInt8Codes(emb: DataFrame): DataFrame = {
+    val xd = "CAST(x AS DOUBLE)"
+    emb
+      .withColumn("mx",
+        expr(s"aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs($xd)), a -> a)"))
+      .filter(col("mx") > 0)
+      .withColumn("qv8", expr(
+        s"transform(embedding, x -> CAST(IF(x >= 0, floor($xd * (127.0d / mx) + 0.5d), -floor(-$xd * (127.0d / mx) + 0.5d)) AS FLOAT))"))
+      .withColumn("nrm8", l2(col("qv8")))
+      .drop("mx")
+  }
+
+  /** IVF × SQ8 (q65): the composition q60's scaladoc promises, discharged
+    * as a query — the production FAISS-style IVF-SQ8 retrieval ladder:
+    *
+    *   1. coarse quantizer assignment + probe selection at full precision
+    *      (identical to q46 — centroids are tiny, their precision is free);
+    *   2. candidate scoring inside probed lists in INT8 space (the 4×
+    *      cheaper pass over the corpus-sized relation: at 100 TB the
+    *      inverted lists store codes, not floats, and this is the scan
+    *      that dominates bytes);
+    *   3. a top-`shortlist` cut on the quantized score, then RERANK of
+    *      just those rows at full precision — the exact-cosine dot runs
+    *      AFTER the shortlist filter, so full-precision work is
+    *      O(queries × shortlist), never O(candidates).
+    *
+    * All three stages are deterministic cross-engine (int8 dots are exact
+    * integer sums; ties break on vec_id), so DuckDB restates the whole
+    * ladder and the final hash must match — the quantization error shows
+    * up only as which candidates make the shortlist, exactly as in
+    * production. */
+  def q65EmbedIvfSq8(spark: SparkSession, dir: String): DataFrame =
+    ivfSq8Ann(spark, dir, nlist = 16, nProbe = 2, shortlist = 8)
+
+  def ivfSq8Ann(spark: SparkSession, dir: String, nlist: Int, nProbe: Int,
+                shortlist: Int): DataFrame = {
+    withDot(spark)
+    val emb = withInt8Codes(Tables(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"),
+        col("qv8"), col("nrm8"))
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("qv8"), col("nrm8"),
+        col("cid"),
+        (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm"))).as("score"))
+    val assign = scored.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
+    val lists = emb.join(assign, "vec_id")
+    val wProbe = Window.partitionBy("vec_id").orderBy(desc("score"), asc("cid"))
+    val qprobe = scored.filter(col("vec_id") < 5)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("qv8").as("q8v"), col("nrm8").as("q8nrm"),
+        col("embedding").as("qfv"), col("nrm").as("qfnrm"), col("cid"))
+    // Stage 2: int8-space scoring of probed-list candidates. No rounding:
+    // exact integer dots over identical norms are bit-identical across
+    // engines, so the shortlist cut is deterministic as-is.
+    val cand = lists.join(broadcast(qprobe), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("nrm"),
+        col("qfv"), col("qfnrm"),
+        (dot(col("q8v"), col("qv8")) / (col("q8nrm") * col("nrm8"))).as("s8"))
+    val w8 = Window.partitionBy("q_id").orderBy(desc("s8"), asc("vec_id"))
+    val short = cand.withColumn("rn8", row_number().over(w8))
+      .filter(col("rn8") <= shortlist)
+    // Stage 3: full-precision rerank of the shortlist only — the exact
+    // dot is projected after the rn8 filter, so it runs on
+    // queries × shortlist rows.
+    val wF = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    short
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qfv"), col("embedding")) / (col("qfnrm") * col("nrm")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= 3)
       .orderBy("q_id", "rank")
   }
 
@@ -412,6 +488,32 @@ object EmbedQueries {
     graft.functions.Multimodal.ppmFeatures(
       graft.functions.Multimodal.documentsAsPpmBlobs(spark, dir))
       .toDF().orderBy("doc_id")
+
+  /** MULTIMODAL RESIZE (q62): the thumbnail step — each 1×N document
+    * image is nearest-neighbor resized to ≤16 columns through the REAL
+    * codec round trip (decode → integer-mapped sample → re-encode as a
+    * valid P6 payload → re-decode), and the resized plane's dims +
+    * per-channel maxima are reported. Because nearest-neighbor selects
+    * ORIGINAL pixels at floor(j·w/16), every output is still a pure
+    * function of the text bytes and DuckDB restates it independently —
+    * the resize itself is value-checked, not shape-checked. Narrow
+    * per-row work, bounded batches, no shuffle before the final sort. */
+  def q62MultimodalResize(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal.ppmResizeFeatures(
+      graft.functions.Multimodal.documentsAsPpmBlobs(spark, dir), 16, 1)
+      .toDF().orderBy("doc_id")
+
+  /** MULTIMODAL FRAME-SAMPLE (q63): the fixed-budget audio featurizer —
+    * each decoded PCM stream splits into ≤32 equal spans with integer
+    * boundaries f·n/32, one row per (doc, frame) carrying the frame's
+    * peak |amplitude| (the long-thin shape an audio-embedding stage
+    * consumes). Peaks are exact integer arithmetic over the synthesized
+    * samples, so DuckDB states every frame independently via list
+    * slicing over the text bytes. */
+  def q63MultimodalFrameSample(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal.wavFramePeaks(
+      graft.functions.Multimodal.documentsAsWavBlobs(spark, dir), 32)
+      .toDF().orderBy("doc_id", "frame")
 
   def q29MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")

@@ -52,6 +52,25 @@ object EventQueries {
     * `ASOF LEFT JOIN` operator, so the two plans confirm each other from
     * independent implementations. */
   def q58AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (clicks, views) = asofInputs(spark, dir)
+    asofProject(asofJoin(clicks, views, Seq("user_id"), "ts", "view_ts"))
+  }
+
+  /** AS-OF JOIN, skew-salted (q64): the identical attribution question
+    * answered through [[graft.ops.core.asofJoinSalted]] with daily time
+    * buckets — each user's timeline splits across (user, day) window
+    * partitions with the previous day's last view carried over, so one
+    * hyperactive user no longer serializes a task. Registered against
+    * the SAME DuckDB `ASOF LEFT JOIN` oracle as q58: the salted plan must
+    * land on bit-identical output (its carries keep true timestamps, so
+    * even the derived gap survives). */
+  def q64AsofJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val (clicks, views) = asofInputs(spark, dir)
+    asofProject(asofJoinSalted(clicks, views, Seq("user_id"), "ts", "view_ts",
+      t => floor(unix_micros(t) / lit(86400000000L))))
+  }
+
+  private def asofInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables(spark, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
@@ -59,12 +78,14 @@ object EventQueries {
       .select(col("user_id"), col("ts").as("view_ts"), col("event_id"))
       .groupBy("user_id", "view_ts")
       .agg(max(col("event_id")).as("view_event_id"))
-    asofJoin(clicks, views, Seq("user_id"), "ts", "view_ts")
-      .select(
-        col("event_id"), col("user_id"), col("view_event_id"),
-        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
-      .orderBy(asc("event_id"))
+    (clicks, views)
   }
+
+  private def asofProject(joined: DataFrame): DataFrame =
+    joined.select(
+      col("event_id"), col("user_id"), col("view_event_id"),
+      (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+      .orderBy(asc("event_id"))
 
   /** Batch sessionization (q61): gap-based sessions as window functions —
     * lag to flag gaps ≥ 6 h, a cumulative sum (explicit ROWS frame, both

@@ -141,6 +141,29 @@ class CoreOpsSpec extends AnyFunSuite {
       .select("click_id", "tag").collect()
       .map(r => r.getLong(0) -> Option(r.getString(1)).orNull).toMap
     assert(out == expected)
+    // the skew-salted variant must agree on the same data at several
+    // bucket widths (1 = everything in one bucket per ~1000-wide range;
+    // 100 = carries cross buckets constantly; 7 = misaligned boundaries)
+    for (width <- Seq(1000L, 100L, 7L)) {
+      val salted = core.asofJoinSalted(
+        lefts.toDF("click_id", "user", "t").repartition(7),
+        rights.toDF("user", "vt", "tag").repartition(5),
+        Seq("user"), "t", "vt", t => floor(t / width.toDouble))
+        .select("click_id", "tag").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1)).orNull).toMap
+      assert(salted == expected, s"bucket width $width diverged")
+    }
+  }
+
+  test("asofJoinSalted: null-time semantics match the unsalted op") {
+    val clicks = Seq((1L, "u1", Option(100L)), (2L, "u1", Option.empty[Long]))
+      .toDF("click_id", "user", "t")
+    val views = Seq(("u1", Option(10L), "ok"), ("u1", Option.empty[Long], "poison"))
+      .toDF("user", "vt", "tag")
+    val out = core.asofJoinSalted(clicks, views, Seq("user"), "t", "vt",
+      t => floor(t / 50.0)).orderBy("click_id").collect()
+    assert(out(0).getAs[String]("tag") == "ok")
+    assert(out(1).isNullAt(out(1).fieldIndex("tag")))
   }
 
   // --- OTP / min-max normalize (batch_process.py:22-25,71-75) ---

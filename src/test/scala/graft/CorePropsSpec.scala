@@ -69,6 +69,29 @@ object CorePropsSpec extends Properties("graft.ops.core") {
         .as[String].head() == f"$h%02d:$m%02d"
     }
 
+  property("asofJoinSalted == asofJoin for any data and bucket width") = forAll(
+    for {
+      n <- Gen.choose(1, 50)
+      m <- Gen.choose(0, 40)
+      width <- Gen.choose(1L, 200L)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (n, m, width, seed)) { case (n, m, width, seed) =>
+    val rnd = new scala.util.Random(seed)
+    val lefts = (1 to n).map(i =>
+      (i.toLong, s"u${rnd.nextInt(5)}", rnd.nextInt(500).toLong))
+    val rights = (1 to m).map(_ => (s"u${rnd.nextInt(6)}", rnd.nextInt(500).toLong))
+      .distinct.map { case (u, t) => (u, t, s"$u@$t") }
+    val l = lefts.toDF("id", "k", "t")
+    val r = rights.toDF("k", "vt", "tag")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select("id", "tag").collect()
+        .map(x => x.getLong(0) -> Option(x.getString(1)).orNull).toMap
+    val plain = run(core.asofJoin(l, r, Seq("k"), "t", "vt"))
+    val salted = run(core.asofJoinSalted(l, r, Seq("k"), "t", "vt",
+      t => floor(t / width.toDouble)))
+    Prop(plain == salted) :| s"width=$width plain=$plain salted=$salted"
+  }
+
   property("modeByKey emits exactly one row per distinct key") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 4), Gen.choose(0, 3)))) { pairs =>
       val df = pairs.map { case (k, v) => (s"k$k", s"v$v") }.toDF("k", "v")

@@ -107,6 +107,40 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.decodePpm("P5 junk".getBytes) }
   }
 
+  test("resizePpm: integer nearest-neighbor mapping, identity when target >= source") {
+    // 8×1 image with distinct R values 0..7
+    val rgb = (0 until 8).flatMap(i => Seq(i.toByte, 0.toByte, 0.toByte)).toArray
+    val src = Multimodal.encodePpm(8, 1, rgb)
+    // down to 4 columns: j -> floor(j*8/4) = 0,2,4,6
+    val (w, h, _, out) = Multimodal.decodePpm(Multimodal.resizePpm(src, 4, 1))
+    assert(w == 4 && h == 1)
+    assert(out.grouped(3).map(_(0).toInt).toSeq == Seq(0, 2, 4, 6))
+    // never upsamples: target 100 clamps to the source width, bytes identical
+    val same = Multimodal.resizePpm(src, 100, 1)
+    assert(same.sameElements(src))
+    // 2D: 2×2 -> 1×1 keeps pixel (0,0)
+    val rgb22 = Array[Byte](1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4)
+    val (w2, h2, _, out2) = Multimodal.decodePpm(
+      Multimodal.resizePpm(Multimodal.encodePpm(2, 2, rgb22), 1, 1))
+    assert(w2 == 1 && h2 == 1 && out2.toSeq == Seq[Byte](1, 1, 1))
+  }
+
+  test("wavFramePeaks: exact frame boundaries, short streams get one frame per sample") {
+    import SparkTestSession.spark.implicits._
+    val samples = Array[Short](100, -200, 300, -400, 500, -600) // n=6
+    val blob = Multimodal.MediaBlob(7L, "audio/wav",
+      Multimodal.encodeWavPcm16(samples, 8000))
+    val ds = SparkTestSession.spark.createDataset(Seq(blob))
+    // nFrames=3: spans [0,2) [2,4) [4,6) -> peaks 200, 400, 600
+    val got = Multimodal.wavFramePeaks(ds, 3).collect().sortBy(_.frame)
+    assert(got.map(f => (f.frame, f.peak)).toSeq ==
+      Seq((0L, 200L), (1L, 400L), (2L, 600L)))
+    // nFrames=32 > n: one frame per sample
+    val fine = Multimodal.wavFramePeaks(ds, 32).collect()
+    assert(fine.length == 6 && fine.map(_.peak).sorted.toSeq ==
+      Seq(100L, 200L, 300L, 400L, 500L, 600L))
+  }
+
   test("mime dispatch: wav frames are real block peaks, ppm frames carry dims") {
     val samples = Array.tabulate(2500)(i => (i - 1250).toShort) // peak 1250 & 1249
     val wav = MediaBlob(1, "audio/wav", Multimodal.encodeWavPcm16(samples, 8000))
