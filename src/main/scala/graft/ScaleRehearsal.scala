@@ -140,6 +140,7 @@ object ScaleRehearsal {
       "q49_stratified_sample" -> (graft.queries.DocQueries.q49StratifiedSample _),
       "q50_token_budget_pack" -> (graft.queries.DocQueries.q50TokenBudgetPack _),
       "q51_decontaminate" -> (graft.queries.DocQueries.q51Decontaminate _),
+      "q66_containment" -> (graft.queries.DocQueries.q66DocsContainment _),
       "q27_brute_topk" -> (graft.queries.EmbedQueries.q27EmbedCosineTopk _),
       "q28_ann_lsh" -> (graft.queries.EmbedQueries.q28EmbedAnnLsh _),
       "q46_ann_ivf" -> (graft.queries.EmbedQueries.q46EmbedIvfAnn _),
@@ -151,7 +152,7 @@ object ScaleRehearsal {
     // family only (one pass each, no min-of-2 timing) — the cheap extra
     // decade that shows whether the candidate ratio keeps holding.
     val shallowSet = Set("q20_exact_dedup", "q25_minhash_neardup",
-      "q49_stratified_sample", "q51_decontaminate")
+      "q49_stratified_sample", "q51_decontaminate", "q66_containment")
 
     factors.foreach { k =>
       val deep = k <= 10
@@ -165,6 +166,13 @@ object ScaleRehearsal {
       val candCount = graft.queries.DocQueries.minhashCandidates(
         graft.sources.Tables(spark, dir, "documents")).count()
       println(s"""{"rehearsal":true,"factor":$k,"metric":"minhash_candidates","value":$candCount}""")
+
+      // Structural count: prefix-filter candidate pairs at q66's t=0.8 —
+      // must stay ~linear for the exact containment join to survive the
+      // scale-up (the verify join's input is exactly this set).
+      val contCand = graft.queries.DocQueries.containmentCandidates(
+        graft.sources.Tables(spark, dir, "documents"), 0.8).count()
+      println(s"""{"rehearsal":true,"factor":$k,"metric":"containment_candidates","value":$contCand}""")
 
       val active = if (deep) queries else queries.filter(q => shallowSet(q._1))
       active.foreach { case (name, q) =>

@@ -83,6 +83,12 @@ object SparkEntry {
     "q63_multimodal_frame_sample" -> (EmbedQueries.q63MultimodalFrameSample _),
     "q64_asof_join_salted" -> (EventQueries.q64AsofJoinSalted _),
     "q65_embed_ivf_sq8" -> (EmbedQueries.q65EmbedIvfSq8 _),
+    "q66_docs_containment" -> (DocQueries.q66DocsContainment _),
+    "q67_cube_grouping" -> (ParityPlusQueries.q67CubeGrouping _),
+    "q68_pivot_priorities" -> (ParityPlusQueries.q68PivotPriorities _),
+    "q69_rolling_window" -> (ParityPlusQueries.q69RollingWindow _),
+    "q70_curriculum_deciles" -> (DocQueries.q70CurriculumDeciles _),
+    "q71_stream_sliding_window" -> (StreamQueries.q71StreamSlidingWindow _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1140,5 +1146,111 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM rer)
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // Containment: the oracle is the BRUTE-FORCE all-shared-shingle-pairs
+    // restatement (no prefix filter), so a hash match certifies the prefix
+    // filter's exact-recall claim, not just the verify arithmetic.
+    "q66_docs_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                 for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id)
+        |SELECT * FROM (
+        |  SELECT doc_a, doc_b,
+        |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |               len(sa.sh), 4) AS containment
+        |  FROM cand
+        |  JOIN s sa ON cand.doc_a = sa.doc_id
+        |  JOIN s sb ON cand.doc_b = sb.doc_id)
+        |WHERE containment >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "q67_cube_grouping" ->
+      """SELECT CASE WHEN grouping(yr) = 1 THEN 'ALL'
+        |            ELSE CAST(yr AS VARCHAR) END AS order_year,
+        |       CASE WHEN grouping(pri) = 1 THEN 'ALL' ELSE pri END AS priority,
+        |       CAST(grouping(yr) + grouping(pri) AS INTEGER) AS level,
+        |       count(*) AS order_count,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM (SELECT year(o_orderdate) AS yr, o_orderpriority AS pri,
+        |             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |      FROM orders)
+        |GROUP BY CUBE(yr, pri)
+        |ORDER BY order_year, priority""".stripMargin,
+    // Pivot restated as conditional aggregation — the exact expressions
+    // Spark's explicit-values pivot plans to.
+    "q68_pivot_priorities" ->
+      """SELECT o_orderstatus AS status,
+        |       count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |       count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+        |       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        |       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+        |       count(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    // Rolling RANGE frame over an epoch-day integer — stated identically in
+    // both engines (interval frame literals vary across dialects).
+    "q69_rolling_window" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+        |         count(*) AS day_orders,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT priority, strftime(d, '%Y-%m-%d') AS day, day_orders, day_cents,
+        |       CAST(sum(day_orders) OVER w AS BIGINT) AS rolling7_orders,
+        |       CAST(sum(day_cents) OVER w AS BIGINT) AS rolling7_cents
+        |FROM daily
+        |WINDOW w AS (PARTITION BY priority
+        |             ORDER BY datediff('day', DATE '1970-01-01', d)
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY priority, day""".stripMargin,
+    "q70_curriculum_deciles" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         round(0.4 * ttr + 0.3 * (1.0 - stop_ratio)
+        |               + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        |  FROM b),
+        |d AS (
+        |  SELECT lang, n_tokens, quality,
+        |         CAST(ntile(10) OVER (PARTITION BY lang
+        |                ORDER BY quality DESC, doc_id) AS BIGINT) AS decile
+        |  FROM q)
+        |SELECT lang, decile, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |       min(quality) AS min_quality, max(quality) AS max_quality
+        |FROM d GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin,
+    // Sliding windows: each event's two window starts are unnested
+    // explicitly; append keeps windows whose END ≤ the final watermark
+    // (max ts), same convention as the q32 tumbling oracle.
+    "q71_stream_sliding_window" ->
+      """WITH ev0 AS (
+        |  SELECT * FROM events
+        |  WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+        |    AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |x AS (
+        |  SELECT lower(trim(event_type)) AS event_type, user_id,
+        |         unnest([date_trunc('minute', ts),
+        |                 date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS ws
+        |  FROM ev0),
+        |w AS (
+        |  SELECT ws, event_type, count(*) AS event_count,
+        |         count(DISTINCT user_id) AS du
+        |  FROM x GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM ev0)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       event_count, CAST(du AS BIGINT) AS distinct_users
+        |FROM w, m WHERE ws + INTERVAL 2 MINUTE <= mx
+        |ORDER BY win_start, event_type""".stripMargin,
   )
 }

@@ -413,6 +413,40 @@ object DocQueries {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** CURRICULUM DECILES (q70): per-language quality deciles with doc/token
+    * mass per bin — the "order the corpus easy-to-hard" audit behind
+    * curriculum schedules and quality-threshold ablations (which decile
+    * does a cut at quality q actually drop, and how many tokens go with
+    * it?). `ntile(10)` over the SAME total order q50 packs by (6-rounded
+    * quality desc, doc_id) — the two views agree row-for-row, so a decile
+    * here IS a budget prefix there.
+    *
+    * Scale shape: ntile is rank-based, so the window needs each
+    * language's docs in one sorted partition — per-stratum serialization,
+    * same exposure q50 documents. Mitigations when a stratum outgrows a
+    * task: (a) the q50 histogram trick does not apply (every row gets a
+    * bin, none can be pruned), so the scale path is (b) compute approx
+    * decile CUTPOINTS (approx_percentile over quality — a map-combinable
+    * aggregate) and assign bins by comparison, map-only, trading exact
+    * equal-count bins for boundary-epsilon ones. This registered form is
+    * the exact variant; min/max/sum outputs are all order-insensitive, so
+    * the result is engine-stable with no rounding games. The groupBy after
+    * the window re-uses the window's lang hash exchange (lang ⊆ (lang,
+    * decile) satisfies the clustering) — ONE shuffle total. */
+  def q70CurriculumDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredDocs(tokenizedDocs(Tables(spark, dir, "documents")))
+    val w = Window.partitionBy("lang").orderBy(desc("quality"), asc("doc_id"))
+    scored
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        min("quality").as("min_quality"),
+        max("quality").as("max_quality"))
+      .orderBy("lang", "decile")
+  }
+
   /** DECONTAMINATION (q51): flag held-out documents sharing ≥ 10 distinct
     * 3-gram shingles with the training split — the train/test-overlap
     * audit every evaluation pipeline runs before trusting a benchmark
@@ -646,6 +680,84 @@ object DocQueries {
       .withColumn("top_ratio",
         round(col("top_bigram_cnt").cast("double") / col("total_bigrams"), 6))
       .orderBy("doc_id")
+  }
+
+  /** EXACT containment join via PREFIX FILTERING (q66) — the asymmetric
+    * complement of q25's Jaccard near-dup: flag directed pairs where ≥ 80%
+    * of doc_a's shingles also appear in doc_b (doc_a is a near-SUBSET of
+    * doc_b: a quoted article, a boilerplate-wrapped repost). Jaccard-based
+    * MinHash banding structurally misses these — a small doc inside a big
+    * one has high containment but LOW Jaccard, so its band signatures
+    * diverge — which is why this uses a different candidate scheme with a
+    * recall PROOF instead of a probabilistic one:
+    *
+    * prefix filter (AllPairs/PPJoin family): under any global total order
+    * on shingles, if |A∩B| ≥ ⌈t·|A|⌉ then at least one shared shingle lies
+    * among A's smallest |A| − ⌈t·|A|⌉ + 1 shingles (pigeonhole: the
+    * elements of A strictly after that prefix number ⌈t·|A|⌉ − 1 < |A∩B|).
+    * So exploding only that prefix on the A side and equi-joining against
+    * B's full shingle list finds EVERY qualifying pair — exact recall, no
+    * LSH false negatives — and the verify join keeps exactly those with
+    * true containment ≥ t. The oracle is the brute-force all-shared-pairs
+    * restatement, so a hash match certifies the recall claim, not just the
+    * arithmetic.
+    *
+    * Scale shape: the total order is the 56-bit shingle hash (already
+    * materialized in [[shingledHashed]]), so prefix extraction is a
+    * map-only array_sort + slice — no DF-counting pass. The A side emits
+    * ~(1−t)·|A|+1 rows per doc (at t=0.8: ~20% of the shingle table), the
+    * B side the shingle table itself; both shuffle on fixed-width longs.
+    * Candidates are bounded by pairs sharing a PREFIX shingle — the
+    * classic refinement when that still skews (order shingles by ascending
+    * document frequency so prefixes hold the rarest shingles) costs one
+    * extra groupBy+join and drops candidates further; hash order keeps
+    * this pass fully map-side and is the right default when the shingle DF
+    * is flat (max DF 25 on this corpus). A hash collision can only create
+    * a spurious candidate (killed by the exact verify), never lose one:
+    * equal shingles always hash equal. */
+  def q66DocsContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentJoinToks(tokenizedDocs(Tables(spark, dir, "documents")), 0.8)
+
+  /** The reusable operator behind q66: any (doc_id, text) frame. */
+  def containmentJoin(docs: DataFrame, threshold: Double): DataFrame =
+    containmentJoinToks(
+      docs.select(col("doc_id"), toks(col("text")).as("toks")), threshold)
+
+  /** The prefix-join candidate pairs BEFORE the exact verify — the
+    * quantity whose growth decides whether prefix filtering survives a
+    * scale-up (≈ linear while prefix shingles stay selective; the
+    * DF-ascending canonical order is the documented refinement if they
+    * don't). Public so the scale rehearsal can measure it directly, like
+    * [[minhashCandidates]]; q66 consumes it via the verify join. */
+  def containmentCandidates(docs: DataFrame, threshold: Double): DataFrame =
+    containmentCandidatesToks(shingledHashed(
+      docs.select(col("doc_id"), toks(col("text")).as("toks"))), threshold)
+
+  private def containmentCandidatesToks(withHs: DataFrame, t: Double): DataFrame = {
+    // |A| − ⌈t·|A|⌉ + 1 smallest hashes: the prefix that must intersect
+    // A∩B for any B with containment ≥ t (see scaladoc proof).
+    val prefixLen =
+      (size(col("hs")) - ceil(lit(t) * size(col("hs"))) + 1).cast("int")
+    val aPrefix = withHs.select(
+      col("doc_id").as("doc_a"),
+      explode(slice(array_sort(col("hs")), lit(1), prefixLen)).as("g"))
+    val bAll = withHs.select(col("doc_id").as("doc_b"), explode(col("hs")).as("g"))
+    aPrefix.join(bAll, Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  private def containmentJoinToks(tokDf: DataFrame, t: Double): DataFrame = {
+    val withHs = shingledHashed(tokDf)
+    val docsSh = withHs.select("doc_id", "sh")
+    containmentCandidatesToks(withHs, t)
+      .join(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(col("sha")), 4).as("containment"))
+      .filter(col("containment") >= t)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash fingerprint: 60-bit signature where bit b is the sign of the

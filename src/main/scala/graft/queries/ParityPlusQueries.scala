@@ -164,4 +164,97 @@ object ParityPlusQueries {
         col("flight_count"), col("total_qty"))
       .orderBy("flag", "status")
   }
+
+  /** CUBE with explicit GROUPING() flags (q67) — all four grouping sets of
+    * (order year, priority) in one pass. Unlike q39's coalesce('ALL'),
+    * subtotal rows are identified by `grouping(col)` — the only correct
+    * marker when the dimension itself can hold NULLs. Revenue is summed as
+    * integer cents (per-row round to long, then a long sum): a double sum
+    * is accumulation-order dependent and diverges across engines/retries,
+    * an integer sum is exact. Plans as ONE expand + hash aggregate — the
+    * expand multiplies rows by 4 before the shuffle, which is the
+    * documented cost of cube vs 4 separate aggregates sharing a scan; with
+    * partial aggregation the shuffled rows are ≤ 4·|groups|, not 4·|input|. */
+  def q67CubeGrouping(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val yr = year(col("o_orderdate"))
+    orders
+      .select(yr.as("yr"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .cube("yr", "pri")
+      // grouping() reads the grouping-set bitmask, so it only exists
+      // inside the cube's own aggregate — evaluate the flags here and
+      // carry them out as ordinary columns.
+      .agg(count(lit(1)).as("order_count"), sum("cents").as("revenue_cents"),
+        grouping(col("yr")).as("g_yr"), grouping(col("pri")).as("g_pri"))
+      .select(
+        when(col("g_yr") === 1, lit("ALL"))
+          .otherwise(col("yr").cast("string")).as("order_year"),
+        when(col("g_pri") === 1, lit("ALL"))
+          .otherwise(col("pri")).as("priority"),
+        (col("g_yr") + col("g_pri")).cast("int").as("level"),
+        col("order_count"), col("revenue_cents"))
+      .orderBy("order_year", "priority")
+  }
+
+  /** PIVOT (q68) — the inverse of q05/q09's unpivot: order-priority counts
+    * spread into columns per order status. The value list is EXPLICIT
+    * (`pivot(col, values)`), which matters at scale: the values-less
+    * overload runs an eager distinct job over the pivot column before the
+    * query even plans, and an unbounded value set would explode the schema.
+    * Spark plans this as a two-phase aggregate (asserted in PlanPinsSpec):
+    * a map-combinable pre-aggregate on (status, priority) — at most
+    * |status|·|priorities| rows out — then the pivot aggregate on status;
+    * both exchanges carry only aggregated rows, never the fact table.
+    * Semantically identical to the conditional-aggregation SQL the oracle
+    * states. */
+  def q68PivotPriorities(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val pivoted = orders
+      .groupBy(col("o_orderstatus").as("status"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+    def c(v: String, as: String) = coalesce(col(s"`$v`"), lit(0L)).as(as)
+    pivoted.select(col("status"),
+        c("1-URGENT", "urgent"), c("2-HIGH", "high"), c("3-MEDIUM", "medium"),
+        c("4-NOT SPECIFIED", "not_specified"), c("5-LOW", "low"))
+      .orderBy("status")
+  }
+
+  /** Time-RANGE rolling window (q69): 7-day rolling order count + revenue
+    * per priority — a RANGE frame over an integer day index, the frame
+    * type nothing else in the registry exercises (q50's running totals are
+    * ROWS frames; RANGE closes over a time span regardless of how many
+    * rows land in it, including none on gap days).
+    *
+    * Scale shape: the window runs over the DAILY AGGREGATE (|priorities| ×
+    * |days| rows), never the raw orders — the big shuffle is the additive
+    * groupBy, after which the per-key series any executor sorts is bounded
+    * by the calendar, not the data. Ordering key is an epoch-day integer
+    * with `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW`, stated identically
+    * in both engines (interval-literal frames vary across dialects; an
+    * integer range does not). Revenue is exact integer cents as in q67. */
+  def q69RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables(spark, dir, "orders")
+    val daily = orders
+      .select(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("priority", "d")
+      .agg(count(lit(1)).as("day_orders"), sum("cents").as("day_cents"))
+    val w = Window.partitionBy("priority")
+      .orderBy(datediff(col("d"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      // day rendered as an ISO string: a DATE column round-trips through
+      // parquet/pandas as datetime64 while the oracle emits date objects —
+      // string form compares identically in both engines.
+      .select(col("priority"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("day_orders"), col("day_cents"),
+        sum("day_orders").over(w).as("rolling7_orders"),
+        sum("day_cents").over(w).as("rolling7_cents"))
+      .orderBy("priority", "day")
+  }
 }

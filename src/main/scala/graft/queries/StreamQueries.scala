@@ -67,6 +67,19 @@ object StreamQueries {
       .orderBy("win_start", "airport")
   }
 
+  /** Sliding 2-minute / 1-minute windowed counts (parity-plus: the
+    * reference's stream layer is tumbling-only). Each event lands in
+    * exactly two overlapping windows; append emits a window once the
+    * final watermark (max ts) passes its END, so the oracle restates
+    * membership as the two per-event window starts and keeps those with
+    * start + 2 min ≤ max ts. */
+  def q71StreamSlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventStreams.streamSession(spark)
+    val events = EventStreams.fileReplaySource(ss, dir)
+    EventStreams.runToMemory(spark, EventStreams.slidingCounts(events))
+      .orderBy("win_start", "event_type")
+  }
+
   /** Session windows (parity-plus beyond the reference's tumbling-only
     * windows): per-user activity sessions with a 6-hour inactivity gap,
     * merged dynamically as events arrive — the Structured Streaming

@@ -127,6 +127,27 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col(keyName), col("distinct_users"))
 
+  /** SLIDING windows (parity-plus: every window in the reference's stream
+    * layer is tumbling) — 2-minute windows advancing every 1 minute, so
+    * each event belongs to exactly two overlapping windows (starts at
+    * floor-to-minute(ts) and one slide earlier; Spark aligns slide
+    * multiples to the epoch). Watermark/append semantics are identical to
+    * the tumbling form — a window emits once, when the watermark passes
+    * its END. State cost is the tumbling cost × (length / slide): the
+    * overlap factor is the knob that trades smoothing granularity for
+    * state size at 100 TB, and it multiplies STATE only, not input —
+    * Spark expands each row into its window set before the aggregation's
+    * map-side combine, so the shuffle still carries partial aggregates. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "2 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        size(collect_set(col("user_id"))).cast("long").as("distinct_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("event_count"), col("distinct_users"))
+
   /** A15 + J8 (stream form): geo-match each event against the static
     * airport dim with the grid-bucketed equi-join (never a per-event scan
     * of all airports — AirportAircraftCountStream.java:224-235 does the

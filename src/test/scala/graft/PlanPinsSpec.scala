@@ -60,6 +60,57 @@ class PlanPinsSpec extends AnyFunSuite {
       s"expected exactly one user_id exchange, got $hx:\n$plan")
   }
 
+  test("q67: cube is one Expand + one hash exchange — no per-grouping-set re-scan") {
+    val plan = SparkEntry.queries("q67_cube_grouping")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"cube must plan an Expand:\n$plan")
+    val hx = hashExchanges(plan)
+    // All four grouping sets ride ONE shuffle of partially-aggregated
+    // expanded rows; a second hash exchange (or none and a re-scan per
+    // set) would break the single-pass claim.
+    assert(hx.size == 1, s"expected one hash exchange, got $hx:\n$plan")
+  }
+
+  test("q68: pivot is the two-phase aggregate — both exchanges carry aggregated rows") {
+    val df = SparkEntry.queries("q68_pivot_priorities")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val hx = hashExchanges(plan)
+    // Spark rewrites pivot to: pre-aggregate on (status, priority) —
+    // map-combinable, output ≤ |status|·|priorities| rows — then the pivot
+    // aggregate on status. Two exchanges, neither carrying raw rows; a
+    // raw-row second exchange or a join would mean the rewrite regressed.
+    assert(hx.size == 2, s"expected the two-phase pivot shape, got $hx:\n$plan")
+    assert(hx.exists(k => k.contains("o_orderstatus") && k.contains("o_orderpriority")),
+      s"pre-aggregate exchange on the composite key missing: $hx\n$plan")
+    assert(!plan.contains("Join"), s"pivot must not plan a join:\n$plan")
+  }
+
+  test("q69: RANGE window runs over the daily aggregate, not raw orders") {
+    val plan = SparkEntry.queries("q69_rolling_window")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RangeFrame, -6, currentrow"),
+      s"range frame missing:\n$plan")
+    // The window's sort/exchange must sit ABOVE the hash aggregate in the
+    // operator chain — i.e. the aggregate appears below the Window node —
+    // so each per-key series an executor sorts is calendar-bounded.
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must consume the aggregate, not raw rows:\n$plan")
+  }
+
+  test("q70: groupBy reuses the ntile window's lang exchange — one shuffle") {
+    val plan = SparkEntry.queries("q70_curriculum_deciles")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ntile"), s"no ntile in plan:\n$plan")
+    val hx = hashExchanges(plan)
+    // hashpartitioning(lang) for the window also satisfies the
+    // (lang, decile) groupBy clustering — a second exchange would mean
+    // Spark re-shuffled rows that are already key-local.
+    assert(hx.size == 1 && hx.head.contains("lang"),
+      s"expected exactly one lang exchange, got $hx:\n$plan")
+  }
+
   test("q58: as-of join is the union-and-sweep — window pass, no join operator") {
     val plan = SparkEntry.queries("q58_asof_join")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -85,6 +85,49 @@ class StreamingReplaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: each event in two windows; lateness is PER WINDOW, not per row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Long)]
+    val events = ms.toDF().toDF("ts", "event_type", "user_id")
+    val counts = EventStreams.slidingCounts(EventStreams.normalize(events))
+    val q = counts.writeStream
+      .format("memory").queryName("sliding_sink").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // Batch 1: wm ends at 10:01:05 → closes [09:59, 10:01).
+      ms.addData((ts("2024-01-01 10:00:10"), "A", 1L), (ts("2024-01-01 10:00:40"), "A", 2L),
+        (ts("2024-01-01 10:01:05"), "A", 3L))
+      q.processAllAvailable()
+      // Batch 2: u9@10:00:30 arrives with wm = 10:01:05 — LATE for its
+      // older window [09:59, 10:01) (already closed) but ON TIME for
+      // [10:00, 10:02): the overlap means a row can be dropped for one of
+      // its windows and still count in the other. u4 advances wm to 10:02:10.
+      ms.addData((ts("2024-01-01 10:00:30"), "A", 9L), (ts("2024-01-01 10:02:10"), "A", 4L))
+      q.processAllAvailable()
+      // Batch 3: advance wm to 10:04:30 → closes every window through
+      // [10:02, 10:04).
+      ms.addData((ts("2024-01-01 10:04:30"), "A", 5L))
+      q.processAllAvailable()
+
+      val deadline = System.currentTimeMillis() + 15000
+      def rows() = spark.table("sliding_sink")
+        .select("win_start", "event_count", "distinct_users")
+        .as[(String, Long, Long)].collect().toSeq
+      while (rows().size < 4 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      val out = rows()
+      assert(out.map(_._1).distinct.size == out.size, s"duplicate window emission: $out")
+      val byWin = out.map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(byWin("2024-01-01 09:59:00") == ((2L, 2L)), s"u9 must NOT reopen the closed window: $out")
+      assert(byWin("2024-01-01 10:00:00") == ((4L, 4L)), s"late u9 must still count in its open window: $out")
+      assert(byWin("2024-01-01 10:01:00") == ((2L, 2L)), s"$out")
+      assert(byWin("2024-01-01 10:02:00") == ((1L, 1L)), s"$out")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState custom state equals the declarative windowed distinct") {
     import spark.implicits._
     val source = EventStreams.fileReplaySource(spark, sf)
