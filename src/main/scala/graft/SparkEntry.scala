@@ -89,6 +89,7 @@ object SparkEntry {
     "q69_rolling_window" -> (ParityPlusQueries.q69RollingWindow _),
     "q70_curriculum_deciles" -> (DocQueries.q70CurriculumDeciles _),
     "q71_stream_sliding_window" -> (StreamQueries.q71StreamSlidingWindow _),
+    "q72_grouping_sets" -> (ParityPlusQueries.q72GroupingSets _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1148,7 +1149,9 @@ object SparkEntry {
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     // Containment: the oracle is the BRUTE-FORCE all-shared-shingle-pairs
     // restatement (no prefix filter), so a hash match certifies the prefix
-    // filter's exact-recall claim, not just the verify arithmetic.
+    // filter's exact-recall claim, not just the verify arithmetic. Both
+    // engines verify over the same md5-derived 56-bit shingle-hash lists
+    // (the q25/q51 bit-compatible construction).
     "q66_docs_containment" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -1157,17 +1160,21 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
         |                 for i in range(1, len(toks) - 1)]) AS sh
         |  FROM t WHERE len(toks) >= 3),
-        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |hsl AS (
+        |  SELECT doc_id,
+        |         list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)) AS hv
+        |  FROM s),
+        |e AS (SELECT doc_id, unnest(hv) AS g FROM hsl),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id)
         |SELECT * FROM (
         |  SELECT doc_a, doc_b,
-        |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        |               len(sa.sh), 4) AS containment
+        |         round(CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE) /
+        |               len(ha.hv), 4) AS containment
         |  FROM cand
-        |  JOIN s sa ON cand.doc_a = sa.doc_id
-        |  JOIN s sb ON cand.doc_b = sb.doc_id)
+        |  JOIN hsl ha ON cand.doc_a = ha.doc_id
+        |  JOIN hsl hb ON cand.doc_b = hb.doc_id)
         |WHERE containment >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "q67_cube_grouping" ->
       """SELECT CASE WHEN grouping(yr) = 1 THEN 'ALL'
@@ -1252,5 +1259,18 @@ object SparkEntry {
         |       event_count, CAST(du AS BIGINT) AS distinct_users
         |FROM w, m WHERE ws + INTERVAL 2 MINUTE <= mx
         |ORDER BY win_start, event_type""".stripMargin,
+    // Explicit grouping sets: two margins + grand total, never the
+    // (year, priority) cross — the sets named here are the sets computed.
+    "q72_grouping_sets" ->
+      """SELECT CASE WHEN grouping(yr) = 1 THEN 'ALL'
+        |            ELSE CAST(yr AS VARCHAR) END AS order_year,
+        |       CASE WHEN grouping(pri) = 1 THEN 'ALL' ELSE pri END AS priority,
+        |       count(*) AS order_count,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM (SELECT year(o_orderdate) AS yr, o_orderpriority AS pri,
+        |             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |      FROM orders)
+        |GROUP BY GROUPING SETS ((yr), (pri), ())
+        |ORDER BY order_year, priority""".stripMargin,
   )
 }

@@ -749,13 +749,23 @@ object DocQueries {
 
   private def containmentJoinToks(tokDf: DataFrame, t: Double): DataFrame = {
     val withHs = shingledHashed(tokDf)
-    val docsSh = withHs.select("doc_id", "sh")
+    // Verify on the 56-bit hash arrays, not the shingle strings: the
+    // candidate set is ~1000× the true pair count on flat-DF corpora
+    // (519k candidates vs 512 pairs at sf0.1), so per-pair intersect cost
+    // dominates the query — long-array intersects are ~3× cheaper than
+    // string intersects and the re-attach joins shuffle 8-byte elements
+    // instead of ~25-byte shingles. Equal shingles hash equal, so the
+    // hash-set containment equals the string-set containment unless two
+    // DISTINCT shingles of a pair collide in 56 bits (~2⁻⁵⁶·|A|·|B|);
+    // the oracle states the same md5-derived lists (q25/q51's proven
+    // bit-compatible construction), so both engines see identical sets.
+    val docsHs = withHs.select("doc_id", "hs")
     containmentCandidatesToks(withHs, t)
-      .join(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .join(docsHs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(docsHs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(col("sha")), 4).as("containment"))
+        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(col("ha")), 4).as("containment"))
       .filter(col("containment") >= t)
       .orderBy("doc_a", "doc_b")
   }

@@ -197,6 +197,33 @@ object ParityPlusQueries {
       .orderBy("order_year", "priority")
   }
 
+  /** Explicit GROUPING SETS (q72) — completes the grouping-set vocabulary
+    * next to q39's rollup and q67's cube: ONLY the named sets are
+    * computed — (year), (priority), and the grand total, but NOT the
+    * (year, priority) cross q67 pays for. That is the scale point: the
+    * Expand multiplies pre-shuffle rows by the number of SETS (3 here vs
+    * cube's 4), so a report that needs two margins and a total never
+    * computes — or shuffles — the full cross product. Same single
+    * Expand + one hash exchange plan family as q67 (PlanPinsSpec). */
+  def q72GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    orders
+      .select(year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupingSets(Seq(Seq(col("yr")), Seq(col("pri")), Seq.empty),
+        col("yr"), col("pri"))
+      .agg(count(lit(1)).as("order_count"), sum("cents").as("revenue_cents"),
+        grouping(col("yr")).as("g_yr"), grouping(col("pri")).as("g_pri"))
+      .select(
+        when(col("g_yr") === 1, lit("ALL"))
+          .otherwise(col("yr").cast("string")).as("order_year"),
+        when(col("g_pri") === 1, lit("ALL"))
+          .otherwise(col("pri")).as("priority"),
+        col("order_count"), col("revenue_cents"))
+      .orderBy("order_year", "priority")
+  }
+
   /** PIVOT (q68) — the inverse of q05/q09's unpivot: order-priority counts
     * spread into columns per order status. The value list is EXPLICIT
     * (`pivot(col, values)`), which matters at scale: the values-less

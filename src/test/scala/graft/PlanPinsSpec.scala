@@ -71,6 +71,23 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(hx.size == 1, s"expected one hash exchange, got $hx:\n$plan")
   }
 
+  test("q72: grouping sets expands to the NAMED sets only — never the cross product") {
+    val plan = SparkEntry.queries("q72_grouping_sets")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"grouping sets must plan an Expand:\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.size == 1, s"expected one hash exchange, got $hx:\n$plan")
+    // The un-requested (yr, pri) cross set would only exist as a 4th
+    // Expand projection — assert exactly the 3 named sets are emitted
+    // (vs q67's cube, whose Expand carries 4).
+    val expand = SparkEntry.queries("q72_grouping_sets")(spark, sfDir)
+      .queryExecution.optimizedPlan.collectFirst {
+        case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+      }
+    assert(expand.map(_.projections.size).contains(3),
+      s"expected 3 expand projections (named sets), got ${expand.map(_.projections.size)}")
+  }
+
   test("q68: pivot is the two-phase aggregate — both exchanges carry aggregated rows") {
     val df = SparkEntry.queries("q68_pivot_priorities")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

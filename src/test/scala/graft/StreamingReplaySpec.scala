@@ -144,6 +144,24 @@ class StreamingReplaySpec extends AnyFunSuite {
     assert(custom.nonEmpty)
   }
 
+  test("transformWithState (Spark 4 successor API) equals the declarative windowed distinct") {
+    import spark.implicits._
+    val declarative = EventStreams.runToMemory(spark,
+      EventStreams.windowedDistinct(
+        EventStreams.fileReplaySource(spark, sf), col("event_type"), "event_type"))
+      .select("win_start", "event_type", "distinct_users")
+      .as[(String, String, Long)].collect().toSet
+    // transformWithState only runs on the RocksDB state-store provider.
+    val ss = EventStreams.streamSession(spark, rocksDbState = true)
+    val tws = EventStreams.runToMemory(spark,
+      EventStreams.windowedDistinctTws(
+        EventStreams.fileReplaySource(ss, sf), "event_type"))
+      .select("win_start", "event_type", "distinct_users")
+      .as[(String, String, Long)].collect().toSet
+    assert(tws == declarative)
+    assert(tws.nonEmpty)
+  }
+
   test("session windows merge across micro-batches and close on watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
