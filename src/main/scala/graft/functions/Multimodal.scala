@@ -377,6 +377,35 @@ object Multimodal {
       .as[MediaBlob]
   }
 
+  /** Raw-FILE multimodal ingest: lift a directory of media files into the
+    * same MediaBlob surface every decode/feature query consumes, via
+    * Spark's `binaryFile` source — the ingest shape of a real asset lake
+    * (one object per asset) as opposed to the parquet-borne payload
+    * column. Scale notes: the source never reads a file bigger than
+    * `spark.sql.files.maxPartitionBytes` into one row blindly — each file
+    * IS one row, so payload size bounds row size (set
+    * `binaryFile.maxLength` guards upstream); `pathGlobFilter` prunes
+    * non-matching objects at LISTING time, and filters on `length` /
+    * `modificationTime` push into the file index (incremental ingest =
+    * a modTime predicate, no data read). The doc id rides the object
+    * name (`doc_<id>.<ext>`), the standard asset-lake key convention.
+    * Spec-verified against the in-memory synthesis path: the same
+    * payload bytes written to files and read back decode to identical
+    * features (MultimodalSpec). */
+  def blobsFromFiles(spark: SparkSession, dir: String, glob: String,
+                     mime: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        lit(mime).as("mime"),
+        col("content").as("payload"))
+      .as[MediaBlob]
+  }
+
   /** Synthesize a REAL 8 kHz PCM16 waveform per document — sample i is the
     * centered-and-scaled i-th UTF-8 byte of the text, (b − 128) · 256 —
     * wrapped in a genuine RIFF/WAVE container. Deterministic (no RNG), so

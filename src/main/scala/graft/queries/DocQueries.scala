@@ -413,6 +413,28 @@ object DocQueries {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** OBSERVED quality gate: the curation filter with its run metrics
+    * attached — docs in, docs kept, token mass kept — collected as a side
+    * effect of whatever action runs downstream (`Dataset.observe`), never
+    * as a second pass. That is the 100 TB point: a pipeline that counts
+    * its drops with a separate `count()` re-reads the corpus; an observed
+    * metric rides the exact same scan, costs one aggregate buffer per
+    * task, and reports through the same API a `StreamingQueryListener`
+    * reads in production. The caller blocks on `obs.get` AFTER an action
+    * has run on the returned frame (spec: ObservationSpec). */
+  def qualityGateObserved(spark: SparkSession, dir: String,
+                          minQuality: Double)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val scored = scoredDocs(tokenizedDocs(Tables(spark, dir, "documents")))
+    val obs = org.apache.spark.sql.Observation()
+    val kept = col("quality") >= minQuality
+    val observed = scored.observe(obs,
+      count(lit(1)).as("docs_in"),
+      count(when(kept, 1)).as("docs_kept"),
+      coalesce(sum(when(kept, col("n_tokens"))), lit(0L)).as("tokens_kept"))
+    (observed.filter(kept), obs)
+  }
+
   /** CURRICULUM DECILES (q70): per-language quality deciles with doc/token
     * mass per bin — the "order the corpus easy-to-hard" audit behind
     * curriculum schedules and quality-threshold ablations (which decile

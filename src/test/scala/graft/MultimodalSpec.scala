@@ -183,6 +183,35 @@ class MultimodalSpec extends AnyFunSuite {
         "byte-vs-character oracle equivalence no longer holds")
   }
 
+  test("binaryFile ingest decodes identically to the in-memory payload path") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_binfiles")
+    try {
+      val payloads = (1L to 3L).map { id =>
+        val samples = (0 until 64).map(i => ((i * 37 + id * 11) % 251 * 100).toShort).toArray
+        id -> Multimodal.encodeWavPcm16(samples, 8000)
+      }
+      payloads.foreach { case (id, bytes) =>
+        java.nio.file.Files.write(tmp.resolve(s"doc_$id.wav"), bytes)
+      }
+      // a non-matching object the glob must prune at listing time
+      java.nio.file.Files.write(tmp.resolve("manifest.txt"), "not media".getBytes)
+
+      val fromFiles = Multimodal.wavFeatures(
+        Multimodal.blobsFromFiles(spark, tmp.toString, "*.wav", "audio/wav"))
+        .collect().map(f => f.doc_id -> f).toMap
+      val direct = Multimodal.wavFeatures(
+        payloads.map { case (id, b) => MediaBlob(id, "audio/wav", b) }.toDS())
+        .collect().map(f => f.doc_id -> f).toMap
+      assert(fromFiles.keySet == Set(1L, 2L, 3L), s"glob/id-parse failed: ${fromFiles.keySet}")
+      assert(fromFiles == direct,
+        "file-borne payloads must decode byte-identically to in-memory ones")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("wavFeatures matches the q54 oracle arithmetic on a known payload") {
     val text = "Hello graft" // ASCII; min byte 'H' = 72 -> peak (128-72)*256
     val bytes = text.getBytes("UTF-8")
