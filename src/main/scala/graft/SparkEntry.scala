@@ -90,6 +90,7 @@ object SparkEntry {
     "q70_curriculum_deciles" -> (DocQueries.q70CurriculumDeciles _),
     "q71_stream_sliding_window" -> (StreamQueries.q71StreamSlidingWindow _),
     "q72_grouping_sets" -> (ParityPlusQueries.q72GroupingSets _),
+    "q73_gap_fill" -> (ParityPlusQueries.q73GapFill _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1272,5 +1273,24 @@ object SparkEntry {
         |      FROM orders)
         |GROUP BY GROUPING SETS ((yr), (pri), ())
         |ORDER BY order_year, priority""".stripMargin,
+    // Gap-fill: per-key calendar scaffold, left join, forward fill with
+    // IGNORE NULLS — the first scaffold day is observed by construction.
+    "q73_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT priority, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+        |scaffold AS (
+        |  SELECT priority, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM b),
+        |j AS (SELECT s.priority, s.d, daily.day_cents
+        |      FROM scaffold s LEFT JOIN daily ON s.priority = daily.priority AND s.d = daily.d)
+        |SELECT priority, strftime(d, '%Y-%m-%d') AS day,
+        |       day_cents IS NOT NULL AS is_observed,
+        |       CAST(last_value(day_cents IGNORE NULLS) OVER (
+        |         PARTITION BY priority ORDER BY d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_cents
+        |FROM j ORDER BY priority, day""".stripMargin,
   )
 }

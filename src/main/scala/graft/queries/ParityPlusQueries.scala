@@ -197,6 +197,45 @@ object ParityPlusQueries {
       .orderBy("order_year", "priority")
   }
 
+  /** GAP-FILL + forward-fill (q73) — the standard feature-engineering
+    * treatment for sparse time series: densify each key's daily revenue
+    * onto EVERY calendar day between its first and last observation
+    * (`sequence` + explode scaffold), then carry the last observed value
+    * across the gaps (`last(_, ignoreNulls)` over an unbounded-preceding
+    * ROWS frame). `is_observed` keeps real and imputed rows separable —
+    * the flag a downstream model join filters or weights on.
+    *
+    * Scale shape: like q69, every window input is the DAILY AGGREGATE —
+    * the scaffold is |keys| × |days| rows (calendar-bounded, data-free),
+    * generated key-locally by the explode (no shuffle to build it); the
+    * left join back to the observations is keyed on (key, day), and the
+    * fill window sorts calendar-bounded series. Forward-fill is
+    * inherently sequential per key, but only over days, never rows —
+    * first-observation days are observed by construction, so the filled
+    * column is total. */
+  def q73GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables(spark, dir, "orders")
+    val daily = orders
+      .select(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("priority", "d")
+      .agg(sum("cents").as("day_cents"))
+    val scaffold = daily
+      .groupBy("priority").agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("priority"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val w = Window.partitionBy("priority").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold
+      .join(daily, Seq("priority", "d"), "left")
+      .select(col("priority"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("day_cents").isNotNull.as("is_observed"),
+        last("day_cents", ignoreNulls = true).over(w).as("filled_cents"))
+      .orderBy("priority", "day")
+  }
+
   /** Explicit GROUPING SETS (q72) — completes the grouping-set vocabulary
     * next to q39's rollup and q67's cube: ONLY the named sets are
     * computed — (year), (priority), and the grand total, but NOT the

@@ -136,6 +136,21 @@ class PlanPinsSpec extends AnyFunSuite {
       s"expected exactly one lang exchange, got $hx:\n$plan")
   }
 
+  test("q73: gap-fill scaffold joins keyed and fills over the aggregate — no row blowup") {
+    val plan = SparkEntry.queries("q73_gap_fill")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode(sequence"),
+      s"calendar scaffold missing:\n$plan")
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!plan.contains(j), s"scaffold join must stay keyed, not a $j:\n$plan"))
+    // The fill window consumes the daily aggregate (calendar-bounded
+    // series), never raw orders — same containment pin as q69.
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"fill window must sit above the daily aggregate:\n$plan")
+  }
+
   test("q58: as-of join is the union-and-sweep — window pass, no join operator") {
     val plan = SparkEntry.queries("q58_asof_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
