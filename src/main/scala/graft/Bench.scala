@@ -32,17 +32,29 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query seconds from the newest driver-written BENCH_r*.json, if
-    * any. The driver wraps our JSON line inside a "tail" string field, so
-    * this extracts the last `"queries":{...}` object textually rather than
+  /** Per-query seconds for the outlier guard's baseline. Preference order:
+    *   1. SPARK_GRAFT_BENCH_PREV=<path> — explicit pin;
+    *   2. BENCHLOCAL.json in `dir` — the builder's own committed clean run
+    *      (complete, never driver-truncated);
+    *   3. the newest driver-written BENCH_r*.json.
+    * The driver wraps our JSON line inside a "tail" string field, so this
+    * extracts the last `"queries":{...}` object textually rather than
     * JSON-parsing the wrapper.
+    *
+    * Round-8 postmortem: the driver truncates the tail from the FRONT, so
+    * the `"queries":{` anchor can be cut off mid-number — the anchor-only
+    * parser returned an empty map and the guard silently disarmed. When the
+    * anchor is missing, fall back to scanning the WHOLE text for
+    * `"qNN_name":float` pairs: query keys are distinctive (start `q<digit>`,
+    * value must start with a digit, so `"reran":["q35_x"]` arrays and
+    * `"qNN":"err"` error strings never match).
     *
     * Rounds are ordered by the NUMERIC round in the filename (lexicographic
     * order breaks at r10 vs r9). If the driver has already written this
     * round's own file into cwd (a rerun), comparing against it would disarm
     * the outlier guard — set SPARK_GRAFT_BENCH_EXCLUDE_ROUND=<n> to skip
     * round n, or SPARK_GRAFT_BENCH_PREV=<path> to pin the baseline file. */
-  private[graft] def previousRoundTimes(dir: java.io.File): Map[String, Double] = {
+  private[graft] def previousRound(dir: java.io.File): (Map[String, Double], String) = {
     val pinned = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_))
     val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE_ROUND")
       .flatMap(_.toIntOption)
@@ -54,6 +66,7 @@ object Bench {
           case _ => None
         }
       }.sortBy(_._1).map(_._2)
+    val entry = """\\?"(q[0-9][^"\\]*)\\?":([0-9][0-9.eE+-]*)""".r
     def parse(f: java.io.File): Map[String, Double] = {
       val text = try scala.io.Source.fromFile(f, "UTF-8").mkString
                  catch { case _: Throwable => "" }
@@ -63,20 +76,27 @@ object Bench {
       // yield an empty map.
       val anchor = """\\?"queries\\?":\{""".r
       anchor.findAllMatchIn(text).toSeq.lastOption match {
-        case None => Map.empty[String, Double]
         case Some(m) =>
           val body = text.substring(m.end, math.min(text.length, m.end + 65536))
             .takeWhile(_ != '}')
-          val entry = """\\?"(q[0-9][^"\\]*)\\?":([0-9][0-9.eE+-]*)""".r
           entry.findAllMatchIn(body)
+            .map(e => e.group(1) -> e.group(2).toDouble).toMap
+        case None =>
+          // Front-truncated tail: the anchor is gone but the per-query
+          // pairs survive. Scan everything; toMap keeps the last
+          // occurrence of a duplicated key (the newest embedded line).
+          entry.findAllMatchIn(text)
             .map(e => e.group(1) -> e.group(2).toDouble).toMap
       }
     }
-    val chosen = pinned.orElse(candidates.lastOption)
+    val local = new java.io.File(dir, "BENCHLOCAL.json")
+    val chosen: Option[java.io.File] = pinned
+      .orElse(if (local.isFile) Some(local) else None)
+      .orElse(candidates.lastOption)
     val times = chosen.map(parse).getOrElse(Map.empty)
     // A pinned-but-unusable baseline must not silently disarm the guard
     // the operator explicitly armed: say so on stderr (the JSON line stays
-    // machine-parseable on stdout).
+    // machine-parseable on stdout); main() also ships baseline_n in-band.
     if (times.isEmpty && pinned.isDefined)
       System.err.println(s"[bench] WARNING: pinned baseline " +
         s"${pinned.get} is missing, unreadable, or has no queries object — " +
@@ -84,8 +104,11 @@ object Bench {
     else if (times.isEmpty && chosen.isDefined)
       System.err.println(s"[bench] WARNING: baseline ${chosen.get} parsed " +
         "to an empty query map — the >3x outlier guard is DISARMED")
-    times
+    (times, chosen.map(_.getName).getOrElse("none"))
   }
+
+  private[graft] def previousRoundTimes(dir: java.io.File): Map[String, Double] =
+    previousRound(dir)._1
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,7 +181,7 @@ object Bench {
     // round-7 contamination inflated untouched queries only 1.3-1.6x and
     // sailed under the 3x guard (BENCHNOTES.md), and at >0.5 s a rerun is
     // cheap relative to the cost of shipping a poisoned number.
-    val prev = previousRoundTimes(new java.io.File("."))
+    val (prev, prevSrc) = previousRound(new java.io.File("."))
     val flagged = results.collect {
       case (n, t) if t > 0 && prev.get(n).exists(p =>
         p > 0 && (t > 3 * p || (p > 0.5 && t > 1.5 * p))) => n
@@ -189,8 +212,18 @@ object Bench {
     val rerunLoadJson = rerunLoads.mkString("[", ",", "]")
     val reranJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"warmup_sec":$warmupSec,"loadavg":$loadJson,"loadavg_rerun":$rerunLoadJson,"reran":$reranJson,"errors":$errJson,"sf":"$sfDir"}""")
+    // baseline_src/baseline_n are the in-band proof the outlier guard armed
+    // (round-8 shipped contaminated numbers because the guard disarmed
+    // silently and the stderr warning fell outside the captured tail).
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"warmup_sec":$warmupSec,"loadavg":$loadJson,"loadavg_rerun":$rerunLoadJson,"reran":$reranJson,"baseline_src":"$prevSrc","baseline_n":${prev.size},"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Deliberate local runs (idle machine) persist the complete line as the
+    // committed baseline for future rounds; driver runs leave it untouched
+    // so a contention-inflated sweep can't poison the committed baseline.
+    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_LOCAL").contains("1"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCHLOCAL.json"),
+        (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

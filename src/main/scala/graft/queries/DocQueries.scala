@@ -724,19 +724,22 @@ object DocQueries {
     * restatement, so a hash match certifies the recall claim, not just the
     * arithmetic.
     *
-    * Scale shape: the total order is the 56-bit shingle hash (already
-    * materialized in [[shingledHashed]]), so prefix extraction is a
-    * map-only array_sort + slice — no DF-counting pass. The A side emits
-    * ~(1−t)·|A|+1 rows per doc (at t=0.8: ~20% of the shingle table), the
-    * B side the shingle table itself; both shuffle on fixed-width longs.
-    * Candidates are bounded by pairs sharing a PREFIX shingle — the
-    * classic refinement when that still skews (order shingles by ascending
-    * document frequency so prefixes hold the rarest shingles) costs one
-    * extra groupBy+join and drops candidates further; hash order keeps
-    * this pass fully map-side and is the right default when the shingle DF
-    * is flat (max DF 25 on this corpus). A hash collision can only create
-    * a spurious candidate (killed by the exact verify), never lose one:
-    * equal shingles always hash equal. */
+    * Scale shape: the canonical total order is ASCENDING DOCUMENT
+    * FREQUENCY (ties broken by the 56-bit hash) — the AllPairs/PPJoin
+    * refinement that puts the RAREST shingles in every prefix, so a
+    * prefix shingle joins against the fewest possible B-side rows. It
+    * costs one groupBy (the shingle DF table) and one equi-join more than
+    * the hash order, both on fixed-width longs, and cuts the candidate
+    * set by orders of magnitude when any shingle is common (measured in
+    * SCALE.md; the hash-order variant stays available via
+    * [[containmentCandidates]] for that comparison). Recall is unaffected:
+    * the pigeonhole proof holds under ANY global total order, and (df, g)
+    * is one — every engine-side doc orders its shingles by the same
+    * corpus-wide DF. The A side emits ~(1−t)·|A|+1 rows per doc (at
+    * t=0.8: ~20% of the shingle table), the B side the shingle table
+    * itself; both shuffle on fixed-width longs. A hash collision can only
+    * create a spurious candidate (killed by the exact verify), never lose
+    * one: equal shingles always hash equal. */
   def q66DocsContainment(spark: SparkSession, dir: String): DataFrame =
     containmentJoinToks(tokenizedDocs(Tables(spark, dir, "documents")), 0.8)
 
@@ -747,22 +750,49 @@ object DocQueries {
 
   /** The prefix-join candidate pairs BEFORE the exact verify — the
     * quantity whose growth decides whether prefix filtering survives a
-    * scale-up (≈ linear while prefix shingles stay selective; the
-    * DF-ascending canonical order is the documented refinement if they
-    * don't). Public so the scale rehearsal can measure it directly, like
-    * [[minhashCandidates]]; q66 consumes it via the verify join. */
-  def containmentCandidates(docs: DataFrame, threshold: Double): DataFrame =
+    * scale-up (≈ linear while prefix shingles stay selective). Public so
+    * the scale rehearsal can measure it directly, like
+    * [[minhashCandidates]]; q66 consumes it via the verify join.
+    * `dfOrder = false` selects the plain hash total order (map-only
+    * prefix extraction, no DF pass) — kept so the rehearsal can measure
+    * what the DF-ascending order buys. */
+  def containmentCandidates(docs: DataFrame, threshold: Double,
+                            dfOrder: Boolean = true): DataFrame =
     containmentCandidatesToks(shingledHashed(
-      docs.select(col("doc_id"), toks(col("text")).as("toks"))), threshold)
+      docs.select(col("doc_id"), toks(col("text")).as("toks"))), threshold,
+      dfOrder)
 
-  private def containmentCandidatesToks(withHs: DataFrame, t: Double): DataFrame = {
-    // |A| − ⌈t·|A|⌉ + 1 smallest hashes: the prefix that must intersect
-    // A∩B for any B with containment ≥ t (see scaladoc proof).
-    val prefixLen =
-      (size(col("hs")) - ceil(lit(t) * size(col("hs"))) + 1).cast("int")
-    val aPrefix = withHs.select(
-      col("doc_id").as("doc_a"),
-      explode(slice(array_sort(col("hs")), lit(1), prefixLen)).as("g"))
+  private def containmentCandidatesToks(withHs: DataFrame, t: Double,
+                                        dfOrder: Boolean = true): DataFrame = {
+    // |A| − ⌈t·|A|⌉ + 1 smallest shingles under the canonical order: the
+    // prefix that must intersect A∩B for any B with containment ≥ t (see
+    // scaladoc proof — valid for ANY global total order).
+    def prefixLen(sz: Column): Column =
+      (sz - ceil(lit(t) * sz) + 1).cast("int")
+    val aPrefix =
+      if (!dfOrder)
+        withHs.select(
+          col("doc_id").as("doc_a"),
+          explode(slice(array_sort(col("hs")), lit(1), prefixLen(size(col("hs")))))
+            .as("g"))
+      else {
+        // Canonical order (df ASC, hash ASC): one groupBy builds the
+        // corpus-wide shingle-DF table, one join attaches it, and the
+        // per-doc regroup sorts (df, g) structs — array_sort on structs
+        // is field-lexicographic, exactly the order we want. |ord| =
+        // |hs| (shingles are distinct per doc), so the prefix bound is
+        // unchanged.
+        val ex = withHs.select(col("doc_id"), explode(col("hs")).as("g"))
+        val dfTab = ex.groupBy("g").agg(count(lit(1)).as("df"))
+        ex.join(dfTab, "g")
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ord"))
+          .select(
+            col("doc_id").as("doc_a"),
+            explode(transform(
+              slice(col("ord"), lit(1), prefixLen(size(col("ord")))),
+              x => x.getField("g"))).as("g"))
+      }
     val bAll = withHs.select(col("doc_id").as("doc_b"), explode(col("hs")).as("g"))
     aPrefix.join(bAll, Seq("g"))
       .filter(col("doc_a") =!= col("doc_b"))
@@ -772,23 +802,32 @@ object DocQueries {
   private def containmentJoinToks(tokDf: DataFrame, t: Double): DataFrame = {
     val withHs = shingledHashed(tokDf)
     // Verify on the 56-bit hash arrays, not the shingle strings: the
-    // candidate set is ~1000× the true pair count on flat-DF corpora
-    // (519k candidates vs 512 pairs at sf0.1), so per-pair intersect cost
-    // dominates the query — long-array intersects are ~3× cheaper than
-    // string intersects and the re-attach joins shuffle 8-byte elements
-    // instead of ~25-byte shingles. Equal shingles hash equal, so the
-    // hash-set containment equals the string-set containment unless two
-    // DISTINCT shingles of a pair collide in 56 bits (~2⁻⁵⁶·|A|·|B|);
-    // the oracle states the same md5-derived lists (q25/q51's proven
-    // bit-compatible construction), so both engines see identical sets.
+    // candidate set can far exceed the true pair count (519k candidates
+    // vs 512 pairs at sf0.1 under hash order; the DF order cuts this),
+    // so per-pair intersect cost dominates the query — long-array
+    // intersects are ~3× cheaper than string intersects and the
+    // re-attach joins shuffle 8-byte elements instead of ~25-byte
+    // shingles. Equal shingles hash equal, so the hash-set containment
+    // equals the string-set containment unless two DISTINCT shingles of
+    // a pair collide in 56 bits (~2⁻⁵⁶·|A|·|B|); the oracle states the
+    // same md5-derived lists (q25/q51's proven bit-compatible
+    // construction), so both engines see identical sets.
+    //
+    // The threshold cut uses the UNROUNDED ratio; round(…,4) is applied
+    // only to the output column. Cutting on the rounded value would admit
+    // pairs with true ratio in [t−5e-5, t) — pairs the prefix (derived
+    // from the unrounded t) is NOT guaranteed to surface once docs exceed
+    // ~20k distinct shingles, silently voiding the exact-recall proof in
+    // that hairline band. The oracle applies the same unrounded cut.
     val docsHs = withHs.select("doc_id", "hs")
     containmentCandidatesToks(withHs, t)
       .join(docsHs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(docsHs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
-          size(col("ha")), 4).as("containment"))
-      .filter(col("containment") >= t)
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(col("ha"))).as("c_raw"))
+      .filter(col("c_raw") >= t)
+      .select(col("doc_a"), col("doc_b"), round(col("c_raw"), 4).as("containment"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -43,6 +43,32 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.previousRoundTimes(dir) == Map("q03_c" -> 0.7))
   }
 
+  test("front-truncated tail (anchor lost) still parses via whole-text scan") {
+    val dir = Files.createTempDirectory("benchspec6").toFile
+    // Replica of the real BENCH_r07.json failure shape: the driver truncates
+    // the tail string from the FRONT, so it begins mid-number and the
+    // "queries":{ anchor is gone. The guard must still arm.
+    val truncated =
+      """{"n":7,"rc":0,"tail":"68319,\"q38_semi_anti_join\":0.638985117,\"q40_bucketed_join\":0.551947772},\"repeats\":3,\"reran\":[\"q40_bucketed_join\"],\"errors\":{\"q99_x\":\"boom\"}}"}"""
+    Files.write(dir.toPath.resolve("BENCH_r07.json"), truncated.getBytes)
+    val m = Bench.previousRoundTimes(dir)
+    assert(m == Map("q38_semi_anti_join" -> 0.638985117,
+                    "q40_bucketed_join" -> 0.551947772))
+    // reran-array names (no :float) and error strings (:"msg") must not match
+    assert(!m.contains("q99_x"))
+  }
+
+  test("BENCHLOCAL.json is preferred over driver BENCH_r*.json artifacts") {
+    val dir = Files.createTempDirectory("benchspec7").toFile
+    Files.write(dir.toPath.resolve("BENCH_r08.json"),
+      """{"tail":"{\"queries\":{\"q01_a\":9.9}}"}""".getBytes)
+    Files.write(dir.toPath.resolve("BENCHLOCAL.json"),
+      """{"metric":"total","queries":{"q01_a":0.4},"repeats":3}""".getBytes)
+    val (m, src) = Bench.previousRound(dir)
+    assert(m == Map("q01_a" -> 0.4))
+    assert(src == "BENCHLOCAL.json")
+  }
+
   test("previousRoundTimes handles a bare unwrapped line and absence") {
     val dir = Files.createTempDirectory("benchspec2").toFile
     Files.write(dir.toPath.resolve("BENCH_r01.json"),
