@@ -90,21 +90,28 @@ object Bench {
       }
     }
     val local = new java.io.File(dir, "BENCHLOCAL.json")
-    val chosen: Option[java.io.File] = pinned
-      .orElse(if (local.isFile) Some(local) else None)
-      .orElse(candidates.lastOption)
-    val times = chosen.map(parse).getOrElse(Map.empty)
-    // A pinned-but-unusable baseline must not silently disarm the guard
-    // the operator explicitly armed: say so on stderr (the JSON line stays
-    // machine-parseable on stdout); main() also ships baseline_n in-band.
-    if (times.isEmpty && pinned.isDefined)
-      System.err.println(s"[bench] WARNING: pinned baseline " +
-        s"${pinned.get} is missing, unreadable, or has no queries object — " +
-        "the >3x outlier guard is DISARMED for this run")
-    else if (times.isEmpty && chosen.isDefined)
-      System.err.println(s"[bench] WARNING: baseline ${chosen.get} parsed " +
-        "to an empty query map — the >3x outlier guard is DISARMED")
-    (times, chosen.map(_.getName).getOrElse("none"))
+    // Preference order, but an empty/corrupt preferred file must not shadow
+    // usable baselines further down the list: fall through (with a stderr
+    // note) until a candidate parses to a non-empty query map.
+    val ordered: Seq[java.io.File] =
+      pinned.toSeq ++ (if (local.isFile) Seq(local) else Nil) ++
+        candidates.reverse.toSeq
+    val chosen: Option[(java.io.File, Map[String, Double])] =
+      ordered.iterator.map { f =>
+        val t = parse(f)
+        if (t.isEmpty)
+          System.err.println(s"[bench] WARNING: baseline candidate $f is " +
+            "missing, unreadable, or has no query times — trying the next one")
+        f -> t
+      }.find(_._2.nonEmpty)
+    // Nothing usable anywhere must not silently disarm the guard: say so on
+    // stderr (the JSON line stays machine-parseable on stdout); main() also
+    // ships baseline_n in-band.
+    if (chosen.isEmpty && ordered.nonEmpty)
+      System.err.println("[bench] WARNING: no baseline candidate parsed to " +
+        "a non-empty query map — the >3x outlier guard is DISARMED")
+    (chosen.map(_._2).getOrElse(Map.empty),
+     chosen.map(_._1.getName).getOrElse("none"))
   }
 
   private[graft] def previousRoundTimes(dir: java.io.File): Map[String, Double] =
@@ -221,9 +228,18 @@ object Bench {
     // Deliberate local runs (idle machine) persist the complete line as the
     // committed baseline for future rounds; driver runs leave it untouched
     // so a contention-inflated sweep can't poison the committed baseline.
-    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_LOCAL").contains("1"))
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCHLOCAL.json"),
-        (line + "\n").getBytes("UTF-8"))
+    // A run with failures must not persist either: failed queries serialize
+    // as -1 and drop out of the parsed map, silently shrinking guard
+    // coverage for every future round.
+    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_LOCAL").contains("1")) {
+      if (errors.nonEmpty)
+        System.err.println("[bench] NOT writing BENCHLOCAL.json: " +
+          s"${errors.size} queries failed; a partial baseline would shrink " +
+          "outlier-guard coverage")
+      else
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCHLOCAL.json"),
+          (line + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

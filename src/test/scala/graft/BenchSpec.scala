@@ -69,6 +69,17 @@ class BenchSpec extends AnyFunSuite {
     assert(src == "BENCHLOCAL.json")
   }
 
+  test("empty or corrupt BENCHLOCAL.json falls through to BENCH_r*.json") {
+    val dir = Files.createTempDirectory("benchspec8").toFile
+    Files.write(dir.toPath.resolve("BENCH_r08.json"),
+      """{"tail":"{\"queries\":{\"q01_a\":1.5}}"}""".getBytes)
+    // corrupt preferred file: no query map — must not shadow the valid r08
+    Files.write(dir.toPath.resolve("BENCHLOCAL.json"), "{}".getBytes)
+    val (m, src) = Bench.previousRound(dir)
+    assert(m == Map("q01_a" -> 1.5))
+    assert(src == "BENCH_r08.json")
+  }
+
   test("previousRoundTimes handles a bare unwrapped line and absence") {
     val dir = Files.createTempDirectory("benchspec2").toFile
     Files.write(dir.toPath.resolve("BENCH_r01.json"),
