@@ -107,6 +107,11 @@ object ScaleRehearsal {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outRoot = args.lift(1).getOrElse("target/scale")
     val factors = args.lift(2).getOrElse("1,3,10,30").split(",").map(_.trim.toInt).toSeq
+    // Optional section filter (csv of minhash,containment,timings,mg,ivf)
+    // so a targeted re-measurement doesn't pay for the full sweep.
+    val sections = sys.env.get("SPARK_GRAFT_REHEARSAL_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+    def on(s: String): Boolean = sections.forall(_.contains(s))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -163,18 +168,56 @@ object ScaleRehearsal {
 
       // Structural count: banded candidate pairs (the quantity that must
       // stay ~linear for MinHash+LSH to survive the scale-up).
-      val candCount = graft.queries.DocQueries.minhashCandidates(
-        graft.sources.Tables(spark, dir, "documents")).count()
-      println(s"""{"rehearsal":true,"factor":$k,"metric":"minhash_candidates","value":$candCount}""")
+      if (on("minhash")) {
+        val candCount = graft.queries.DocQueries.minhashCandidates(
+          graft.sources.Tables(spark, dir, "documents")).count()
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"minhash_candidates","value":$candCount}""")
+      }
 
-      // Structural count: prefix-filter candidate pairs at q66's t=0.8 —
-      // must stay ~linear for the exact containment join to survive the
-      // scale-up (the verify join's input is exactly this set).
-      val contCand = graft.queries.DocQueries.containmentCandidates(
-        graft.sources.Tables(spark, dir, "documents"), 0.8).count()
-      println(s"""{"rehearsal":true,"factor":$k,"metric":"containment_candidates","value":$contCand}""")
+      // Structural count: prefix-filter candidate pairs at q66's t=0.8,
+      // under BOTH total orders — hash (the shipped default: map-only
+      // prefix extraction) and DF-ascending (the AllPairs refinement
+      // behind the dfOrder flag). Must stay ~linear for the exact
+      // containment join to survive the scale-up (the verify join's
+      // input is exactly this set); the hash/df ratio on this flat-DF
+      // corpus is what justifies hash as the default.
+      val docsTab = graft.sources.Tables(spark, dir, "documents")
+      if (on("containment")) Seq("hash" -> false, "df" -> true).foreach {
+        case (lbl, flag) =>
+          val c = graft.queries.DocQueries
+            .containmentCandidates(docsTab, 0.8, dfOrder = flag).count()
+          println(s"""{"rehearsal":true,"factor":$k,"metric":"containment_candidates_$lbl","value":$c}""")
+      }
 
-      val active = if (deep) queries else queries.filter(q => shallowSet(q._1))
+      // The same two counts on a DF-SKEWED corpus: a 14-token boilerplate
+      // footer appended to every 5th document gives ~12 shingles corpus-
+      // wide document frequency. Under the hash order those shingles land
+      // in a prefix whenever their fixed hash falls in the doc's smallest
+      // ~20% — each such hit joins against EVERY footered document, so
+      // candidates grow ~quadratically; the DF-ascending order sorts them
+      // last and never prefixes them, staying ~linear. Factors ≤ 10 only:
+      // the ×30 hash-order count would be ~1e9 rows spent re-demonstrating
+      // a known quadratic.
+      if (on("containment") && k <= 10) {
+        val boiler = " subscribe to our newsletter today for exclusive " +
+          "updates and curated offers from the editorial desk"
+        val skewed = docsTab.withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(boiler)))
+            .otherwise(col("text")))
+        Seq("hash" -> false, "df" -> true).foreach { case (lbl, flag) =>
+          val c = graft.queries.DocQueries
+            .containmentCandidates(skewed, 0.8, dfOrder = flag).count()
+          println(s"""{"rehearsal":true,"factor":$k,"metric":"containment_candidates_skew_$lbl","value":$c}""")
+        }
+        // The skewed corpus' shingle cache is keyed on its own plan —
+        // release it (and everything else; the flat family re-persists on
+        // demand) before the timed sections.
+        graft.queries.DocQueries.unpersistAllShared(spark)
+      }
+
+      val active =
+        (if (deep) queries else queries.filter(q => shallowSet(q._1)))
+          .filter(_ => on("timings"))
       active.foreach { case (name, q) =>
         val rows = q(spark, dir).count()
         val sec = if (deep) bench(materialize(q(spark, dir)))
@@ -196,7 +239,7 @@ object ScaleRehearsal {
       // hot bigrams (~n/300 each, comfortably above n/1025) are unioned
       // in: the guarantee is then tested with heavy keys present WHILE
       // eviction is firing. `missed` must print 0 at every factor.
-      {
+      if (on("mg")) {
         graft.functions.FreqSketch.register(spark)
         val grams = graft.queries.DocQueries.bigramSlots(
           graft.sources.Tables(spark, dir, "documents"))
@@ -236,7 +279,7 @@ object ScaleRehearsal {
       // under balanced lists), and recall is pinned against the
       // brute-force top-3 — the documented parallelism-ceiling knob
       // (EmbedQueries.ivfAnn) discharged by measurement, not prose.
-      if (deep) {
+      if (on("ivf") && deep) {
         import graft.queries.EmbedQueries
         val nVec = graft.sources.Tables(spark, dir, "embeddings").count()
         val nlistBig = math.max(16, math.round(math.sqrt(nVec.toDouble)).toInt)
@@ -257,7 +300,7 @@ object ScaleRehearsal {
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every
       // earlier factor's fact tables at MEMORY_AND_DISK.
-      graft.queries.DocQueries.unpersistShared(spark, dir)
+      graft.queries.DocQueries.unpersistAllShared(spark)
       graft.sources.Tables.release(spark, dir)
     }
     spark.stop()

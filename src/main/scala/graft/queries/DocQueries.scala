@@ -260,6 +260,17 @@ object DocQueries {
     shared.remove((appId, docsKey, "tokenized")).foreach(_.unpersist())
   }
 
+  /** Release EVERY shared relation this session persisted, whatever its
+    * source frame. [[unpersistShared]] releases the family built over a
+    * table dir; the scale rehearsal also builds derived corpora (skewed
+    * text variants) whose cache keys that method cannot name — this is
+    * the harness-side catch-all. */
+  private[graft] def unpersistAllShared(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    shared.keys.filter(_._1 == appId).toSeq.foreach(k =>
+      shared.remove(k).foreach(_.unpersist()))
+  }
+
   /** The banded candidate pairs BEFORE the exact-Jaccard verify — the
     * quantity whose growth decides whether MinHash+LSH survives a scale-up
     * (linear in corpus size when banding holds, quadratic when buckets
@@ -724,22 +735,28 @@ object DocQueries {
     * restatement, so a hash match certifies the recall claim, not just the
     * arithmetic.
     *
-    * Scale shape: the canonical total order is ASCENDING DOCUMENT
-    * FREQUENCY (ties broken by the 56-bit hash) — the AllPairs/PPJoin
-    * refinement that puts the RAREST shingles in every prefix, so a
-    * prefix shingle joins against the fewest possible B-side rows. It
-    * costs one groupBy (the shingle DF table) and one equi-join more than
-    * the hash order, both on fixed-width longs, and cuts the candidate
-    * set by orders of magnitude when any shingle is common (measured in
-    * SCALE.md; the hash-order variant stays available via
-    * [[containmentCandidates]] for that comparison). Recall is unaffected:
-    * the pigeonhole proof holds under ANY global total order, and (df, g)
-    * is one — every engine-side doc orders its shingles by the same
-    * corpus-wide DF. The A side emits ~(1−t)·|A|+1 rows per doc (at
-    * t=0.8: ~20% of the shingle table), the B side the shingle table
-    * itself; both shuffle on fixed-width longs. A hash collision can only
-    * create a spurious candidate (killed by the exact verify), never lose
-    * one: equal shingles always hash equal. */
+    * Scale shape: the canonical total order is the plain 56-bit HASH —
+    * prefix extraction is then MAP-ONLY (array_sort + slice inside the
+    * row, no extra shuffle). The AllPairs/PPJoin refinement — ascending
+    * corpus-wide DOCUMENT FREQUENCY, ties by hash, so every prefix holds
+    * the RAREST shingles and joins against the fewest B-side rows — is
+    * available via [[containmentCandidates]]`(dfOrder = true)` but is NOT
+    * the default, on measurement (SCALE.md "containment order"): it costs
+    * one corpus-wide groupBy (the shingle-DF table), one equi-join, and a
+    * per-doc struct re-sort, and on a flat-DF corpus (this fixture's max
+    * shingle DF is 25) it cuts candidates only ~1.7× while adding ~30%
+    * wall at sf0.1 — the extra shuffle costs more than the cut saves. On
+    * a DF-SKEWED corpus (boilerplate shingles shared corpus-wide) the
+    * picture inverts: hash-order candidates grow ~quadratically while the
+    * DF order stays linear (measured on a 20%-boilerplate amplified
+    * corpus, same SCALE.md section) — that is the regime where a caller
+    * flips the flag. Recall is unaffected either way: the pigeonhole
+    * proof holds under ANY global total order, and both hash and (df,
+    * hash) are global total orders. The A side emits ~(1−t)·|A|+1 rows
+    * per doc (at t=0.8: ~20% of the shingle table), the B side the
+    * shingle table itself; both shuffle on fixed-width longs. A hash
+    * collision can only create a spurious candidate (killed by the exact
+    * verify), never lose one: equal shingles always hash equal. */
   def q66DocsContainment(spark: SparkSession, dir: String): DataFrame =
     containmentJoinToks(tokenizedDocs(Tables(spark, dir, "documents")), 0.8)
 
@@ -753,17 +770,17 @@ object DocQueries {
     * scale-up (≈ linear while prefix shingles stay selective). Public so
     * the scale rehearsal can measure it directly, like
     * [[minhashCandidates]]; q66 consumes it via the verify join.
-    * `dfOrder = false` selects the plain hash total order (map-only
-    * prefix extraction, no DF pass) — kept so the rehearsal can measure
-    * what the DF-ascending order buys. */
+    * `dfOrder = true` selects the DF-ascending total order (rarest
+    * shingles in every prefix — the flag for DF-skewed corpora; see the
+    * q66 scaladoc for the measured trade). */
   def containmentCandidates(docs: DataFrame, threshold: Double,
-                            dfOrder: Boolean = true): DataFrame =
+                            dfOrder: Boolean = false): DataFrame =
     containmentCandidatesToks(shingledHashed(
       docs.select(col("doc_id"), toks(col("text")).as("toks"))), threshold,
       dfOrder)
 
   private def containmentCandidatesToks(withHs: DataFrame, t: Double,
-                                        dfOrder: Boolean = true): DataFrame = {
+                                        dfOrder: Boolean = false): DataFrame = {
     // |A| − ⌈t·|A|⌉ + 1 smallest shingles under the canonical order: the
     // prefix that must intersect A∩B for any B with containment ≥ t (see
     // scaladoc proof — valid for ANY global total order).

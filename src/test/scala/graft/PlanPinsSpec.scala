@@ -151,6 +151,35 @@ class PlanPinsSpec extends AnyFunSuite {
       s"fill window must sit above the daily aggregate:\n$plan")
   }
 
+  test("q66: hash-order candidates stay map-only to the join; DF order adds exactly the DF aggregate + join") {
+    // Same cache release as the q57 pin (single-partition degenerate).
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    def plan(dfOrder: Boolean): String =
+      graft.queries.DocQueries.containmentCandidates(docs, 0.8, dfOrder)
+        .queryExecution.executedPlan.toString
+    val aggOnShingle = "HashAggregate\\(keys=\\[g#".r
+    def joins(p: String): Int =
+      Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        .map(j => j.r.findAllMatchIn(p).size).sum
+    val hashPlan = plan(dfOrder = false)
+    // Shipped default: prefix extraction is in-row (array_sort + slice) —
+    // no aggregate keyed on the shingle hash may exist; the only joins are
+    // the single prefix-vs-all equi-join.
+    assert(aggOnShingle.findFirstIn(hashPlan).isEmpty,
+      s"hash order must not build a shingle-DF table:\n$hashPlan")
+    assert(joins(hashPlan) == 1,
+      s"hash order plans exactly the candidate equi-join:\n$hashPlan")
+    val dfPlan = plan(dfOrder = true)
+    // Flagged variant: the corpus-wide shingle-DF groupBy and its
+    // re-attach join are the DOCUMENTED extra cost — pin that it is
+    // exactly those two operators, no more.
+    assert(aggOnShingle.findFirstIn(dfPlan).isDefined,
+      s"df order must build the shingle-DF table:\n$dfPlan")
+    assert(joins(dfPlan) == 2,
+      s"df order plans the DF re-attach join plus the candidate join:\n$dfPlan")
+  }
+
   test("q58: as-of join is the union-and-sweep — window pass, no join operator") {
     val plan = SparkEntry.queries("q58_asof_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
