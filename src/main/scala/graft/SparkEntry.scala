@@ -91,6 +91,7 @@ object SparkEntry {
     "q71_stream_sliding_window" -> (StreamQueries.q71StreamSlidingWindow _),
     "q72_grouping_sets" -> (ParityPlusQueries.q72GroupingSets _),
     "q73_gap_fill" -> (ParityPlusQueries.q73GapFill _),
+    "q74_incremental_dedup" -> (DocQueries.q74IncrementalDedup _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1292,5 +1293,64 @@ object SparkEntry {
         |         PARTITION BY priority ORDER BY d
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_cents
         |FROM j ORDER BY priority, day""".stripMargin,
+    // Incremental dedup: the delta shard (doc_id % 10 = 7) audited against
+    // the rest of the corpus only — exact dup by content hash, near-dup by
+    // the q25 minhash-band + exact-Jaccard construction restricted to
+    // delta-vs-corpus pairs, contamination by q51's shared-shingle count.
+    "q74_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)) AS hv
+        |  FROM s),
+        |bd AS (
+        |  SELECT doc_id,
+        |         unnest([concat_ws('|', CAST(b AS VARCHAR),
+        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b) + 1) + (2 * b) * 7919) % 1000000007)) AS VARCHAR),
+        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b + 1) + 1) + (2 * b + 1) * 7919) % 1000000007)) AS VARCHAR))
+        |                 for b in range(0, 4)]) AS band_key
+        |  FROM hs),
+        |exact AS (
+        |  SELECT DISTINCT d.doc_id
+        |  FROM documents d JOIN documents c
+        |    ON md5(lower(trim(d.text))) = md5(lower(trim(c.text)))
+        |  WHERE d.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bd a JOIN bd b ON a.band_key = b.band_key
+        |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+        |nd AS (
+        |  SELECT DISTINCT doc_a AS doc_id FROM (
+        |    SELECT doc_a,
+        |           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |           len(list_distinct(sa.sh || sb.sh)) AS j
+        |    FROM cand
+        |    JOIN s sa ON cand.doc_a = sa.doc_id
+        |    JOIN s sb ON cand.doc_b = sb.doc_id)
+        |  WHERE j >= 0.7),
+        |tr AS (SELECT DISTINCT unnest(hv) AS h FROM hs WHERE doc_id % 10 <> 7),
+        |te AS (SELECT doc_id, unnest(hv) AS h FROM hs WHERE doc_id % 10 = 7),
+        |cont AS (
+        |  SELECT doc_id, count(*) AS n_shared
+        |  FROM te JOIN tr USING (h) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       (e.doc_id IS NOT NULL) AS exact_dup,
+        |       (n.doc_id IS NOT NULL) AS near_dup,
+        |       CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS shared_shingles,
+        |       (e.doc_id IS NULL AND n.doc_id IS NULL
+        |        AND COALESCE(c.n_shared, 0) < 10) AS keep
+        |FROM documents d
+        |LEFT JOIN exact e ON d.doc_id = e.doc_id
+        |LEFT JOIN nd n ON d.doc_id = n.doc_id
+        |LEFT JOIN cont c ON d.doc_id = c.doc_id
+        |WHERE d.doc_id % 10 = 7
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -281,14 +281,21 @@ object DocQueries {
     candPairs(shingledHashed(
       docs.select(col("doc_id"), toks(col("text")).as("toks"))))
 
-  private def candPairs(withHs: DataFrame): DataFrame = {
+  /** (doc_id, band_key) — 4 bands × 2 MinHash rows per doc, band id baked
+    * into the key so one equi-join covers all bands. Shared by the
+    * corpus-self candidate join (q25) and the delta-vs-corpus incremental
+    * join (q74). */
+  private def bandsOf(withHs: DataFrame): DataFrame = {
     val P = 1000000007L
     def sig(s: Int): Column =
       array_min(transform(col("hs"), h => (h * (2 * s + 1) + s * 7919L) % P))
-    // Band id baked into the key so one equi-join covers all bands.
     val bandKeys = (0 until 4).map(b =>
       concat_ws("|", lit(b), sig(2 * b), sig(2 * b + 1)))
-    val bands = withHs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+    withHs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+  }
+
+  private def candPairs(withHs: DataFrame): DataFrame = {
+    val bands = bandsOf(withHs)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
@@ -512,6 +519,117 @@ object DocQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** INCREMENTAL (DELTA) DEDUP + DECONTAMINATION (q74): audit a NEW shard
+    * against the EXISTING corpus only — the production posture of the
+    * whole dedup family. q20/q25/q41/q51 recompute corpus-vs-corpus from
+    * scratch; a daily ingest instead asks "which of today's documents are
+    * exact dups, near-dups, or contaminated w.r.t. what we already
+    * hold?", at cost proportional to the SHARD, never the corpus
+    * squared.
+    *
+    * Shape (the 100 TB lens): every corpus-facing pass is a scan of a
+    * persisted-store relation — content hashes, band keys, distinct
+    * shingle hashes; here the session-shared caches stand in for the
+    * store a production pipeline materializes once — joined against a
+    * BROADCAST delta-derived set, so the corpus is never shuffled
+    * against itself and every intermediate is bounded by the shard's
+    * actual collisions:
+    *   - exact: corpus content hashes left-semi vs the broadcast delta
+    *     hash set → matched hashes (≤ |delta| rows), broadcast back onto
+    *     the delta;
+    *   - near-dup: corpus band keys equi-joined to broadcast delta bands
+    *     → (delta, corpus) candidates, verified by exact Jaccard ≥ t
+    *     with each store side broadcast-pruned to candidates first;
+    *   - contamination: the corpus' distinct shingle-hash store joined
+    *     to the broadcast exploded delta shingles, counted per delta doc
+    *     ([[decontaminate]]'s semantics with delta as the held-out side).
+    * The registered shard is doc_id % 10 == 7 (a tenth of the corpus);
+    * any predicate over the corpus columns works — same contract as
+    * [[decontaminate]]. */
+  def q74IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    incrementalDedupToks(docs, tokenizedDocs(docs), col("doc_id") % 10 === 7,
+      0.7, 10)
+  }
+
+  /** The reusable operator behind q74: one row per delta document —
+    * (doc_id, exact_dup, near_dup, shared_shingles, keep), keep meaning
+    * "no exact dup, no verified near-dup, fewer than minShared shingles
+    * shared with the corpus". Jaccard and the shared-shingle count use
+    * the UNROUNDED values (the q66 lesson: rounding before a threshold
+    * cut silently voids the recall argument in the boundary band).
+    * Takes any (doc_id, text) frame; the registered form feeds it the
+    * session-shared tokenized corpus instead. */
+  def incrementalDedup(docs: DataFrame, isDelta: Column,
+                       jaccardT: Double, minShared: Int): DataFrame =
+    incrementalDedupToks(docs,
+      docs.select(col("doc_id"), toks(col("text")).as("toks")),
+      isDelta, jaccardT, minShared)
+
+  private def incrementalDedupToks(docs: DataFrame, tokDf: DataFrame,
+                                   isDelta: Column, jaccardT: Double,
+                                   minShared: Int): DataFrame = {
+    val member = docs.select(col("doc_id"),
+      md5(lower(trim(col("text")))).as("text_hash"), isDelta.as("is_delta"))
+    val delta = member.filter(col("is_delta"))
+    val corpus = member.filter(!col("is_delta"))
+
+    // Exact: which delta content hashes exist in the corpus store. The
+    // store side is scanned map-only (left-semi against the broadcast
+    // delta set); the surviving hash set is ≤ |delta| and broadcast back.
+    val matchedHash = corpus.select("text_hash")
+      .join(broadcast(delta.select("text_hash").distinct()),
+        Seq("text_hash"), "left_semi")
+      .distinct()
+    val exactFlag = delta.select("doc_id", "text_hash")
+      .join(broadcast(matchedHash.withColumn("x", lit(true))),
+        Seq("text_hash"), "left")
+      .select(col("doc_id"), coalesce(col("x"), lit(false)).as("exact_dup"))
+
+    // Split the shared shingle store by the membership predicate (one
+    // doc_id-keyed join, same pattern as decontaminate).
+    val wh = shingledHashed(tokDf)
+      .join(member.select("doc_id", "is_delta"), "doc_id")
+    val deltaHs = wh.filter(col("is_delta"))
+    val corpusHs = wh.filter(!col("is_delta"))
+
+    // Near-dup: corpus bands scanned map-only against broadcast delta
+    // bands; candidates are (delta, corpus) pairs bounded by real band
+    // collisions. Verification broadcast-prunes each store side to the
+    // candidate set before the Jaccard arithmetic runs.
+    val cand = bandsOf(corpusHs).withColumnRenamed("doc_id", "doc_b")
+      .join(broadcast(bandsOf(deltaHs).withColumnRenamed("doc_id", "doc_a")),
+        "band_key")
+      .select("doc_a", "doc_b").distinct()
+    val candB = corpusHs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      .join(broadcast(cand), "doc_b")
+    val nearDup = deltaHs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      .join(broadcast(candB), "doc_a")
+      .filter(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))) >= jaccardT)
+      .select(col("doc_a").as("doc_id")).distinct()
+
+    // Contamination: the corpus' distinct shingle-hash store (fixed-width
+    // longs — the one corpus-wide shuffle, and it builds the store a
+    // production run persists) joined to broadcast delta shingles.
+    val sharedShingles = corpusHs.select(explode(col("hs")).as("h")).distinct()
+      .join(broadcast(deltaHs.select(col("doc_id"), explode(col("hs")).as("h"))),
+        "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_shingles"))
+
+    delta.select("doc_id")
+      .join(exactFlag, "doc_id")
+      .join(nearDup.withColumn("nd", lit(true)), Seq("doc_id"), "left")
+      .join(sharedShingles, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("nd"), lit(false)).as("near_dup"),
+        coalesce(col("shared_shingles"), lit(0L)).as("shared_shingles"))
+      .withColumn("keep",
+        !col("exact_dup") && !col("near_dup") &&
+          col("shared_shingles") < minShared)
+      .orderBy("doc_id")
   }
 
   /** The CURATED TRAINING MIX (q52) — the capstone composition the whole
