@@ -92,6 +92,8 @@ object SparkEntry {
     "q72_grouping_sets" -> (ParityPlusQueries.q72GroupingSets _),
     "q73_gap_fill" -> (ParityPlusQueries.q73GapFill _),
     "q74_incremental_dedup" -> (DocQueries.q74IncrementalDedup _),
+    "q75_text_scrub" -> (DocQueries.q75TextScrub _),
+    "q76_decile_cutpoints" -> (DocQueries.q76DecileCutpoints _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1352,5 +1354,73 @@ object SparkEntry {
         |LEFT JOIN cont c ON d.doc_id = c.doc_id
         |WHERE d.doc_id % 10 = 7
         |ORDER BY d.doc_id""".stripMargin,
+    // Normalize/scrub: identical deterministic dirt injected via chr()
+    // (BEL control char, per-doc email/phone, decomposed accent chr(769)),
+    // then NFC -> control strip -> redaction, value-checked by md5.
+    "q75_text_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || chr(7) || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.com or call +1 555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |         ' cafe' || chr(769) || ' today' AS dirty
+        |  FROM documents),
+        |n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS nfc FROM d),
+        |s AS (SELECT doc_id, dirty, nfc,
+        |             regexp_replace(nfc, '[\x00-\x1f\x7f]', '', 'g') AS stripped
+        |      FROM n),
+        |r AS (SELECT doc_id, dirty, nfc, stripped,
+        |             regexp_replace(regexp_replace(stripped,
+        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |               '\+[0-9]{1,2} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |      FROM s)
+        |SELECT doc_id,
+        |       CAST(length(dirty) AS BIGINT) AS len_raw,
+        |       CAST(length(nfc) AS BIGINT) AS len_nfc,
+        |       CAST(len(regexp_extract_all(stripped,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(stripped,
+        |         '\+[0-9]{1,2} [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |       CAST(length(redacted) AS BIGINT) AS len_clean,
+        |       md5(redacted) AS clean_hash
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // Approx-cutpoint deciles: Spark's full-accuracy GK sketch returns the
+    // element at rank ceil(p*n) (measured, partition-stable), restated
+    // here with an explicit row_number rank formula; bins assigned by the
+    // upper-bound rule (1 + #cuts strictly below quality).
+    "q76_decile_cutpoints" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, len(toks) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         round(0.4 * ttr + 0.3 * (1.0 - stop_ratio)
+        |               + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        |  FROM b),
+        |o AS (
+        |  SELECT lang, quality,
+        |         row_number() OVER (PARTITION BY lang ORDER BY quality) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM q),
+        |ranks AS (
+        |  SELECT o.lang, g.p,
+        |         max(CASE WHEN rn = CAST(ceil(g.p * n / 10.0) AS BIGINT)
+        |                  THEN quality END) AS cut
+        |  FROM o CROSS JOIN (SELECT unnest(range(1, 10)) AS p) g
+        |  GROUP BY o.lang, g.p),
+        |cl AS (SELECT lang, list(cut ORDER BY p) AS cuts FROM ranks GROUP BY lang),
+        |a AS (
+        |  SELECT q.lang, q.n_tokens, q.quality,
+        |         1 + len(list_filter(cl.cuts, c -> c < q.quality)) AS decile
+        |  FROM q JOIN cl ON q.lang = cl.lang)
+        |SELECT lang, CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |       min(quality) AS min_quality, max(quality) AS max_quality
+        |FROM a GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
   )
 }

@@ -400,9 +400,15 @@ object Multimodal {
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        // try_cast: a glob-matching file NOT named doc_<id>.* extracts ""
+        // — under ANSI that cast throws mid-scan; try_cast turns it into
+        // a null the next line prunes, so a stray object degrades to
+        // "skipped", never to a failed ingest.
+        regexp_extract(col("path"), "doc_(\\d+)\\.", 1).try_cast("long")
+          .as("doc_id"),
         lit(mime).as("mime"),
         col("content").as("payload"))
+      .filter(col("doc_id").isNotNull)
       .as[MediaBlob]
   }
 

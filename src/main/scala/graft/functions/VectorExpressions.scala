@@ -299,6 +299,7 @@ object VectorExpressions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     VectorExpressions.inject(extensions)
+    TextExpressions.inject(extensions)
     FreqSketch.inject(extensions)
     extensions.injectOptimizerRule(_ => graft.plans.GeoGridJoinRule)
   }

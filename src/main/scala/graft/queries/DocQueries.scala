@@ -487,6 +487,44 @@ object DocQueries {
       .orderBy("lang", "decile")
   }
 
+  /** APPROX-CUTPOINT DECILES (q76) — q70's documented scale path,
+    * registered: the same per-language curriculum audit with the
+    * rank-based `ntile(10)` window (per-stratum serialization: one task
+    * must sort a whole language) replaced by
+    *   1. decile CUTPOINTS via `approx_percentile(quality, p1..p9)` — a
+    *      map-combinable AGGREGATE (GK sketch, partial-merge), output 9
+    *      doubles per stratum regardless of corpus size;
+    *   2. a broadcast of the tiny cutpoint table back onto the corpus;
+    *   3. MAP-ONLY bin assignment: decile = 1 + |{cuts strictly below
+    *      quality}| — the upper-bound rule, no sort, no window.
+    * The trade is exact equal-count bins for boundary-epsilon ones; at
+    * the fixture sizes the sketch is EXACT (n ≪ accuracy=1e6, and the
+    * full-accuracy sketch returns the element at rank ⌈p·n⌉,
+    * partition-stable — measured, not assumed), so the oracle restates
+    * the cutpoints with an explicit row_number = ⌈p·n⌉ rank formula and
+    * the bins hash-match. At 100 TB `accuracy` becomes the
+    * memory/precision dial and bins drift by ε·n per boundary — the
+    * price of deleting the per-stratum sort. Plan pin (PlanPinsSpec): NO
+    * Window operator anywhere; the only corpus-scale exchanges carry
+    * partial aggregates. */
+  def q76DecileCutpoints(spark: SparkSession, dir: String): DataFrame = {
+    val scored = scoredDocs(tokenizedDocs(Tables(spark, dir, "documents")))
+    val ps = (1 to 9).map(p => lit(p / 10.0))
+    val cuts = scored.groupBy("lang")
+      .agg(percentile_approx(col("quality"), array(ps: _*), lit(1000000))
+        .as("cuts"))
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("decile",
+        (lit(1) + size(filter(col("cuts"), c => c < col("quality"))))
+          .cast("long"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        min("quality").as("min_quality"),
+        max("quality").as("max_quality"))
+      .orderBy("lang", "decile")
+  }
+
   /** DECONTAMINATION (q51): flag held-out documents sharing ≥ 10 distinct
     * 3-gram shingles with the training split — the train/test-overlap
     * audit every evaluation pipeline runs before trusting a benchmark
@@ -629,6 +667,52 @@ object DocQueries {
       .withColumn("keep",
         !col("exact_dup") && !col("near_dup") &&
           col("shared_shingles") < minShared)
+      .orderBy("doc_id")
+  }
+
+  /** TEXT NORMALIZATION + PII SCRUB (q75): the standard cleaning pass
+    * between quality gating (q22) and packing (q50) — Unicode NFC
+    * normalization (the [[graft.functions.NfcNormalize]] codegen
+    * expression; decomposed accents and compatibility forms otherwise
+    * break byte-level dedup), control-character strip, and email/phone
+    * redaction — ALL pure column expressions, zero UDFs, map-only until
+    * the final sort (no shuffle at any corpus size).
+    *
+    * The fixture text is clean ASCII, which would make every transform
+    * vacuously green — so the query first injects deterministic dirt
+    * derived from each row (a BEL control char, a per-doc email and
+    * phone, a DECOMPOSED accent), and the oracle builds the identical
+    * string with chr(); both engines then scrub the same real work. The
+    * emitted lengths prove each stage fired (len_raw > len_nfc: the
+    * combining accent composed; len_clean: redaction tokens applied) and
+    * clean_hash value-checks the final string byte-for-byte. */
+  def q75TextScrub(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    val docs = Tables(spark, dir, "documents")
+    // The injected dirt, built with unicode escapes so nothing non-ASCII
+    // sits in the source: a BEL control char (\\u0007, removed by the
+    // strip stage) and the DECOMPOSED accent "e" + COMBINING ACUTE
+    // (\\u0301) - NFC composes it to one code point, so
+    // len_nfc = len_raw - 1 proves the normalizer ran.
+    val dirty = concat(
+      col("text"), lit("\u0007 contact user"), col("doc_id").cast("string"),
+      lit("@example.com or call +1 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" cafe\u0301 today"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+    val nfc = call_function("graft_nfc", dirty)
+    val stripped = regexp_replace(nfc, "[\\x00-\\x1f\\x7f]", "")
+    val redacted = regexp_replace(
+      regexp_replace(stripped, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      length(dirty).cast("long").as("len_raw"),
+      length(nfc).cast("long").as("len_nfc"),
+      regexp_count(stripped, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(stripped, lit(phoneRe)).cast("long").as("n_phones"),
+      length(redacted).cast("long").as("len_clean"),
+      md5(redacted).as("clean_hash"))
       .orderBy("doc_id")
   }
 

@@ -38,10 +38,14 @@ class AqeSpec extends AnyFunSuite {
     // One hot key carrying ~100× the mass of the others: partition sizes
     // cross factor×median and the threshold, so OptimizeSkewedJoin must
     // split the hot partition into parallel sub-reads.
+    // Cold keys derive from id/100 (the ids where id%100==0 are exactly
+    // the multiples of 100, so `id % 50` would be constant 0 — the
+    // round-9-flagged degenerate that left only two join keys).
     val left = s.range(0, 60000)
-      .select(when(col("id") % 100 =!= 0, lit(1L)).otherwise(col("id") % 50 + 2).as("k"),
+      .select(when(col("id") % 100 =!= 0, lit(1L))
+        .otherwise((col("id") / 100).cast("long") % 50 + 2).as("k"),
         col("id").as("payload"))
-    val right = s.range(0, 51).select(col("id").as("k"), (col("id") * 7).as("dim"))
+    val right = s.range(0, 52).select(col("id").as("k"), (col("id") * 7).as("dim"))
     val joined = left.join(right, "k")
     // collect() drives THIS DataFrame's QueryExecution (count() would plan
     // a separate one, leaving this plan unexecuted and un-replanned).

@@ -195,6 +195,10 @@ class MultimodalSpec extends AnyFunSuite {
       }
       // a non-matching object the glob must prune at listing time
       java.nio.file.Files.write(tmp.resolve("manifest.txt"), "not media".getBytes)
+      // a glob-MATCHING file without the doc_<id> key: the id parse yields
+      // null, which must be pruned, not blow up the non-null encoder
+      java.nio.file.Files.write(tmp.resolve("stray.wav"),
+        Multimodal.encodeWavPcm16(Array[Short](1, 2, 3), 8000))
 
       val fromFiles = Multimodal.wavFeatures(
         Multimodal.blobsFromFiles(spark, tmp.toString, "*.wav", "audio/wav"))

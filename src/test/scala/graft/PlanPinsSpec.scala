@@ -151,6 +151,22 @@ class PlanPinsSpec extends AnyFunSuite {
       s"fill window must sit above the daily aggregate:\n$plan")
   }
 
+  test("q76: approx-cutpoint deciles plan NO window — cuts aggregate + broadcast + map-only binning") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q76_decile_cutpoints")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The whole point vs q70: no per-stratum sort of the raw corpus. A
+    // Window operator anywhere means the rank path crept back in.
+    assert(!plan.contains("Window"),
+      s"q76 must not plan a window:\n$plan")
+    assert(plan.contains("percentile_approx"),
+      s"cutpoint sketch aggregate missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cutpoint table must broadcast back onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"unexpected join strategy:\n$plan")
+  }
+
   test("q66: hash-order candidates stay map-only to the join; DF order adds exactly the DF aggregate + join") {
     // Same cache release as the q57 pin (single-partition degenerate).
     graft.queries.DocQueries.unpersistShared(spark, sfDir)
