@@ -94,6 +94,8 @@ object SparkEntry {
     "q74_incremental_dedup" -> (DocQueries.q74IncrementalDedup _),
     "q75_text_scrub" -> (DocQueries.q75TextScrub _),
     "q76_decile_cutpoints" -> (DocQueries.q76DecileCutpoints _),
+    "q77_doc_chunks" -> (DocQueries.q77DocChunks _),
+    "q78_vocab_coverage" -> (DocQueries.q78VocabCoverage _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1422,5 +1424,39 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
         |       min(quality) AS min_quality, max(quality) AS max_quality
         |FROM a GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+    // Chunking: fixed 64-token windows at stride 48 (16-token overlap),
+    // tail chunk short rather than dropped; chunk k = tokens
+    // [k*48+1, k*48+64], k to floor((n-1)/48).
+    "q77_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, CAST(floor((len(toks) - 1) / 48.0) AS BIGINT) + 1)) AS chunk_id,
+        |         toks
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |       CAST(len(toks[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, len(toks))]) AS BIGINT) AS chunk_tokens,
+        |       md5(array_to_string(toks[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, len(toks))], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // Vocabulary coverage: top-200 tokens by corpus frequency with
+    // cumulative share; total order (cnt desc, tok) pins the limit edge.
+    "q78_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT unnest(toks) AS tok FROM t),
+        |g AS (SELECT tok, count(*) AS cnt FROM c GROUP BY tok),
+        |tot AS (SELECT sum(len(toks)) AS total FROM t),
+        |top AS (SELECT tok, cnt FROM g ORDER BY cnt DESC, tok LIMIT 200),
+        |r AS (SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+        |             row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+        |             sum(cnt) OVER (ORDER BY cnt DESC, tok
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM top)
+        |SELECT CAST(rank AS BIGINT) AS rank, tok, cnt,
+        |       round(CAST(cum AS DOUBLE) / (SELECT total FROM tot), 6) AS cum_share
+        |FROM r ORDER BY rank""".stripMargin,
   )
 }

@@ -716,6 +716,70 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** DOCUMENT CHUNKING (q77): split every document into fixed-budget
+    * overlapping token windows — the prep step every embedding /
+    * long-context training pipeline runs (chunk size 64, stride 48, so
+    * consecutive chunks share a 16-token overlap). Pure per-row HOFs:
+    * explode a `sequence` of chunk indices, `slice` the shared token
+    * array — MAP-ONLY until the final sort, no shuffle at any corpus
+    * size, and the output is the long-thin (doc, chunk) shape downstream
+    * embedding jobs consume (same layout argument as q63's audio
+    * frames). Chunk k covers tokens [k·48+1, k·48+64]; the tail chunk is
+    * short rather than dropped (a dropped tail loses text; a short tail
+    * just embeds less), and k ranges to ⌊(n−1)/48⌋ so every token lands
+    * in ≥ 1 chunk. chunk_hash (md5 of the space-joined chunk) is the
+    * downstream join/dedup key and the cross-engine value check. */
+  def q77DocChunks(spark: SparkSession, dir: String): DataFrame = {
+    val C = 64
+    val S = 48
+    val n = size(col("toks"))
+    tokenizedDocs(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), floor((n - 1) / S).cast("int"))).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("toks"), col("chunk_id") * S + 1, lit(C)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** VOCABULARY COVERAGE (q78): the Zipf audit behind tokenizer and
+    * stopword decisions — the top-200 tokens by corpus frequency with
+    * each token's cumulative share of all token occurrences. Shape: one
+    * word-count shuffle (map-side partial combine, fixed-width-ish token
+    * keys), a scalar total broadcast back, a top-k sort bounded at 200
+    * rows, and a running-total window over those 200 rows ONLY — the
+    * unpartitioned window is bounded by k, never the vocabulary, so the
+    * single-task sort the plan shows is a 200-row sort at any corpus
+    * size. Total order (count desc, token asc) makes the limit boundary
+    * engine-deterministic; the running sum is over exact integers, so
+    * the 6-rounded share divides two exact values — no float
+    * order-sensitivity anywhere. */
+  def q78VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = tokenizedDocs(Tables(spark, dir, "documents"))
+    val counts = tok
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // Total occurrences as a map-only scalar over the tokenized corpus
+    // (Σ size(toks) ≡ Σ cnt) — summing the counts frame instead would
+    // re-run the word-count SHUFFLE a second time just to fold it.
+    val total = tok.agg(sum(size(col("toks"))).cast("long").as("total"))
+    val w = Window.orderBy(desc("cnt"), asc("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .orderBy(desc("cnt"), asc("tok")).limit(200)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("cnt"), asc("tok"))).cast("long"))
+      .withColumn("cum_share",
+        round(sum("cnt").over(w).cast("double") / col("total"), 6))
+      .select(col("rank"), col("tok"), col("cnt"), col("cum_share"))
+      .orderBy("rank")
+  }
+
   /** The CURATED TRAINING MIX (q52) — the capstone composition the whole
     * doc family exists for, in pipeline order: dedup (q20+q25 loser
     * policies, one anti-join) → deterministic stratified sampling (q49's

@@ -151,6 +151,32 @@ class PlanPinsSpec extends AnyFunSuite {
       s"fill window must sit above the daily aggregate:\n$plan")
   }
 
+  test("q77: chunking is map-only — zero hash exchanges (q59 pin)") {
+    val plan = SparkEntry.queries("q77_doc_chunks")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hx = hashExchanges(plan)
+    assert(hx.isEmpty,
+      s"chunk explode/slice must not shuffle, got hash exchanges $hx:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"chunk-index explode missing:\n$plan")
+  }
+
+  test("q78: the coverage window consumes the 200-row top-k, never the vocabulary") {
+    val plan = SparkEntry.queries("q78_vocab_coverage")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // TakeOrderedAndProject (the global top-k) must sit BELOW the running-
+    // total window: the unpartitioned window's single task then sorts 200
+    // rows at any corpus size, not the token vocabulary.
+    val winIdx = plan.indexOf("Window")
+    val topkIdx = plan.lastIndexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && topkIdx > winIdx,
+      s"window must consume the bounded top-k, not the vocabulary:\n$plan")
+    // One corpus-scale exchange: the word-count groupBy (partial-combined).
+    val hx = hashExchanges(plan).filter(_.contains("tok"))
+    assert(hx.size == 1,
+      s"expected exactly the word-count exchange on tok, got $hx:\n$plan")
+  }
+
   test("q76: approx-cutpoint deciles plan NO window — cuts aggregate + broadcast + map-only binning") {
     graft.queries.DocQueries.unpersistShared(spark, sfDir)
     val plan = SparkEntry.queries("q76_decile_cutpoints")(spark, sfDir)
