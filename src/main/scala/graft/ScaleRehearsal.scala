@@ -107,8 +107,9 @@ object ScaleRehearsal {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outRoot = args.lift(1).getOrElse("target/scale")
     val factors = args.lift(2).getOrElse("1,3,10,30").split(",").map(_.trim.toInt).toSeq
-    // Optional section filter (csv of minhash,containment,timings,mg,ivf)
-    // so a targeted re-measurement doesn't pay for the full sweep.
+    // Optional section filter (csv of minhash,containment,clusters,
+    // timings,mg,ivf) so a targeted re-measurement doesn't pay for the
+    // full sweep.
     val sections = sys.env.get("SPARK_GRAFT_REHEARSAL_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
     def on(s: String): Boolean = sections.forall(_.contains(s))
@@ -213,6 +214,22 @@ object ScaleRehearsal {
         // release it (and everything else; the flat family re-persists on
         // demand) before the timed sections.
         graft.queries.DocQueries.unpersistAllShared(spark)
+      }
+
+      // q79 structural: connected components over the verified near-dup
+      // pair graph. Two claims to pin: node/cluster counts track the
+      // (measured-linear) pair graph, and PATH HALVING keeps the
+      // round count ~constant while the graph grows — a growing round
+      // count would mean convergence cost compounds with corpus size.
+      if (on("clusters")) {
+        val pairs = graft.queries.DocQueries
+          .minhashNeardup(docsTab, 0.7).select("doc_a", "doc_b")
+        val (cl, rounds) = graft.queries.DocQueries.dedupClustersWithRounds(pairs)
+        val row = cl.agg(
+          count(lit(1)).as("nodes"),
+          countDistinct(col("cluster_id")).as("clusters"),
+          max(col("cluster_size")).as("max_size")).collect()(0)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q79_clusters","nodes":${row.getLong(0)},"clusters":${row.getLong(1)},"max_size":${row.getLong(2)},"rounds":$rounds}""")
       }
 
       val active =

@@ -96,6 +96,8 @@ object SparkEntry {
     "q76_decile_cutpoints" -> (DocQueries.q76DecileCutpoints _),
     "q77_doc_chunks" -> (DocQueries.q77DocChunks _),
     "q78_vocab_coverage" -> (DocQueries.q78VocabCoverage _),
+    "q79_dedup_clusters" -> (DocQueries.q79DedupClusters _),
+    "q80_tfidf_keywords" -> (DocQueries.q80TfidfKeywords _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1458,5 +1460,75 @@ object SparkEntry {
         |SELECT CAST(rank AS BIGINT) AS rank, tok, cnt,
         |       round(CAST(cum AS DOUBLE) / (SELECT total FROM tot), 6) AS cum_share
         |FROM r ORDER BY rank""".stripMargin,
+    // Dedup clusters: q25's verified pairs → connected components via
+    // recursive-CTE transitive closure (a structurally different
+    // algorithm from the engine's label propagation — the hash match
+    // certifies the assignment, not a shared implementation).
+    "q79_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)) AS hv
+        |  FROM s),
+        |bd AS (
+        |  SELECT doc_id,
+        |         unnest([concat_ws('|', CAST(b AS VARCHAR),
+        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b) + 1) + (2 * b) * 7919) % 1000000007)) AS VARCHAR),
+        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b + 1) + 1) + (2 * b + 1) * 7919) % 1000000007)) AS VARCHAR))
+        |                 for b in range(0, 4)]) AS band_key
+        |  FROM hs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |                 len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+        |    FROM cand
+        |    JOIN s sa ON cand.doc_a = sa.doc_id
+        |    JOIN s sb ON cand.doc_b = sb.doc_id)
+        |  WHERE jaccard >= 0.7),
+        |e AS (SELECT doc_a AS id, doc_b AS nbr FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT id AS u, id AS v FROM (SELECT DISTINCT id FROM e)
+        |  UNION
+        |  SELECT reach.u, e.nbr FROM reach JOIN e ON reach.v = e.id),
+        |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        |SELECT doc_id, cluster_id,
+        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |       doc_id = cluster_id AS is_canonical
+        |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    // TF-IDF keywords: ln-free rational idf (n_docs/df) — integer-operand
+    // IEEE division is exactly rounded in both engines, ln is not;
+    // identical ranking at fixed tf (monotone transform of log tf-idf).
+    "q80_tfidf_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  GROUP BY doc_id, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+        |         CAST(tf.tf * n.n_docs AS DOUBLE) / dfx.df AS score
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+        |FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
   )
 }

@@ -780,6 +780,160 @@ object DocQueries {
       .orderBy("rank")
   }
 
+  /** DEDUP CLUSTER ASSIGNMENT (q79): connected components over the
+    * verified near-dup PAIR graph — the step that turns q25's pairs into
+    * the cluster → canonical-survivor mapping a production dedup actually
+    * applies. Pairwise loser policies (q41's "larger doc_id loses") are
+    * correct per pair but blind to transitivity: in a chain A–B–C the
+    * pair policy can evict B twice and keep both A and C, which are only
+    * transitively — not directly — duplicates. The component view makes
+    * the policy explicit: one canonical survivor (the component's min
+    * doc_id) per TRANSITIVE duplicate group.
+    *
+    * Algorithm: distributed min-label propagation with PATH HALVING over
+    * the pair graph. Each round (a) every node takes the min label among
+    * itself and its neighbors — one equi-join of the edge list against
+    * the label table plus a partial-aggregated min — then (b) label ←
+    * label(label), a node-table self-join that doubles how far a min has
+    * already travelled. Halving makes convergence O(log d) rounds on
+    * diameter-d components instead of O(d) (near-dup components are
+    * band-connected and shallow in practice; pathological chains are
+    * what the halving step is for). Everything iterated is the
+    * NODE-SIZED label table — nodes are docs appearing in ≥ 1 verified
+    * pair, measured linear in corpus size (SCALE.md) — never the corpus;
+    * each round is localCheckpoint-ed so the plan stays flat across
+    * iterations (on a real cluster, swap for reliable `checkpoint` so a
+    * lost executor cannot orphan round state). Convergence is an exact
+    * changed-label count: one action per round over the node table,
+    * never a corpus-scan action.
+    *
+    * The oracle recomputes components with a structurally different
+    * algorithm — DuckDB's recursive-CTE transitive closure — so a hash
+    * match certifies the component assignment itself, not a shared
+    * implementation. */
+  def q79DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(
+      minhashNeardupToks(tokenizedDocs(Tables(spark, dir, "documents")), 0.7)
+        .select("doc_a", "doc_b"))
+      .orderBy("cluster_id", "doc_id")
+
+  /** The reusable operator behind q79: any (doc_a, doc_b) pair frame →
+    * (doc_id, cluster_id, cluster_size, is_canonical), one row per node
+    * of the pair graph. See [[q79DedupClusters]] for the algorithm and
+    * its scale argument. */
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    dedupClustersWithRounds(pairs)._1
+
+  /** [[dedupClusters]] plus the number of propagation rounds it took to
+    * converge — the quantity the scale rehearsal pins (path halving
+    * should hold it ~constant while the pair graph grows linearly). */
+  private[graft] def dedupClustersWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    val edges = pairs
+      .select(col("doc_a").as("id"), col("doc_b").as("nbr"))
+      .union(pairs.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 40) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nbr"), col("label").as("nlab")), "nbr")
+        .groupBy("id").agg(min("nlab").as("nmin"))
+      val spread = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val halved = spread.as("x")
+        .join(spread.select(col("id").as("label"), col("label").as("ll")).as("y"),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = halved.select(col("id"), col("label").as("new_label"))
+        .join(labels, "id")
+        .filter(col("new_label") =!= col("label")).count()
+      labels = halved
+      rounds += 1
+    }
+    edges.unpersist()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    val out = labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    (out, rounds)
+  }
+
+  /** TF-IDF KEYWORD EXTRACTION (q80): the top-5 most characteristic
+    * terms per document — the classic relevance surface behind search
+    * snippets, topic tagging, and per-document metadata in a curation
+    * run. idf is the LN-FREE rational variant n_docs/df: `ln` is not
+    * bit-specified across engines (the one-ulp divergence would flip
+    * rank boundaries and hashes), while a division of exactly
+    * representable integers is correctly rounded IEEE in both engines —
+    * so score = tf · n_docs / df is cross-engine bit-identical and ranks
+    * identically to log-scaled tf-idf at fixed tf (monotone transform).
+    *
+    * Scale shape: per-document term counts are MAP-ONLY — sort the
+    * token array in-row, find run boundaries with an index filter, and
+    * zip boundary gaps into (term, tf) structs (the q59 sorted-fold
+    * idiom; O(n log n) per doc, no corpus-token shuffle anywhere — a
+    * groupBy(doc_id, term) would shuffle every token occurrence AND
+    * plan the tf subtree twice once df aggregates over it, which is
+    * what the PlanPinsSpec pin forbids). df comes from an
+    * `array_distinct` explode of the same cached tokenized corpus (one
+    * term-keyed partial-agg shuffle); the score join is term-keyed on
+    * the vocabulary-sized df relation; the top-5 cut is a row_number
+    * window partitioned by doc_id over per-doc vocab-bounded groups.
+    * Tie-break (score desc, term asc) is a total order, so the rank-5
+    * boundary is engine-deterministic. */
+  def q80TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    tfidfKeywordsToks(
+      tokenizedDocs(Tables(spark, dir, "documents")), 5)
+      .orderBy("doc_id", "rank")
+
+  /** The reusable operator behind q80: any (doc_id, text) frame → the
+    * top-k rational-idf keywords per document. */
+  def tfidfKeywords(docs: DataFrame, k: Int): DataFrame =
+    tfidfKeywordsToks(
+      docs.select(col("doc_id"), toks(col("text")).as("toks")), k)
+
+  private def tfidfKeywordsToks(tokDf: DataFrame, k: Int): DataFrame = {
+    // Map-only per-doc run-length: sorted array → run-end indices →
+    // (term, tf) structs from consecutive boundary gaps. The i = n guard
+    // uses least() so the lookahead index is always in range (ANSI
+    // element_at throws on out-of-bounds, and OR is not guaranteed to
+    // short-circuit in codegen).
+    val n = size(col("stoks"))
+    val ends = filter(sequence(lit(1), n), i =>
+      i === n ||
+        element_at(col("stoks"), i) =!= element_at(col("stoks"), least(i + 1, n)))
+    val tf = tokDf
+      .withColumn("stoks", array_sort(col("toks")))
+      .withColumn("ends", ends)
+      .withColumn("runs", zip_with(
+        col("ends"),
+        concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1)),
+        (e, p) => struct(
+          element_at(col("stoks"), e).as("term"), (e - p).cast("long").as("tf"))))
+      .select(col("doc_id"), explode(col("runs")).as("r"))
+      .select(col("doc_id"), col("r.term").as("term"), col("r.tf").as("tf"))
+    val dfTbl = tokDf
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tokDf.agg(count(lit(1)).cast("long").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tf.join(dfTbl, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** The CURATED TRAINING MIX (q52) — the capstone composition the whole
     * doc family exists for, in pipeline order: dedup (q20+q25 loser
     * policies, one anti-join) → deterministic stratified sampling (q49's

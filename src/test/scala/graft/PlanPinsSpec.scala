@@ -177,6 +177,47 @@ class PlanPinsSpec extends AnyFunSuite {
       s"expected exactly the word-count exchange on tok, got $hx:\n$plan")
   }
 
+  test("q79: iterated label state is checkpoint-severed — the final plan never re-enters the corpus") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q79_dedup_clusters")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // Every propagation round ends in a localCheckpoint, so the returned
+    // frame's lineage starts at a materialized RDD: re-running the result
+    // (or losing a partition of it) must never replay the corpus joins —
+    // at 100 TB an un-severed 10-round lineage is a 10x recompute bomb.
+    assert(plan.contains("Scan ExistingRDD"),
+      s"label table must start from the checkpointed RDD:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"corpus scan leaked into the final cluster plan:\n$plan")
+    // One hash exchange: the cluster_id window that counts component
+    // sizes. More would mean the node table is re-shuffled redundantly.
+    val hx = hashExchanges(plan)
+    assert(hx.size == 1 && hx.head.contains("cluster_id"),
+      s"expected exactly the cluster_id window exchange, got $hx:\n$plan")
+  }
+
+  test("q80: tf-idf shuffles keyed columns only — raw token arrays never cross an exchange") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q80_tfidf_keywords")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hx = hashExchanges(plan)
+    // tf is computed MAP-ONLY (in-row sorted run-length — the plan must
+    // show the zip_with fold); the only hash exchanges are term-keyed
+    // (df aggregate + score join) and the per-doc ranking window. An
+    // exchange keyed (doc_id, term) is the occurrence-level tf shuffle
+    // this shape exists to avoid — and it would plan the tf subtree
+    // twice (once under df) on top.
+    assert(plan.contains("zip_with"),
+      s"map-only run-length fold missing:\n$plan")
+    assert(!hx.exists(h => h.contains("doc_id") && h.contains("term")),
+      s"occurrence-level tf shuffle crept back, got $hx:\n$plan")
+    assert(hx.forall(!_.contains("toks")),
+      s"token array crossed an exchange:\n$plan")
+    assert(hx.size <= 3,
+      s"expected at most df + join + window exchanges, got $hx:\n$plan")
+    assert(plan.contains("Window"), s"ranking window missing:\n$plan")
+  }
+
   test("q76: approx-cutpoint deciles plan NO window — cuts aggregate + broadcast + map-only binning") {
     graft.queries.DocQueries.unpersistShared(spark, sfDir)
     val plan = SparkEntry.queries("q76_decile_cutpoints")(spark, sfDir)
