@@ -874,19 +874,22 @@ object DocQueries {
     * so score = tf · n_docs / df is cross-engine bit-identical and ranks
     * identically to log-scaled tf-idf at fixed tf (monotone transform).
     *
-    * Scale shape: per-document term counts are MAP-ONLY — sort the
-    * token array in-row, find run boundaries with an index filter, and
-    * zip boundary gaps into (term, tf) structs (the q59 sorted-fold
-    * idiom; O(n log n) per doc, no corpus-token shuffle anywhere — a
-    * groupBy(doc_id, term) would shuffle every token occurrence AND
-    * plan the tf subtree twice once df aggregates over it, which is
-    * what the PlanPinsSpec pin forbids). df comes from an
-    * `array_distinct` explode of the same cached tokenized corpus (one
-    * term-keyed partial-agg shuffle); the score join is term-keyed on
-    * the vocabulary-sized df relation; the top-5 cut is a row_number
-    * window partitioned by doc_id over per-doc vocab-bounded groups.
-    * Tie-break (score desc, term asc) is a total order, so the rank-5
-    * boundary is engine-deterministic. */
+    * Scale shape: tf is explode + groupBy(doc_id, term) — the partial
+    * aggregate combines in-map, and docs are partition-local, so the
+    * shuffle carries ~distinct per-doc terms, not token occurrences.
+    * (An in-row sorted-run-length variant was tried and measured 12.4 s
+    * at sf0.1 vs this plan's sub-second: index-lambda HOFs re-evaluate
+    * outer expressions PER ELEMENT, so the inlined array_sort ran once
+    * per index — the q25 O(n²) lambda trap, worth restating because the
+    * "avoid the shuffle" instinct walks straight into it.) df comes
+    * from an `array_distinct` explode of the cached tokenized corpus —
+    * NOT from tf: aggregating over the tf frame would plan the tf
+    * subtree twice, once under each consumer (PlanPinsSpec pins both
+    * defects). The score join is term-keyed on the vocabulary-sized df
+    * relation; the top-5 cut is a row_number window partitioned by
+    * doc_id over per-doc vocab-bounded groups. Tie-break (score desc,
+    * term asc) is a total order, so the rank-5 boundary is
+    * engine-deterministic. */
   def q80TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
     tfidfKeywordsToks(
       tokenizedDocs(Tables(spark, dir, "documents")), 5)
@@ -899,25 +902,8 @@ object DocQueries {
       docs.select(col("doc_id"), toks(col("text")).as("toks")), k)
 
   private def tfidfKeywordsToks(tokDf: DataFrame, k: Int): DataFrame = {
-    // Map-only per-doc run-length: sorted array → run-end indices →
-    // (term, tf) structs from consecutive boundary gaps. The i = n guard
-    // uses least() so the lookahead index is always in range (ANSI
-    // element_at throws on out-of-bounds, and OR is not guaranteed to
-    // short-circuit in codegen).
-    val n = size(col("stoks"))
-    val ends = filter(sequence(lit(1), n), i =>
-      i === n ||
-        element_at(col("stoks"), i) =!= element_at(col("stoks"), least(i + 1, n)))
-    val tf = tokDf
-      .withColumn("stoks", array_sort(col("toks")))
-      .withColumn("ends", ends)
-      .withColumn("runs", zip_with(
-        col("ends"),
-        concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1)),
-        (e, p) => struct(
-          element_at(col("stoks"), e).as("term"), (e - p).cast("long").as("tf"))))
-      .select(col("doc_id"), explode(col("runs")).as("r"))
-      .select(col("doc_id"), col("r.term").as("term"), col("r.tf").as("tf"))
+    val tf = tokDf.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfTbl = tokDf
       .select(explode(array_distinct(col("toks"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))

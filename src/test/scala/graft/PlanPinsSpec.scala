@@ -201,20 +201,22 @@ class PlanPinsSpec extends AnyFunSuite {
     val plan = SparkEntry.queries("q80_tfidf_keywords")(spark, sfDir)
       .queryExecution.executedPlan.toString
     val hx = hashExchanges(plan)
-    // tf is computed MAP-ONLY (in-row sorted run-length — the plan must
-    // show the zip_with fold); the only hash exchanges are term-keyed
-    // (df aggregate + score join) and the per-doc ranking window. An
-    // exchange keyed (doc_id, term) is the occurrence-level tf shuffle
-    // this shape exists to avoid — and it would plan the tf subtree
-    // twice (once under df) on top.
-    assert(plan.contains("zip_with"),
-      s"map-only run-length fold missing:\n$plan")
-    assert(!hx.exists(h => h.contains("doc_id") && h.contains("term")),
-      s"occurrence-level tf shuffle crept back, got $hx:\n$plan")
+    // The token array is exploded away BEFORE every exchange (shuffles
+    // carry (doc_id, term) keys plus counts, never `toks`), and the tf
+    // aggregate is planned exactly ONCE (one partial + one final): df
+    // derives from the cached corpus, not from tf — aggregating over the
+    // tf frame plans the whole tf subtree twice, once per consumer.
+    // (A map-only in-row tf variant is deliberately NOT used: its
+    // index-lambda HOFs re-ran the inlined array_sort per element —
+    // 12.4 s vs sub-second at sf0.1; see the operator scaladoc.)
     assert(hx.forall(!_.contains("toks")),
       s"token array crossed an exchange:\n$plan")
-    assert(hx.size <= 3,
-      s"expected at most df + join + window exchanges, got $hx:\n$plan")
+    val tfAggs = "HashAggregate\\(keys=\\[doc_id[^,]*, term[^\\]]*\\]".r
+      .findAllMatchIn(plan).size
+    assert(tfAggs == 2,
+      s"tf aggregate must plan once (partial+final), found $tfAggs:\n$plan")
+    assert(hx.size <= 4,
+      s"expected at most tf + df + join + window exchanges, got $hx:\n$plan")
     assert(plan.contains("Window"), s"ranking window missing:\n$plan")
   }
 
