@@ -240,6 +240,91 @@ case class LshBucketFloat(vec: Expression, planes: Expression)
     copy(vec = newLeft, planes = newRight)
 }
 
+/** Count of DISTINCT values present in BOTH sorted long arrays — exactly
+  * `size(array_intersect(a, b))` for ascending-sorted inputs, without
+  * materializing the intersection: `array_intersect` builds a hash set
+  * and an output array PER CALL, and q66's verify join evaluates it once
+  * per candidate pair (15.6 M pairs at rehearsal ×30 — the allocation
+  * cost center of the whole containment family; cf.
+  * `DocQueries.containmentJoinToks`). This is the classic merge-style
+  * two-pointer count: one pass, zero allocation, duplicate values
+  * counted once (matching array_intersect's distinct semantics — the
+  * 56-bit shingle hashes can collide, so duplicates are possible).
+  *
+  * SORTED inputs are the caller's contract (the shared shingle table
+  * sorts `hs` once per document); unsorted inputs silently undercount —
+  * the operator-level parity spec runs both paths against
+  * `array_intersect` to keep the contract honest. Null array → null
+  * (BinaryExpression default); null ELEMENTS are not expected by
+  * contract (hash arrays are non-null) and are skipped. */
+case class SortedOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_overlap expects (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_overlap"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (la, lb) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < la && j < lb) {
+      val va = x.getLong(i)
+      val vb = y.getLong(j)
+      if (va < vb) i += 1
+      else if (va > vb) j += 1
+      else {
+        cnt += 1
+        while (i < la && x.getLong(i) == va) i += 1
+        while (j < lb && y.getLong(j) == va) j += 1
+      }
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val la = ctx.freshName("la")
+      val lb = ctx.freshName("lb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val va = ctx.freshName("va")
+      val vb = ctx.freshName("vb")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $la = $a.numElements();
+         |int $lb = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |long $cnt = 0L;
+         |while ($i < $la && $j < $lb) {
+         |  long $va = $a.getLong($i);
+         |  long $vb = $b.getLong($j);
+         |  if ($va < $vb) { $i++; }
+         |  else if ($va > $vb) { $j++; }
+         |  else {
+         |    $cnt++;
+         |    while ($i < $la && $a.getLong($i) == $va) { $i++; }
+         |    while ($j < $lb && $b.getLong($j) == $va) { $j++; }
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlapCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   private val dotInfo = new ExpressionInfo(
@@ -269,6 +354,15 @@ object VectorExpressions {
       s"graft_lsh_bucket expects 2 arguments, got ${other.size}")
   }
 
+  private val overlapInfo = new ExpressionInfo(
+    classOf[SortedOverlapCount].getName, "graft_overlap")
+
+  private val overlapBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SortedOverlapCount(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_overlap expects 2 arguments, got ${other.size}")
+  }
+
   /** Idempotent runtime registration for library callers (the queries call
     * this themselves; no session config needed). */
   def register(spark: SparkSession): Unit = {
@@ -278,6 +372,8 @@ object VectorExpressions {
       "graft_simhash", simhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lsh_bucket", lshBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_overlap", overlapBuilder, "built-in")
   }
 
   /** `SparkSessionExtensions` hook so a cluster can load the functions
@@ -289,6 +385,8 @@ object VectorExpressions {
       (FunctionIdentifier("graft_simhash"), simhashInfo, simhashBuilder))
     extensions.injectFunction(
       (FunctionIdentifier("graft_lsh_bucket"), lshInfo, lshBuilder))
+    extensions.injectFunction(
+      (FunctionIdentifier("graft_overlap"), overlapInfo, overlapBuilder))
   }
 }
 

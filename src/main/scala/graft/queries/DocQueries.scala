@@ -227,14 +227,20 @@ object DocQueries {
     * three consumers (band explode + both sides of the Jaccard verify
     * join) and at cluster scale is the checkpoint you'd always
     * materialize rather than re-shingling the corpus per consumer.
-    * Session-scoped like [[tokenizedDocs]]; released by
-    * [[unpersistShared]]. */
+    * `hs` is stored SORTED ascending — one sort per document here buys
+    * (a) map-only prefix extraction in q66's hash-order candidate path
+    * (a plain `slice`, no per-row re-sort) and (b) the `graft_overlap`
+    * two-pointer verify, which counts the intersection per candidate
+    * PAIR with zero allocation (its sorted-input contract). Every other
+    * consumer treats hs as a set (band min-hash, explode), so the order
+    * is free for them. Session-scoped like [[tokenizedDocs]]; released
+    * by [[unpersistShared]]. */
   private def shingledHashed(tokDf: DataFrame): DataFrame =
     memoShared(tokDf, "shingled") {
       tokDf
         .select(col("doc_id"), shingles(col("toks")).as("sh"))
         .filter(size(col("sh")) > 0)
-        .withColumn("hs", transform(col("sh"), x => md5Long(x, 14)))
+        .withColumn("hs", array_sort(transform(col("sh"), x => md5Long(x, 14))))
     }
 
   /** Release the session-scoped shared caches (tokenized corpus, shingle
@@ -1194,9 +1200,11 @@ object DocQueries {
       (sz - ceil(lit(t) * sz) + 1).cast("int")
     val aPrefix =
       if (!dfOrder)
+        // hs is stored pre-sorted (shingledHashed), so the hash-order
+        // prefix is a plain slice — no per-row sort.
         withHs.select(
           col("doc_id").as("doc_a"),
-          explode(slice(array_sort(col("hs")), lit(1), prefixLen(size(col("hs")))))
+          explode(slice(col("hs"), lit(1), prefixLen(size(col("hs")))))
             .as("g"))
       else {
         // Canonical order (df ASC, hash ASC): one groupBy builds the
@@ -1230,7 +1238,12 @@ object DocQueries {
     // so per-pair intersect cost dominates the query — long-array
     // intersects are ~3× cheaper than string intersects and the
     // re-attach joins shuffle 8-byte elements instead of ~25-byte
-    // shingles. Equal shingles hash equal, so the hash-set containment
+    // shingles. The count itself is `graft_overlap`, a codegen'd
+    // two-pointer pass over the PRE-SORTED hs arrays — identical to
+    // size(array_intersect) (distinct-common semantics) but with zero
+    // per-pair allocation, where array_intersect builds a hash set and
+    // an output array per candidate pair (the ×30 rehearsal's dominant
+    // cost). Equal shingles hash equal, so the hash-set containment
     // equals the string-set containment unless two DISTINCT shingles of
     // a pair collide in 56 bits (~2⁻⁵⁶·|A|·|B|); the oracle states the
     // same md5-derived lists (q25/q51's proven bit-compatible
@@ -1242,12 +1255,13 @@ object DocQueries {
     // from the unrounded t) is NOT guaranteed to surface once docs exceed
     // ~20k distinct shingles, silently voiding the exact-recall proof in
     // that hairline band. The oracle applies the same unrounded cut.
+    graft.functions.VectorExpressions.register(tokDf.sparkSession)
     val docsHs = withHs.select("doc_id", "hs")
     containmentCandidatesToks(withHs, t)
       .join(docsHs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(docsHs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+        (call_function("graft_overlap", col("ha"), col("hb")).cast("double") /
           size(col("ha"))).as("c_raw"))
       .filter(col("c_raw") >= t)
       .select(col("doc_a"), col("doc_b"), round(col("c_raw"), 4).as("containment"))

@@ -102,4 +102,41 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .select(call_function("graft_dot", col("a"), col("b")).as("d"))
     assert(df.collect().head.isNullAt(0))
   }
+
+  test("graft_overlap equals size(array_intersect) on sorted arrays — incl. duplicates") {
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // Random sorted arrays with deliberate duplicates (56-bit collisions
+    // are possible in the real hs arrays), plus the structural edges.
+    val cases = Seq.fill(60) {
+      def arr() = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).sorted
+      (arr(), arr())
+    } ++ Seq(
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(5L, 5L, 5L), Array(5L)),          // dup-heavy: counts once
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L)),  // disjoint
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)))
+    val rows = cases.toDF("a", "b").select(
+      call_function("graft_overlap", col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("graft_overlap participates in whole-stage codegen and matches interpreted") {
+    VectorExpressions.register(spark)
+    val df = spark.range(50)
+      .select(
+        sort_array(transform(sequence(lit(1), lit(12)),
+          i => (col("id") * i % 17))).as("a"),
+        sort_array(transform(sequence(lit(1), lit(12)),
+          i => (col("id") + i * 3) % 17)).as("b"))
+      .select(call_function("graft_overlap", col("a"), col("b")).as("c"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"expected codegen in plan:\n$plan")
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
