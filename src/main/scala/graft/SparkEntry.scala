@@ -98,6 +98,9 @@ object SparkEntry {
     "q78_vocab_coverage" -> (DocQueries.q78VocabCoverage _),
     "q79_dedup_clusters" -> (DocQueries.q79DedupClusters _),
     "q80_tfidf_keywords" -> (DocQueries.q80TfidfKeywords _),
+    "q81_bm25_search" -> (DocQueries.q81Bm25Search _),
+    "q82_interval_join" -> (EventQueries.q82IntervalJoin _),
+    "q83_funnel" -> (EventQueries.q83Funnel _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1530,5 +1533,115 @@ object SparkEntry {
         |  FROM sc)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
         |FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // BM25: rational Robertson idf (ln-free, q80's argument); the per-doc
+    // score folds per-term weights in sorted term order via list_reduce —
+    // a strict left fold, bit-matching the engine's sorted aggregate fold.
+    "q81_bm25_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |q(query_id, term) AS (VALUES
+        |  (1, 'spark'), (1, 'join'), (1, 'fast'),
+        |  (2, 'agg'), (2, 'stream'), (2, 'window'),
+        |  (3, 'customer'), (3, 'query')),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |              CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN (SELECT term FROM q)
+        |  GROUP BY doc_id, term),
+        |dfx AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+        |  WHERE term IN (SELECT term FROM q)
+        |  GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         ((CAST(st.n_docs AS DOUBLE) - dfx.df + 0.5) /
+        |          (CAST(dfx.df AS DOUBLE) + 0.5)) *
+        |         (CAST(tf.tf AS DOUBLE) * 2.2 /
+        |          (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |           (CAST(dl.dl AS DOUBLE) /
+        |            (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))) AS w
+        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |agg AS (
+        |  SELECT q.query_id, sc.doc_id,
+        |         list_reduce(list(sc.w ORDER BY sc.term), (a, b) -> a + b)
+        |           AS score,
+        |         CAST(count(*) AS BIGINT) AS matched_terms
+        |  FROM sc JOIN q ON sc.term = q.term
+        |  GROUP BY q.query_id, sc.doc_id),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY score DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+        |       doc_id, matched_terms, score
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Interval join: containment stated as the naive correlated EXISTS
+    // over the merged incident spans — the nested-loop semantics the
+    // engine's grid equi-join refuses to execute.
+    "q82_interval_join" ->
+      """WITH w0 AS (
+        |  SELECT ts AS s, ts + INTERVAL 5 MINUTE AS e
+        |  FROM events WHERE event_type = 'error'),
+        |w1 AS (
+        |  SELECT s, e, max(e) OVER (ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM w0),
+        |w2 AS (
+        |  SELECT s, e, sum(CASE WHEN prev_max IS NULL OR s > prev_max
+        |                        THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wid
+        |  FROM w1),
+        |m AS (SELECT wid, min(s) AS ws, max(e) AS we FROM w2 GROUP BY wid),
+        |p AS (
+        |  SELECT event_type, ts,
+        |         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS epoch_day
+        |  FROM events WHERE event_type <> 'error'),
+        |inc AS (
+        |  SELECT event_type, epoch_day, CAST(count(*) AS BIGINT) AS n_in_incident
+        |  FROM p
+        |  WHERE EXISTS (SELECT 1 FROM m WHERE p.ts >= m.ws AND p.ts <= m.we)
+        |  GROUP BY event_type, epoch_day),
+        |tot AS (
+        |  SELECT event_type, epoch_day, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM p GROUP BY event_type, epoch_day)
+        |SELECT tot.event_type, tot.epoch_day, tot.n_events,
+        |       CAST(coalesce(inc.n_in_incident, 0) AS BIGINT) AS n_in_incident,
+        |       CAST(coalesce(inc.n_in_incident, 0) AS DOUBLE) / tot.n_events
+        |         AS incident_share
+        |FROM tot LEFT JOIN inc USING (event_type, epoch_day)
+        |ORDER BY event_type, epoch_day""".stripMargin,
+    // Funnel: the strict chain restated as three join-aggregate stages —
+    // a structurally different plan from the engine's single-pass
+    // range-frame windows.
+    "q83_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |       CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |                 WHEN c.t_click IS NOT NULL THEN 2
+        |                 WHEN v.t_view IS NOT NULL THEN 1
+        |                 ELSE 0 END AS BIGINT) AS stage,
+        |       strftime(v.t_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+        |       strftime(c.t_click, '%Y-%m-%d %H:%M:%S') AS first_click,
+        |       strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
   )
 }

@@ -926,6 +926,104 @@ object DocQueries {
         col("df"), col("score"))
   }
 
+  /** The fixed query set behind q81 — literal (query_id, terms) pairs, the
+    * lexical analogue of q27's fixed query vectors. */
+  private val bm25QuerySet: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join", "fast"),
+    2L -> Seq("agg", "stream", "window"),
+    3L -> Seq("customer", "query"))
+
+  /** BM25 LEXICAL SEARCH (q81): top-10 documents per query under
+    * Okapi BM25 (k1 = 1.2, b = 0.75) — the lexical retrieval path next to
+    * the embedding family's vector one (q27/q28/q46): a curation run uses
+    * BOTH (keyword audits, targeted subset pulls, hybrid retrieval).
+    *
+    * Cross-engine determinism, the two usual traps closed:
+    *   - idf is the LN-FREE rational Robertson form
+    *     (n_docs - df + 0.5)/(df + 0.5) — `ln` is not bit-specified across
+    *     engines (q80's argument); every operand here is an exactly
+    *     representable integer-or-half, so the single division is the same
+    *     correctly-rounded IEEE op in both engines, and the ranking is
+    *     unchanged (monotone transform of the log form).
+    *   - the per-document score SUMS floats across matched terms, and float
+    *     addition is order-sensitive — so the engine folds the per-term
+    *     weights in SORTED TERM ORDER (sort_array of (term, w) structs +
+    *     a sequential `aggregate` fold) and the oracle states the identical
+    *     fold as `list_reduce(list(w ORDER BY term), +)`; DuckDB's
+    *     list_reduce is a strict left fold, and Spark's 0.0 seed is exact
+    *     (0.0 + x == x for the positive weights here), so the sums are
+    *     bit-identical, not just close.
+    *
+    * Scale shape: the query vocabulary is tiny and literal, so the `isin`
+    * prune reaches the cached-corpus scan BEFORE the explode shuffles
+    * anything — tf carries only (doc, query-term) postings, never the
+    * corpus vocabulary; df and doc-length join sides are broadcast. The
+    * rank window partitions by query over candidate docs (the postings
+    * union), which is the exact-scoring posture every lexical engine
+    * starts from; at 100 TB the documented refinement is impact-ordered
+    * postings with a WAND/max-score cut — an upper-bound prune that never
+    * changes the top-k, composing with this plan rather than replacing
+    * it. */
+  def q81Bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Search(tokenizedDocs(Tables(spark, dir, "documents")),
+      bm25QuerySet, 10)
+      .orderBy("query_id", "rank")
+
+  /** The reusable operator behind q81: a tokenized corpus
+    * (doc_id, toks) + literal (query_id, terms) pairs → top-k docs per
+    * query with BM25 scores. */
+  private[graft] def bm25Search(tokDf: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    val spark = tokDf.sparkSession
+    import spark.implicits._
+    val vocab = queries.flatMap(_._2).distinct
+    val qTerms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    // Exact long sums -> one double division; avgdl is bit-identical
+    // under any partitioning (q21's integer-mean argument).
+    val stats = tokDf
+      .select(size(col("toks")).cast("long").as("dl"))
+      .agg(sum(col("dl")).as("sum_dl"),
+        count(lit(1)).cast("long").as("n_docs"))
+    // dl rides the explode as a grouping key (functionally dependent on
+    // doc_id) — no separate doc-length relation, no doc_id-keyed join:
+    // the only corpus-scale exchange carries pruned postings.
+    val tf = tokDf.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(vocab: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("long").as("tf"))
+    val dfTbl = tokDf
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .filter(col("term").isin(vocab: _*))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val scored = tf
+      .join(broadcast(dfTbl), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("w",
+        col("idf") * (col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    scored.join(broadcast(qTerms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("term"), col("w")))).as("tw"),
+        count(lit(1)).cast("long").as("matched_terms"))
+      .withColumn("score",
+        aggregate(col("tw"), lit(0.0), (acc, x) => acc + x.getField("w")))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("matched_terms"), col("score"))
+  }
+
   /** The CURATED TRAINING MIX (q52) — the capstone composition the whole
     * doc family exists for, in pipeline order: dedup (q20+q25 loser
     * policies, one anti-join) → deterministic stratified sampling (q49's

@@ -139,6 +139,156 @@ object EventQueries {
       .orderBy(asc("user_id"), asc("session_start"))
   }
 
+  /** TEMPORAL INTERVAL JOIN (q82): which activity happened during an
+    * incident? Error events each open a 5-minute incident window; the
+    * windows are COALESCED (overlapping/touching windows merged into
+    * disjoint spans — the gaps-and-islands cummax sweep, q61's idiom on
+    * intervals instead of point gaps), and every non-error event is tested
+    * for containment in a merged span. Output: per (event_type, day) the
+    * event count, the count inside incident windows, and the share.
+    *
+    * This is the TIME analogue of J8's geo grid join, closing the same
+    * trap: `ts BETWEEN s AND e` has no equi-key, so the naive plan is a
+    * broadcast nested loop over every (event, window) pair. Instead both
+    * sides are bucketed onto a fixed 5-minute grid — each merged window
+    * explodes to the cells it overlaps, each event computes its single
+    * cell — and the containment test becomes a cell EQUI-join refined by
+    * the original range predicate (left_semi, so multi-cell windows can
+    * never double-count an event). Correctness of the bucketing is the
+    * floor-monotonicity argument: t in [s, e] implies
+    * floor(t/300s) in [floor(s/300s), floor(e/300s)], so no true match
+    * can land outside the joined cells.
+    *
+    * Scale shape: the window side is incidents — orders of magnitude
+    * smaller than events — and coalescing shrinks it further, so the
+    * grid-cell relation stays broadcastable long after the event side
+    * stops fitting anywhere (and if it ever does outgrow broadcast, the
+    * cell key makes the shuffle an equi-hash, never a nested loop). The
+    * coalesce itself sorts ONLY the window side (one global window over
+    * incidents; at extreme incident counts the documented refinement is
+    * per-day partitioned coalescing with boundary-day stitching). The
+    * oracle states containment as a correlated EXISTS over the merged
+    * spans — the nested-loop semantics this plan refuses to execute —
+    * so the equi-join rewrite is certified against the naive form. */
+  def q82IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val cellUs = 300000000L // 5-minute grid, micros
+    val errWin = ev.filter(col("event_type") === "error")
+      .select(col("ts").as("s"),
+        timestamp_micros(unix_micros(col("ts")) + cellUs).as("e"))
+    val pts = ev.filter(col("event_type") =!= "error")
+      .select(col("event_type"), col("ts"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("epoch_day"))
+    val inIncident =
+      intervalContainedSemi(pts, mergeIntervals(errWin), cellUs)
+    val inc = inIncident.groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("n_in_incident"))
+    val tot = pts.groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("n_events"))
+    tot.join(inc, Seq("event_type", "epoch_day"), "left")
+      .withColumn("n_in_incident", coalesce(col("n_in_incident"), lit(0L)))
+      .withColumn("incident_share",
+        col("n_in_incident").cast("double") / col("n_events"))
+      .select(col("event_type"), col("epoch_day"), col("n_events"),
+        col("n_in_incident"), col("incident_share"))
+      .orderBy(asc("event_type"), asc("epoch_day"))
+  }
+
+  /** Interval coalesce: (s, e) timestamp spans -> disjoint merged
+    * (ws, we) spans; overlapping OR touching (s == previous max end)
+    * spans merge. The gaps-and-islands cummax sweep over the INTERVAL
+    * table only. */
+  private[graft] def mergeIntervals(win: DataFrame): DataFrame = {
+    val ord = Window.orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    win
+      .withColumn("new_w",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("wid", sum(col("new_w"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("wid"))
+      .agg(min(col("s")).as("ws"), max(col("e")).as("we"))
+  }
+
+  /** Grid-bucketed containment semi join: rows of `pts` (with a `ts`
+    * column) whose ts falls inside any [ws, we] span of `merged`. Spans
+    * explode to the `cellUs` grid cells they overlap; the range test
+    * refines a cell EQUI-join (left_semi, so multi-cell spans never
+    * duplicate a row). Inclusive on both endpoints. */
+  private[graft] def intervalContainedSemi(pts: DataFrame, merged: DataFrame,
+      cellUs: Long): DataFrame = {
+    val windowCells = merged.select(col("ws"), col("we"),
+      explode(sequence(
+        floor(unix_micros(col("ws")) / cellUs).cast("long"),
+        floor(unix_micros(col("we")) / cellUs).cast("long"))).as("wcell"))
+    val keyed = pts.withColumn("cell",
+      floor(unix_micros(col("ts")) / cellUs).cast("long"))
+    keyed.join(windowCells,
+      keyed("cell") === windowCells("wcell") &&
+        keyed("ts") >= windowCells("ws") && keyed("ts") <= windowCells("we"),
+      "left_semi")
+      .drop("cell")
+  }
+
+  /** FUNNEL ANALYSIS (q83): per-user stage progression through the
+    * strictly-ordered chain view -> click -> purchase — the product
+    * analytics primitive (and, in a training-data pipeline, the
+    * label-generation shape for session-outcome modeling). Semantics are
+    * timestamp-strict: the qualifying click is the earliest click AFTER
+    * the first view (ts strictly greater), the qualifying purchase the
+    * earliest purchase after that click — chained strict inequalities, no
+    * tie ambiguity.
+    *
+    * Scale shape: ONE user_id hash exchange for everything. Both stage
+    * flags come from windows over the same (user, RANGE by event-time)
+    * spec — `prior_view`/`prior_qclick` are running mins over the frame
+    * ending 1 microsecond before the current row (RANGE, not ROWS: a
+    * ROWS -1 frame under timestamp ties would be peer-order
+    * nondeterministic; the RANGE frame is a pure function of event time) —
+    * and the final groupBy(user_id) reuses the window's partitioning
+    * (q61's subset-clustering argument, pinned for that query in
+    * PlanPinsSpec). The oracle restates the chain as THREE join-aggregate
+    * stages (min view per user, min later click, min later purchase) — a
+    * structurally different plan that must land on the same hash. */
+  def q83Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(Tables(spark, dir, "events"))
+      .orderBy(asc("user_id"))
+
+  /** The reusable operator behind q83: any (user_id, event_type, ts)
+    * frame -> per-user funnel stages under the strict
+    * view -> click -> purchase chain. */
+  private[graft] def funnelStages(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+    val before = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val withView = ev.withColumn("prior_view",
+      min(when(col("event_type") === "view", col("ts_us"))).over(before))
+    val withClick = withView.withColumn("prior_qclick",
+      min(when(col("event_type") === "click" && col("prior_view").isNotNull,
+        col("ts_us"))).over(before))
+    withClick.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click" && col("prior_view").isNotNull,
+          col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase" &&
+          col("prior_qclick").isNotNull, col("ts"))).as("t_purchase"))
+      .select(
+        col("user_id"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L).otherwise(0L).as("stage"),
+        date_format(col("t_view"), "yyyy-MM-dd HH:mm:ss").as("first_view"),
+        date_format(col("t_click"), "yyyy-MM-dd HH:mm:ss").as("first_click"),
+        date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss")
+          .as("first_purchase"))
+  }
+
   /** A14/A15 at scale: same window keyed by the J8 geo match, with
     * approx_count_distinct — demonstrates the documented approximate path
     * (exact HashSet state does not bound memory per key at 100 TB).

@@ -265,6 +265,48 @@ class PlanPinsSpec extends AnyFunSuite {
       s"df order plans the DF re-attach join plus the candidate join:\n$dfPlan")
   }
 
+  test("q81: BM25 prunes to query-term postings before any exchange; df/stats/query joins broadcast") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q81_bm25_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The isin prune runs on exploded terms BEFORE the tf aggregate's
+    // exchange — the only corpus-scale shuffle carries pruned postings.
+    assert("Filter .*term#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"query-vocabulary prune missing below the tf aggregate:\n$plan")
+    // doc length rides the tf grouping key — a doc_id-keyed join of two
+    // corpus-sized relations would be a second corpus shuffle.
+    val hx = hashExchanges(plan)
+    assert(!hx.exists(k => k.startsWith("doc_id") && !k.contains("term")),
+      s"corpus-wide doc_id exchange means the dl join crept back: $hx\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"df/stats/query joins must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast term joins:\n$plan")
+    assert(plan.contains("Window"), s"ranking window missing:\n$plan")
+  }
+
+  test("q82: interval containment is a cell EQUI semi join, never a nested loop") {
+    val plan = SparkEntry.queries("q82_interval_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The whole point of the temporal grid: the range predicate alone
+    // would plan BroadcastNestedLoopJoin over every (event, window) pair.
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"containment fell back to a nested loop:\n$plan")
+    val semi = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cell[^\\]]*\\], \\[wcell[^\\]]*\\], LeftSemi".r
+    assert(semi.findFirstIn(plan).isDefined,
+      s"expected a cell-keyed LeftSemi equi join:\n$plan")
+  }
+
+  test("q83: funnel plans ONE user_id exchange — both windows and the groupBy share it") {
+    val plan = SparkEntry.queries("q83_funnel")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"no stage windows in plan:\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.size == 1 && hx.head.contains("user_id"),
+      s"expected exactly the user_id window exchange, got $hx:\n$plan")
+  }
+
   test("q58: as-of join is the union-and-sweep — window pass, no join operator") {
     val plan = SparkEntry.queries("q58_asof_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
