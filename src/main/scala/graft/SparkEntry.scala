@@ -101,6 +101,7 @@ object SparkEntry {
     "q81_bm25_search" -> (DocQueries.q81Bm25Search _),
     "q82_interval_join" -> (EventQueries.q82IntervalJoin _),
     "q83_funnel" -> (EventQueries.q83Funnel _),
+    "q84_hybrid_rrf" -> (EmbedQueries.q84HybridRrf _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1643,5 +1644,86 @@ object SparkEntry {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |       LEFT JOIN p USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
+    // Hybrid RRF: keyword extraction (q80 scoring, query docs only) ->
+    // BM25 more-like-this (q81 machinery, self excluded) + cosine top-10
+    // (q27 verbatim) -> reciprocal rank fusion. The RRF sum is two
+    // explicitly-ordered doubles — stated identically on both sides.
+    "q84_hybrid_rrf" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |tfq AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM t WHERE doc_id < 5)
+        |  GROUP BY doc_id, term),
+        |dfq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+        |  WHERE term IN (SELECT DISTINCT term FROM tfq)
+        |  GROUP BY term),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |kw AS (
+        |  SELECT doc_id AS query_id, term FROM (
+        |    SELECT tfq.doc_id, tfq.term,
+        |           row_number() OVER (PARTITION BY tfq.doc_id
+        |             ORDER BY CAST(tfq.tf * nd.n_docs AS DOUBLE) / dfq.df DESC,
+        |                      tfq.term) AS kw_rank
+        |    FROM tfq JOIN dfq USING (term) CROSS JOIN nd)
+        |  WHERE kw_rank <= 3),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |              CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+        |tfl AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN (SELECT DISTINCT term FROM kw)
+        |  GROUP BY doc_id, term),
+        |sc AS (
+        |  SELECT tfl.doc_id, tfl.term,
+        |         ((CAST(st.n_docs AS DOUBLE) - dfq.df + 0.5) /
+        |          (CAST(dfq.df AS DOUBLE) + 0.5)) *
+        |         (CAST(tfl.tf AS DOUBLE) * 2.2 /
+        |          (CAST(tfl.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |           (CAST(dl.dl AS DOUBLE) /
+        |            (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))) AS w
+        |  FROM tfl JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |lexagg AS (
+        |  SELECT kw.query_id, sc.doc_id,
+        |         list_reduce(list(sc.w ORDER BY sc.term), (a, b) -> a + b)
+        |           AS score
+        |  FROM sc JOIN kw ON sc.term = kw.term
+        |  WHERE sc.doc_id <> kw.query_id
+        |  GROUP BY kw.query_id, sc.doc_id),
+        |lex AS (
+        |  SELECT query_id AS q_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY score DESC, doc_id) AS rank FROM lexagg)
+        |  WHERE rank <= 10),
+        |vq AS (
+        |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |vp AS (
+        |  SELECT vq.q_id, e.vec_id AS doc_id,
+        |         round(
+        |           list_sum([CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
+        |           (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, 65)])) *
+        |            sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]))), 6) AS cosine
+        |  FROM embeddings e CROSS JOIN vq WHERE e.vec_id <> vq.q_id),
+        |vec AS (
+        |  SELECT q_id, doc_id, CAST(rank AS BIGINT) AS vec_rank
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |               ORDER BY cosine DESC, doc_id) AS rank FROM vp)
+        |  WHERE rank <= 10),
+        |fused AS (
+        |  SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
+        |         coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+        |         lex.lex_rank, vec.vec_rank,
+        |         coalesce(1.0 / (60.0 + lex.lex_rank), 0.0) +
+        |         coalesce(1.0 / (60.0 + vec.vec_rank), 0.0) AS rrf
+        |  FROM lex FULL OUTER JOIN vec
+        |    ON lex.q_id = vec.q_id AND lex.doc_id = vec.doc_id)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, lex_rank, vec_rank, rrf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |             ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
   )
 }

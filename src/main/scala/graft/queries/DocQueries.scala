@@ -998,8 +998,16 @@ object DocQueries {
       .select(explode(array_distinct(col("toks"))).as("term"))
       .filter(col("term").isin(vocab: _*))
       .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
-    val scored = tf
-      .join(broadcast(dfTbl), "term")
+    bm25FoldRank(
+      bm25Weighted(tf, dfTbl, stats).join(broadcast(qTerms), "term"), k)
+  }
+
+  /** Per-(doc, term) BM25 weight from the tf/df/corpus-stats relations —
+    * shared by the literal-query (q81) and derived-query (q84 lexical
+    * arm) paths so the formula is stated exactly once. */
+  private def bm25Weighted(tf: DataFrame, dfTbl: DataFrame,
+      stats: DataFrame): DataFrame =
+    tf.join(broadcast(dfTbl), "term")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("idf",
@@ -1009,9 +1017,13 @@ object DocQueries {
         col("idf") * (col("tf").cast("double") * lit(2.2) /
           (col("tf").cast("double") + lit(1.2) *
             (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+
+  /** Sorted-term sequential score fold + per-query rank cut (the
+    * deterministic-sum machinery documented on [[q81Bm25Search]]). */
+  private def bm25FoldRank(perQueryTerm: DataFrame, k: Int): DataFrame = {
     val byQuery = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
-    scored.join(broadcast(qTerms), "term")
+    perQueryTerm
       .groupBy("query_id", "doc_id")
       .agg(
         sort_array(collect_list(struct(col("term"), col("w")))).as("tw"),
@@ -1022,6 +1034,60 @@ object DocQueries {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("matched_terms"), col("score"))
+  }
+
+  /** MORE-LIKE-THIS lexical ranking (q84's lexical arm): each query is a
+    * DOCUMENT (doc_id < `queryMaxId`), its lexical form the top-`nKw`
+    * rational-idf keywords of that document (q80's scoring restricted to
+    * the query docs' own terms — df is computed only for the candidate
+    * term set, never the vocabulary). BM25 then ranks the corpus against
+    * those keyword queries exactly as q81 does, with the query doc
+    * itself excluded. The prune is a broadcast left-semi join against
+    * the derived term set (the terms are data now, not literals — q81's
+    * codegen'd `isin` becomes a tiny hashed-relation probe, same
+    * postings-only shuffle). */
+  private[graft] def bm25MoreLikeThis(spark: SparkSession, dir: String,
+      queryMaxId: Long, nKw: Int, k: Int): DataFrame = {
+    val tokDf = tokenizedDocs(Tables(spark, dir, "documents"))
+    // Keyword extraction for the query docs only: tf over ≤ queryMaxId
+    // docs (tiny), df over the corpus pruned to their candidate terms.
+    val tfq = tokDf.filter(col("doc_id") < queryMaxId)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+    val candTerms = tfq.select("term").distinct()
+    val dfq = tokDf
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .join(broadcast(candTerms), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val nDocs = tokDf.agg(count(lit(1)).cast("long").as("n_docs"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("kw_score"), asc("term"))
+    val qTerms = tfq.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("kw_score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("kw_rank", row_number().over(byDoc))
+      .filter(col("kw_rank") <= nKw)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val kwTerms = qTerms.select("term").distinct()
+    // Corpus-side BM25 over the keyword vocabulary — q81's plan with the
+    // semi-join prune in place of the literal isin.
+    val stats = tokDf
+      .select(size(col("toks")).cast("long").as("dl"))
+      .agg(sum(col("dl")).as("sum_dl"),
+        count(lit(1)).cast("long").as("n_docs"))
+    val tf = tokDf.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(kwTerms), Seq("term"), "left_semi")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("long").as("tf"))
+    // df for the keyword terms is a subset of the candidate-term df
+    // already computed — no second corpus explode.
+    val dfTbl = dfq.join(broadcast(kwTerms), Seq("term"), "left_semi")
+    bm25FoldRank(
+      bm25Weighted(tf, dfTbl, stats)
+        .join(broadcast(qTerms), "term")
+        .filter(col("doc_id") =!= col("query_id")), k)
   }
 
   /** The CURATED TRAINING MIX (q52) — the capstone composition the whole

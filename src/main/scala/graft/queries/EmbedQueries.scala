@@ -111,6 +111,65 @@ object EmbedQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** HYBRID RETRIEVAL via RECIPROCAL RANK FUSION (q84): the lexical and
+    * vector retrieval paths this engine carries separately (q81 BM25,
+    * q27 cosine), fused the way production search stacks do. Each query
+    * is a DOCUMENT (doc/vec ids < 5 — the corpus and embedding tables
+    * share the id space): the vector arm is q27's exact cosine top-10
+    * against the query's embedding; the lexical arm is a more-like-this
+    * BM25 top-10 whose query terms are the document's top-3 rational-idf
+    * keywords (q80's scoring pruned to the query docs' own terms). RRF
+    * then scores each candidate 1/(60+r_lex) + 1/(60+r_vec), a missing
+    * arm contributing 0 — rank fusion deliberately ignores the arms'
+    * incomparable score scales, which is why it is the standard fusion
+    * for hybrid search.
+    *
+    * Determinism: RRF sums exactly TWO doubles in a written, fixed order
+    * (no aggregation fold needed — coalesce(1/(60+lex),0) +
+    * coalesce(1/(60+vec),0) stated identically in the oracle), ranks are
+    * integers, and both arms' own determinism is inherited (q81's sorted
+    * fold, q27's rounded cosine; ties broken by doc_id everywhere).
+    *
+    * Scale shape: both arms are top-k-bounded before the fusion join, so
+    * the full-outer fuse and final rank run over ≤ 2k rows per query —
+    * fusion cost is independent of corpus size; the arms themselves
+    * carry the q81/q27 plans unchanged (the vector arm swaps in q28's
+    * LSH or q46's IVF probe when the corpus outgrows brute force —
+    * identical fusion plumbing either way). */
+  def q84HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    withDot(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val vq = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val byQ = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), asc("doc_id"))
+    val vecRanks = emb.crossJoin(broadcast(vq))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("cosine"))
+      .withColumn("vec_rank", row_number().over(byQ).cast("long"))
+      .filter(col("vec_rank") <= 10)
+      .select(col("q_id"), col("doc_id"), col("vec_rank"))
+    val lexRanks = DocQueries.bm25MoreLikeThis(spark, dir,
+        queryMaxId = 5L, nKw = 3, k = 10)
+      .select(col("query_id").as("q_id"), col("doc_id"),
+        col("rank").as("lex_rank"))
+    val byRrf = Window.partitionBy(col("q_id"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+    lexRanks.join(vecRanks, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(byRrf).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        col("lex_rank"), col("vec_rank"), col("rrf"))
+      .orderBy("q_id", "rank")
+  }
+
   /** IVF-style ANN — the second similarity scale path beside q28's LSH:
     * a coarse quantizer partitions vectors into inverted lists, queries
     * probe only the nProbe nearest lists.

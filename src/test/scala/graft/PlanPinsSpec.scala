@@ -307,6 +307,26 @@ class PlanPinsSpec extends AnyFunSuite {
       s"expected exactly the user_id window exchange, got $hx:\n$plan")
   }
 
+  test("q84: hybrid RRF keeps both arms' shapes — semi-join prunes, no cartesian, top-k limited") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q84_hybrid_rrf")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The lexical arm's derived-term prunes must stay broadcast semi
+    // joins (q81's isin becomes a hashed-relation probe) and the only
+    // nested loops are the intended 1-row/bounded broadcast crosses
+    // (stats, n_docs, the q27 brute-force query side) — never a
+    // CartesianProduct pair scan.
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian in the fusion plan:\n$plan")
+    assert("BroadcastHashJoin \\[term[^\\]]*\\], \\[term[^\\]]*\\], LeftSemi".r
+      .findAllMatchIn(plan).size >= 2,
+      s"expected broadcast semi-join term prunes on tf and df:\n$plan")
+    // Both arms rank-limit BEFORE fusion: the rank windows carry
+    // WindowGroupLimit, so the fuse joins top-k rows, not candidates.
+    assert("WindowGroupLimit".r.findAllMatchIn(plan).size >= 4,
+      s"expected partial+final group limits on both arms:\n$plan")
+  }
+
   test("q58: as-of join is the union-and-sweep — window pass, no join operator") {
     val plan = SparkEntry.queries("q58_asof_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
