@@ -108,8 +108,8 @@ object ScaleRehearsal {
     val outRoot = args.lift(1).getOrElse("target/scale")
     val factors = args.lift(2).getOrElse("1,3,10,30").split(",").map(_.trim.toInt).toSeq
     // Optional section filter (csv of minhash,containment,clusters,
-    // timings,mg,ivf) so a targeted re-measurement doesn't pay for the
-    // full sweep.
+    // retrieval,timings,mg,ivf) so a targeted re-measurement doesn't pay
+    // for the full sweep.
     val sections = sys.env.get("SPARK_GRAFT_REHEARSAL_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
     def on(s: String): Boolean = sections.forall(_.contains(s))
@@ -152,7 +152,11 @@ object ScaleRehearsal {
       "q46_ann_ivf" -> (graft.queries.EmbedQueries.q46EmbedIvfAnn _),
       "q32_stream_windowed_distinct" -> (graft.queries.StreamQueries.q32StreamWindowedDistinct _),
       "q45_stream_stream_join" -> (graft.queries.StreamQueries.q45StreamStreamJoin _),
-      "q48_stream_stream_left_outer" -> (graft.queries.StreamQueries.q48StreamStreamLeftOuter _))
+      "q48_stream_stream_left_outer" -> (graft.queries.StreamQueries.q48StreamStreamLeftOuter _),
+      "q81_bm25_search" -> (graft.queries.DocQueries.q81Bm25Search _),
+      "q82_interval_join" -> (graft.queries.EventQueries.q82IntervalJoin _),
+      "q83_funnel" -> (graft.queries.EventQueries.q83Funnel _),
+      "q84_hybrid_rrf" -> (graft.queries.EmbedQueries.q84HybridRrf _))
 
     // Factors past ×10 run in SHALLOW mode: structural counts for the doc
     // family only (one pass each, no min-of-2 timing) — the cheap extra
@@ -214,6 +218,39 @@ object ScaleRehearsal {
         // release it (and everything else; the flat family re-persists on
         // demand) before the timed sections.
         graft.queries.DocQueries.unpersistAllShared(spark)
+      }
+
+      // Retrieval structural counts (round 10, second pass):
+      //   - q81/q84 postings: the rows surviving the query-vocabulary
+      //     prune — the ONLY corpus-derived relation the BM25 shuffle
+      //     carries. Amplification token-salts copies 1..k-1, so the
+      //     literal query vocabulary matches copy 0 only: postings must
+      //     stay FLAT while the corpus grows ×k (the prune doing its
+      //     job); the corpus-linear part of q81's cost is the cached-scan
+      //     explode feeding the prune, which the timings row measures.
+      //   - q82 incident geometry: error count grows ×k on the SAME
+      //     timeline, so merged spans SATURATE toward timeline/width and
+      //     grid cells stay bounded by timeline/cellWidth + spans — the
+      //     broadcast side of the containment join cannot outgrow the
+      //     calendar, no matter how many errors arrive.
+      if (on("retrieval")) {
+        val vocab = graft.queries.DocQueries.bm25QuerySet.flatMap(_._2).distinct
+        val postings = graft.sources.Tables(spark, dir, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .filter(col("term").isin(vocab: _*)).count()
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"bm25_postings","value":$postings}""")
+        val cellUs = 300000000L
+        val errWin = graft.sources.Tables(spark, dir, "events")
+          .filter(col("event_type") === "error")
+          .select(col("ts").as("s"),
+            timestamp_micros(unix_micros(col("ts")) + cellUs).as("e"))
+        val nErr = errWin.count()
+        val merged = graft.queries.EventQueries.mergeIntervals(errWin)
+          .agg(count(lit(1)).as("spans"),
+            sum(floor(unix_micros(col("we")) / cellUs).cast("long") -
+              floor(unix_micros(col("ws")) / cellUs).cast("long") + lit(1L))
+              .as("cells")).collect()(0)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q82_incidents","errors":$nErr,"merged_spans":${merged.getLong(0)},"grid_cells":${merged.getLong(1)}}""")
       }
 
       // q79 structural: connected components over the verified near-dup

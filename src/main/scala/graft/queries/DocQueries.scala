@@ -928,7 +928,7 @@ object DocQueries {
 
   /** The fixed query set behind q81 — literal (query_id, terms) pairs, the
     * lexical analogue of q27's fixed query vectors. */
-  private val bm25QuerySet: Seq[(Long, Seq[String])] = Seq(
+  private[graft] val bm25QuerySet: Seq[(Long, Seq[String])] = Seq(
     1L -> Seq("spark", "join", "fast"),
     2L -> Seq("agg", "stream", "window"),
     3L -> Seq("customer", "query"))
