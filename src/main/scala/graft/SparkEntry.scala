@@ -102,6 +102,7 @@ object SparkEntry {
     "q82_interval_join" -> (EventQueries.q82IntervalJoin _),
     "q83_funnel" -> (EventQueries.q83Funnel _),
     "q84_hybrid_rrf" -> (EmbedQueries.q84HybridRrf _),
+    "q85_zorder_layout" -> (EtlQueries.q85ZorderLayout _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1725,5 +1726,42 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         |             ORDER BY rrf DESC, doc_id) AS rank FROM fused)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // Z-order layout audit: the same five spread-and-mask steps in
+    // decimal-literal bit arithmetic (0x00FF00FF=16711935, 0x0F0F0F0F=
+    // 252645135, 0x33333333=858993459, 0x55555555=1431655765).
+    "q85_zorder_layout" ->
+      """WITH mx AS (
+        |  SELECT max(l_partkey) AS max_pk, max(l_suppkey) AS max_sk
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         (l_partkey * 65536) // (max_pk + 1) AS pk16,
+        |         (l_suppkey * 65536) // (max_sk + 1) AS sk16
+        |  FROM lineitem CROSS JOIN mx),
+        |a0 AS (SELECT l_partkey, l_suppkey,
+        |              pk16 & 65535 AS ax, sk16 & 65535 AS bx FROM s),
+        |a1 AS (SELECT l_partkey, l_suppkey,
+        |              (ax | (ax << 8)) & 16711935 AS ax,
+        |              (bx | (bx << 8)) & 16711935 AS bx FROM a0),
+        |a2 AS (SELECT l_partkey, l_suppkey,
+        |              (ax | (ax << 4)) & 252645135 AS ax,
+        |              (bx | (bx << 4)) & 252645135 AS bx FROM a1),
+        |a3 AS (SELECT l_partkey, l_suppkey,
+        |              (ax | (ax << 2)) & 858993459 AS ax,
+        |              (bx | (bx << 2)) & 858993459 AS bx FROM a2),
+        |a4 AS (SELECT l_partkey, l_suppkey,
+        |              (ax | (ax << 1)) & 1431655765 AS ax,
+        |              (bx | (bx << 1)) & 1431655765 AS bx FROM a3),
+        |m AS (SELECT l_partkey, l_suppkey,
+        |             (ax | (bx << 1)) >> 26 AS bucket FROM a4),
+        |g AS (
+        |  SELECT CAST(bucket AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+        |         min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+        |  FROM m GROUP BY bucket)
+        |SELECT bucket, n_rows, pk_min, pk_max, sk_min, sk_max,
+        |       pk_max - pk_min AS pk_span, sk_max - sk_min AS sk_span
+        |FROM g ORDER BY bucket""".stripMargin,
   )
 }

@@ -330,6 +330,27 @@ object core {
         rPayload.map(c => col("_graft_m").getField(c).as(c)): _*)
   }
 
+  /** Morton (Z-order) interleave of two 16-bit nonnegative values into a
+    * 32-bit key: bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1, via the classic mask-and-shift bit spreading — pure integer
+    * column arithmetic (codegen'd, bit-identical in any engine; the
+    * DuckDB oracle restates the same five steps). Rows sorted or
+    * bucketed by this key cluster in BOTH dimensions at once — the
+    * data-layout primitive behind multi-dimensional file skipping
+    * (Z-ORDER in lakehouse engines): with 2^(2k) range buckets, each
+    * bucket spans ~1/2^k of EACH dimension, so a selective predicate on
+    * either column prunes ~all non-matching buckets, where a
+    * lexicographic sort clusters only its leading column. */
+  def mortonInterleave16(a: Column, b: Column): Column = {
+    def spread(x0: Column): Column =
+      Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+        (1, 0x55555555L))
+        .foldLeft(x0.bitwiseAND(lit(0xFFFFL))) { case (x, (s, mask)) =>
+          x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(mask))
+        }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
   /** Most-frequent value of `valueCol` per `keyCol` with a total tie-break
     * (higher count wins, then smaller value) — the reference's mode idiom
     * (flights_lookup_to_kafka.py:30-46): groupBy + count + row_number. */

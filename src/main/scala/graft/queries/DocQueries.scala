@@ -943,8 +943,11 @@ object DocQueries {
     *     (n_docs - df + 0.5)/(df + 0.5) — `ln` is not bit-specified across
     *     engines (q80's argument); every operand here is an exactly
     *     representable integer-or-half, so the single division is the same
-    *     correctly-rounded IEEE op in both engines, and the ranking is
-    *     unchanged (monotone transform of the log form).
+    *     correctly-rounded IEEE op in both engines. Each per-term weight
+    *     is a monotone transform of its log-idf counterpart; the
+    *     multi-term SUM therefore defines this variant's own ranking
+    *     (sums of monotone transforms need not order like the log-sum) —
+    *     the trade accepted for a cross-engine bit-checkable score.
     *   - the per-document score SUMS floats across matched terms, and float
     *     addition is order-sensitive — so the engine folds the per-term
     *     weights in SORTED TERM ORDER (sort_array of (term, w) structs +

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.core.mortonInterleave16
 import graft.sources.Tables
 
 /** The ETL transform pipeline re-expressed Spark-first
@@ -128,5 +129,46 @@ object EtlQueries {
         countDistinct(col("l_suppkey")).as("distinct_suppliers"),
         date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship"))
       .orderBy("l_returnflag")
+  }
+
+  /** Z-ORDER LAYOUT (q85): cluster the lineitem fact on the Morton
+    * interleave of (l_partkey, l_suppkey) and audit the layout — per
+    * Z-range bucket, the min/max SPAN of BOTH dimensions. This is the
+    * write-side data-layout operator behind multi-dimensional file
+    * skipping: rows land in files by `bucket`, each file's footer
+    * min/max on partkey AND suppkey is ~1/8 of its domain (64 buckets =
+    * an 8x8 grid), so a point/range predicate on EITHER column prunes
+    * ~7/8 of the files from the listing alone — where a lexicographic
+    * (partkey, suppkey) sort bounds only partkey and every file spans
+    * the full suppkey domain (ZOrderSpec measures exactly this
+    * contrast; the spans in this query's OUTPUT are that audit).
+    *
+    * Shape: dimension maxima are a 1-row broadcast; normalization,
+    * spreading and interleaving are pure integer column ops (exactly
+    * restated by the oracle in decimal-literal bit arithmetic); the
+    * bucket is the top 6 Morton bits, so the whole key derivation is
+    * MAP-ONLY and the single hash exchange is the 64-group audit
+    * aggregate (PlanPinsSpec). At 100 TB the same key feeds
+    * `repartitionByRange(morton)` + `sortWithinPartitions` on the write
+    * path — the audit query stays this one, run over the file footers
+    * instead of the rows. */
+  def q85ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val mx = li.agg(max(col("l_partkey")).as("max_pk"),
+      max(col("l_suppkey")).as("max_sk"))
+    li.select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .withColumn("pk16", expr("l_partkey * 65536 div (max_pk + 1)"))
+      .withColumn("sk16", expr("l_suppkey * 65536 div (max_sk + 1)"))
+      .withColumn("bucket",
+        shiftright(mortonInterleave16(col("pk16"), col("sk16")), 26))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+        min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+      .withColumn("pk_span", col("pk_max") - col("pk_min"))
+      .withColumn("sk_span", col("sk_max") - col("sk_min"))
+      .orderBy(asc("bucket"))
   }
 }

@@ -327,6 +327,19 @@ class PlanPinsSpec extends AnyFunSuite {
       s"expected partial+final group limits on both arms:\n$plan")
   }
 
+  test("q85: Z-order key derivation is map-only — one hash exchange at the audit aggregate") {
+    val plan = SparkEntry.queries("q85_zorder_layout")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The 1-row maxima broadcast is the only join; normalization,
+    // spreading, interleaving and bucketing are projections, so the only
+    // hash exchange is the 64-group audit groupBy.
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"maxima must broadcast:\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.size == 1 && hx.head.contains("bucket"),
+      s"expected exactly the bucket aggregate exchange, got $hx:\n$plan")
+  }
+
   test("q58: as-of join is the union-and-sweep — window pass, no join operator") {
     val plan = SparkEntry.queries("q58_asof_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
