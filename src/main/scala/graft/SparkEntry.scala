@@ -103,6 +103,7 @@ object SparkEntry {
     "q83_funnel" -> (EventQueries.q83Funnel _),
     "q84_hybrid_rrf" -> (EmbedQueries.q84HybridRrf _),
     "q85_zorder_layout" -> (EtlQueries.q85ZorderLayout _),
+    "q86_stream_dedup_ingest" -> (StreamQueries.q86StreamDedupIngest _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1763,5 +1764,23 @@ object SparkEntry {
         |SELECT bucket, n_rows, pk_min, pk_max, sk_min, sk_max,
         |       pk_max - pk_min AS pk_span, sk_max - sk_min AS sk_span
         |FROM g ORDER BY bucket""".stripMargin,
+    // Exactly-once ingest: the oracle counts the ORIGINAL events over
+    // closed 10-min windows — a hash match certifies the streaming dedup
+    // removed every injected re-delivery and nothing else.
+    "q86_stream_dedup_ingest" ->
+      """WITH ev0 AS (
+        |  SELECT * FROM events
+        |  WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+        |    AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |w AS (
+        |  SELECT to_timestamp((epoch_us(ts) // 600000000) * 600) AS ws,
+        |         lower(trim(event_type)) AS event_type,
+        |         count(*) AS n
+        |  FROM ev0 GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM ev0)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       CAST(n AS BIGINT) AS n_events
+        |FROM w, m WHERE ws + INTERVAL 10 MINUTE <= mx
+        |ORDER BY win_start, event_type""".stripMargin,
   )
 }

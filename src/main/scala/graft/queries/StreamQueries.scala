@@ -67,6 +67,38 @@ object StreamQueries {
       .orderBy("win_start", "airport")
   }
 
+  /** EXACTLY-ONCE INGEST, oracle-checked (q86): an at-least-once delivery
+    * (every event with event_id % 7 == 0 is replayed TWICE — the Kafka
+    * producer-retry shape) runs through
+    * [[EventStreams.dedupedWithinWatermark]] and then a 10-minute
+    * windowed count per event type — TWO chained stateful operators
+    * (dedup state + window state) in one append-mode query, the
+    * watermark propagating through both. The oracle counts the ORIGINAL
+    * events over closed windows: a hash match certifies the dedup
+    * removed every injected re-delivery and nothing else — promoting the
+    * guarantee StreamingReplaySpec asserts across micro-batches to a
+    * value-checked driver-contract query. The watermark delay is the
+    * re-delivery horizon knob: state per id lives delay-past-watermark
+    * (bounded), re-deliveries inside the horizon are dropped — at 100 TB
+    * the delay is sized to the producer's retry window, not the stream
+    * length. */
+  def q86StreamDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventStreams.streamSession(spark)
+    val events = EventStreams.fileReplaySource(ss, dir)
+    val atLeastOnce = events.unionByName(
+      events.filter(col("event_id") % 7 === 0))
+    val deduped =
+      EventStreams.dedupedWithinWatermark(atLeastOnce, "event_id", "0 seconds")
+    val counts = deduped
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"))
+    EventStreams.runToMemory(spark, counts)
+      .orderBy("win_start", "event_type")
+  }
+
   /** Sliding 2-minute / 1-minute windowed counts (parity-plus: the
     * reference's stream layer is tumbling-only). Each event lands in
     * exactly two overlapping windows; append emits a window once the

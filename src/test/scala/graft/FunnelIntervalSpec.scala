@@ -105,6 +105,32 @@ class FunnelIntervalSpec extends AnyFunSuite {
       Seq((0L, 1000L)), 100L) == Seq(0L, 100L, 500L, 999L, 1000L))
   }
 
+  test("q86 injection is non-vacuous: without the dedup the counts inflate") {
+    // The oracle hash-match proves dedup removed every re-delivery; this
+    // proves there was something to remove — the same at-least-once
+    // union WITHOUT dropDuplicatesWithinWatermark must overcount.
+    val dir = "/root/testdata/sf0.001"
+    val spark2 = SparkTestSession.spark
+    val nDup = graft.sources.Tables(spark2, dir, "events")
+      .filter(col("event_id") % 7 === 0).count()
+    assert(nDup > 0, "fixture must contain event_id % 7 == 0 rows")
+    val ss = graft.streaming.EventStreams.streamSession(spark2)
+    val events = graft.streaming.EventStreams.fileReplaySource(ss, dir)
+    val atLeastOnce = events.unionByName(events.filter(col("event_id") % 7 === 0))
+    val noDedup = graft.streaming.EventStreams.runToMemory(spark2,
+      atLeastOnce.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"), col("event_type"), col("n_events")))
+      .agg(sum("n_events")).as[Long].collect().head
+    val withDedup = graft.queries.StreamQueries
+      .q86StreamDedupIngest(spark2, dir)
+      .agg(sum("n_events")).as[Long].collect().head
+    assert(noDedup > withDedup,
+      s"no-dedup total $noDedup must exceed deduped total $withDedup")
+  }
+
   test("intervalContainedSemi: agrees with brute force on random spans") {
     val rnd = new scala.util.Random(7)
     val spans = Seq.fill(20)(rnd.nextInt(10000).toLong)
