@@ -67,7 +67,13 @@ object ScaleRehearsal {
     val dir = s"$outRoot/x$k"
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_AMPLIFIED")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) return dir
+    if (fs.exists(marker)) {
+      // lineitem joined the amplified set in round 10 (q85) — backfill
+      // into dirs built by earlier runs instead of invalidating them.
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")))
+        amplifyLineitem(spark, src, dir, k)
+      return dir
+    }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     singleFileParquet((0 until k).map { c =>
@@ -99,8 +105,23 @@ object ScaleRehearsal {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _), dir, "events")
 
+    amplifyLineitem(spark, src, dir, k)
+
     fs.create(marker).close()
     dir
+  }
+
+  /** lineitem ×k: order keys shift into disjoint ranges, part/supp keys
+    * stay — per-copy rows land in the SAME Z-order buckets, so q85's
+    * per-bucket counts must grow exactly ×k at constant span bounds
+    * (the layout audit's linearity is then a real claim, not an
+    * artifact of growing domains). */
+  private def amplifyLineitem(spark: SparkSession, src: String, dir: String,
+                              k: Int): Unit = {
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    singleFileParquet((0 until k).map { c =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(c * 1000000000L))
+    }.reduce(_ unionByName _), dir, "lineitem")
   }
 
   def main(args: Array[String]): Unit = {
@@ -156,7 +177,9 @@ object ScaleRehearsal {
       "q81_bm25_search" -> (graft.queries.DocQueries.q81Bm25Search _),
       "q82_interval_join" -> (graft.queries.EventQueries.q82IntervalJoin _),
       "q83_funnel" -> (graft.queries.EventQueries.q83Funnel _),
-      "q84_hybrid_rrf" -> (graft.queries.EmbedQueries.q84HybridRrf _))
+      "q84_hybrid_rrf" -> (graft.queries.EmbedQueries.q84HybridRrf _),
+      "q85_zorder_layout" -> (graft.queries.EtlQueries.q85ZorderLayout _),
+      "q86_stream_dedup_ingest" -> (graft.queries.StreamQueries.q86StreamDedupIngest _))
 
     // Factors past ×10 run in SHALLOW mode: structural counts for the doc
     // family only (one pass each, no min-of-2 timing) — the cheap extra
@@ -269,9 +292,14 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q79_clusters","nodes":${row.getLong(0)},"clusters":${row.getLong(1)},"max_size":${row.getLong(2)},"rounds":$rounds}""")
       }
 
+      // Optional per-query filter (csv of names) for targeted timing
+      // re-measurement without paying for the whole sweep.
+      val queryFilter = sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")
+        .map(_.split(",").map(_.trim).toSet)
       val active =
         (if (deep) queries else queries.filter(q => shallowSet(q._1)))
           .filter(_ => on("timings"))
+          .filter(q => queryFilter.forall(_.contains(q._1)))
       active.foreach { case (name, q) =>
         val rows = q(spark, dir).count()
         val sec = if (deep) bench(materialize(q(spark, dir)))
