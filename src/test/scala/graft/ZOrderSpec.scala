@@ -79,4 +79,51 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zMaxSk * 2 < lex,
       s"Z-order worst suppkey span ($zMaxSk) must beat lexicographic best ($lex) by 2x+")
   }
+
+  test("file skipping end to end: the audit manifest prunes the physical scan") {
+    // The write path q85's scaladoc describes, executed: rows land in
+    // files by Morton bucket, the audit output doubles as the per-file
+    // min/max manifest, and a dimension predicate reads ONLY the files
+    // whose stats admit it — same rows, measured-fewer files.
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables(spark, dir, "lineitem")
+    val mx = li.agg(max(col("l_partkey")).as("max_pk"),
+      max(col("l_suppkey")).as("max_sk"))
+    val keyed = li
+      .crossJoin(broadcast(mx))
+      .withColumn("pk16", expr("l_partkey * 65536 div (max_pk + 1)"))
+      .withColumn("sk16", expr("l_suppkey * 65536 div (max_sk + 1)"))
+      .withColumn("bucket",
+        shiftright(core.mortonInterleave16(col("pk16"), col("sk16")), 26))
+      .drop("pk16", "sk16", "max_pk", "max_sk")
+    val out = s"${sys.props("user.dir")}/target/etl/zorder_spec/lineitem_z"
+    keyed.write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+    val manifest = SparkEntry.queries("q85_zorder_layout")(spark, dir)
+      .select("bucket", "sk_min", "sk_max").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (maxSk, lo) = (manifest.map(_._3).max, 2L)
+    val hi = lo + maxSk / 8 // a ~1/8-domain suppkey range predicate
+    val admitted = manifest.filter(m => m._3 >= lo && m._2 <= hi).map(_._1)
+    assert(admitted.length <= 16,
+      s"a 1/8-domain range must admit ~1 grid row of buckets, got ${admitted.length}/64")
+
+    val zread = spark.read.parquet(out)
+    val pruned = zread
+      .filter(col("bucket").isin(admitted: _*) &&
+        col("l_suppkey") >= lo && col("l_suppkey") <= hi)
+    val full = zread.filter(col("l_suppkey") >= lo && col("l_suppkey") <= hi)
+    assert(pruned.count() == full.count(),
+      "manifest pruning must not change the result")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(fail("no file scan in plan"))
+      scan.metrics("numFiles").value
+    }
+    val (fPruned, fFull) = (filesRead(pruned), filesRead(full))
+    assert(fPruned * 3 <= fFull,
+      s"manifest pruning must cut files read 3x+ (pruned $fPruned vs full $fFull)")
+  }
 }
