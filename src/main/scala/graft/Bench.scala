@@ -225,6 +225,26 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"warmup_sec":$warmupSec,"loadavg":$loadJson,"loadavg_rerun":$rerunLoadJson,"reran":$reranJson,"baseline_src":"$prevSrc","baseline_n":${prev.size},"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
+    // Second, compact summary line: the driver keeps only the output TAIL,
+    // and round 10's full line was truncated mid-number, losing the headline
+    // total. This short line (printed last) survives any tail capture and
+    // carries the whole verdict: total, query count, ratio vs the committed
+    // baseline on the common query set, and the worst per-query drift.
+    val common = results.collect {
+      case (n, t) if t > 0 && prev.get(n).exists(_ > 0) => (n, t, prev(n))
+    }
+    val vsBaseline =
+      if (common.isEmpty) -1.0
+      else common.map(_._2).sum / common.map(_._3).sum
+    val (worstName, worstRatio) =
+      if (common.isEmpty) ("none", -1.0)
+      else {
+        val (n, t, p) = common.maxBy { case (_, t, p) => t / p }
+        (n, t / p)
+      }
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    println(
+      s"""{"metric":"summary","total":${r3(total)},"n":${results.count(_._2 >= 0)},"errors":${errors.size},"vs_baseline":${r3(vsBaseline)},"baseline_n":${common.size},"worst":"$worstName","worst_ratio":${r3(worstRatio)}}""")
     // Deliberate local runs (idle machine) persist the complete line as the
     // committed baseline for future rounds; driver runs leave it untouched
     // so a contention-inflated sweep can't poison the committed baseline.

@@ -826,41 +826,66 @@ object DocQueries {
   /** The reusable operator behind q79: any (doc_a, doc_b) pair frame →
     * (doc_id, cluster_id, cluster_size, is_canonical), one row per node
     * of the pair graph. See [[q79DedupClusters]] for the algorithm and
-    * its scale argument. */
-  def dedupClusters(pairs: DataFrame): DataFrame =
-    dedupClustersWithRounds(pairs)._1
+    * its scale argument.
+    *
+    * `checkpointDir`: None (default) uses eager `localCheckpoint` —
+    * fastest, but round state lives on executor block managers, so an
+    * executor loss mid-iteration kills the job. On a real cluster pass
+    * Some(hdfsPath): rounds then cut lineage through RELIABLE
+    * `checkpoint` to that directory and survive executor loss. Both
+    * modes are spec'd result-equal (DedupClustersSpec). */
+  def dedupClusters(pairs: DataFrame,
+                    checkpointDir: Option[String] = None): DataFrame =
+    dedupClustersWithRounds(pairs, checkpointDir)._1
 
   /** [[dedupClusters]] plus the number of propagation rounds it took to
     * converge — the quantity the scale rehearsal pins (path halving
     * should hold it ~constant while the pair graph grows linearly). */
-  private[graft] def dedupClustersWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def dedupClustersWithRounds(
+      pairs: DataFrame,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // Lineage cut per round: reliable checkpoint when a directory is
+    // configured (executor-loss-safe), eager localCheckpoint otherwise.
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     val edges = pairs
       .select(col("doc_a").as("id"), col("doc_b").as("nbr"))
       .union(pairs.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    var labels = cut(edges.select(col("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 40) {
+    val maxRounds = 40
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("id").as("nbr"), col("label").as("nlab")), "nbr")
         .groupBy("id").agg(min("nlab").as("nmin"))
       val spread = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val halved = spread.as("x")
+      val halved = cut(spread.as("x")
         .join(spread.select(col("id").as("label"), col("label").as("ll")).as("y"),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label")))
       changed = halved.select(col("id"), col("label").as("new_label"))
         .join(labels, "id")
         .filter(col("new_label") =!= col("label")).count()
       labels = halved
       rounds += 1
     }
+    // Path halving converges in O(log diameter) rounds; 40 covers any
+    // graph whose diameter fits in a long. Hitting the cap with labels
+    // still moving means the assignment is WRONG for some component —
+    // that must be an error, never a silent return.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge after $maxRounds rounds " +
+          s"($changed labels still changing); refusing to return a " +
+          "partial cluster assignment")
     edges.unpersist()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     val out = labels
