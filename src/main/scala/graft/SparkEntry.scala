@@ -1766,7 +1766,9 @@ object SparkEntry {
         |FROM g ORDER BY bucket""".stripMargin,
     // Exactly-once ingest: the oracle counts the ORIGINAL events over
     // closed 10-min windows — a hash match certifies the streaming dedup
-    // removed every injected re-delivery and nothing else.
+    // removed every injected re-delivery and nothing else. Windows close
+    // at end <= max(ts) - 1 hour: the final watermark under the query's
+    // 1-hour re-delivery-horizon delay.
     "q86_stream_dedup_ingest" ->
       """WITH ev0 AS (
         |  SELECT * FROM events
@@ -1780,7 +1782,7 @@ object SparkEntry {
         |m AS (SELECT max(ts) AS mx FROM ev0)
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |       CAST(n AS BIGINT) AS n_events
-        |FROM w, m WHERE ws + INTERVAL 10 MINUTE <= mx
+        |FROM w, m WHERE ws + INTERVAL 10 MINUTE <= mx - INTERVAL 1 HOUR
         |ORDER BY win_start, event_type""".stripMargin,
   )
 }

@@ -81,14 +81,21 @@ object StreamQueries {
     * re-delivery horizon knob: state per id lives delay-past-watermark
     * (bounded), re-deliveries inside the horizon are dropped — at 100 TB
     * the delay is sized to the producer's retry window, not the stream
-    * length. */
+    * length. Here it is ONE HOUR, not zero: a 0-second delay only
+    * dedups re-deliveries landing in the original's micro-batch (true
+    * for a single-file replay, not for a multi-file fixture or a skewed
+    * source), so the delay is sized to a realistic retry horizon — any
+    * re-delivery within an hour of watermark progress is deduped from
+    * state, and one behind the watermark is late-dropped, so no layout
+    * of micro-batches can double-count. The oracle closes windows at
+    * `end <= max(ts) - delay` (the watermark the delay implies). */
   def q86StreamDedupIngest(spark: SparkSession, dir: String): DataFrame = {
     val ss = EventStreams.streamSession(spark)
     val events = EventStreams.fileReplaySource(ss, dir)
     val atLeastOnce = events.unionByName(
       events.filter(col("event_id") % 7 === 0))
     val deduped =
-      EventStreams.dedupedWithinWatermark(atLeastOnce, "event_id", "0 seconds")
+      EventStreams.dedupedWithinWatermark(atLeastOnce, "event_id", "1 hour")
     val counts = deduped
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))

@@ -151,4 +151,28 @@ class CurationSpec extends AnyFunSuite {
     assert(flagged.keySet.subsetOf(heldOut),
       "contamination flags must only ever name held-out documents")
   }
+
+  // q76's oracle restates percentile_approx as the exact element at rank
+  // ceil(p*n). That is an implementation property of Spark's GK sketch at
+  // full accuracy (n << accuracy), not an API promise — so pin it HERE: a
+  // Spark upgrade that changes tie handling or rank rounding fails this
+  // unit test instead of the cross-engine hash run.
+  test("percentile_approx at full accuracy returns the element at rank ceil(p*n), partition-stable") {
+    import spark.implicits._
+    // Distinct values so the expected rank is unambiguous; n far below
+    // the 1e6 accuracy so the sketch holds every element exactly.
+    val n = 1237
+    val values = scala.util.Random.shuffle((1 to n).map(_ * 3.0).toVector)
+    val sorted = values.sorted
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.createDataset(values).repartition(parts).toDF("v")
+      val ps = (1 to 9).map(p => lit(p / 10.0))
+      val got = df.agg(percentile_approx(col("v"), array(ps: _*), lit(1000000)))
+        .head.getSeq[Double](0)
+      val want = (1 to 9).map(p => sorted(math.ceil(p / 10.0 * n).toInt - 1))
+      assert(got == want,
+        s"parts=$parts: percentile_approx drifted from the rank-ceil(p*n) " +
+          s"element q76's oracle hardcodes — got $got, want $want")
+    }
+  }
 }
