@@ -108,9 +108,21 @@ object Tables {
     // rebuilt at micro precision (integer `div` — a double division loses
     // precision on ~1.7e18 nano epochs).
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+    val tsFixed = df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case None    => df
+    }
+    // The testdata writer has also shipped timestamps as parquet
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 surfaces as
+    // TIMESTAMP_NTZ — a type `unix_micros`/`to_utc_timestamp` and friends
+    // reject. Every graft session runs with session.timeZone=UTC, so the
+    // NTZ→TIMESTAMP cast below is value-preserving (same micros, same wall
+    // clock) and restores the single timestamp type the whole query surface
+    // is written against.
+    val ntz = tsFixed.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) tsFixed
+    else ntz.foldLeft(tsFixed) { (d, f) =>
+      d.withColumn(f.name, col(f.name).cast(TimestampType))
     }
   }
 
