@@ -104,6 +104,9 @@ object SparkEntry {
     "q84_hybrid_rrf" -> (EmbedQueries.q84HybridRrf _),
     "q85_zorder_layout" -> (EtlQueries.q85ZorderLayout _),
     "q86_stream_dedup_ingest" -> (StreamQueries.q86StreamDedupIngest _),
+    "q87_docs_jaccard_join" -> (DocQueries.q87DocsJaccardJoin _),
+    "q88_pmi_collocations" -> (DocQueries.q88PmiCollocations _),
+    "q89_skew_probe" -> (EventQueries.q89SkewProbe _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1784,5 +1787,67 @@ object SparkEntry {
         |       CAST(n AS BIGINT) AS n_events
         |FROM w, m WHERE ws + INTERVAL 10 MINUTE <= mx - INTERVAL 1 HOUR
         |ORDER BY win_start, event_type""".stripMargin,
+    // Exact Jaccard ground truth: candidates are ALL pairs sharing at
+    // least one shingle (exact for any t > 0 — J >= t implies a nonempty
+    // intersection), verified with the same unrounded-threshold cut. A
+    // hash match therefore certifies the Spark side's prefix-filter
+    // RECALL, not just its arithmetic.
+    "q87_docs_jaccard_join" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                 for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |hsl AS (
+        |  SELECT doc_id,
+        |         list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)) AS hv
+        |  FROM s),
+        |e AS (SELECT doc_id, unnest(hv) AS g FROM hsl),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT doc_a, doc_b,
+        |         CAST(len(list_intersect(ha.hv, hb.hv)) AS BIGINT) AS shared_ngrams,
+        |         CAST(len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv)) AS BIGINT) AS union_ngrams
+        |  FROM cand
+        |  JOIN hsl ha ON cand.doc_a = ha.doc_id
+        |  JOIN hsl hb ON cand.doc_b = hb.doc_id)
+        |SELECT doc_a, doc_b, shared_ngrams, union_ngrams,
+        |       round(CAST(shared_ngrams AS DOUBLE) / union_ngrams, 4) AS jaccard
+        |FROM v
+        |WHERE CAST(shared_ngrams AS DOUBLE) / union_ngrams >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Rational lift (= 2^PMI), all-integer inputs — the same log-free
+    // bit-safety trick as the q80/q81 rational idf.
+    "q88_pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT b.w1, b.w2, count(*) AS pair_count
+        |  FROM (SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+        |                       for i in range(1, len(toks))]) AS b FROM t)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |u AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |n AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM t)
+        |SELECT bg.w1, bg.w2, pair_count,
+        |       round(CAST(pair_count AS DOUBLE) * n_tokens / (u1.c * u2.c), 4) AS lift
+        |FROM bg JOIN u u1 ON bg.w1 = u1.w JOIN u u2 ON bg.w2 = u2.w, n
+        |ORDER BY w1, w2""".stripMargin,
+    "q89_skew_probe" ->
+      """WITH k AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |             CAST(count(*) AS BIGINT) AS n_keys FROM k)
+        |SELECT user_id, cnt,
+        |       round(CAST(cnt AS DOUBLE) * n_keys / total_rows, 4) AS skew_ratio,
+        |       (cnt * n_keys + total_rows - 1) // total_rows AS salt_factor
+        |FROM k, t
+        |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
   )
 }

@@ -1460,6 +1460,107 @@ object DocQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q87 — EXACT n-gram Jaccard near-dup join, the guaranteed-recall
+    * sibling of q25's MinHash sketch: every pair with 3-gram-shingle
+    * Jaccard ≥ t is in the output, by construction rather than by
+    * measured band luck.
+    *
+    * Algorithm (AllPairs prefix filtering, Bayardo et al. WWW'07 — the
+    * same machinery as q66, reused): J(A,B) ≥ t ⇒ |A∩B|/|A| ≥ t (the
+    * union is at least as big as A), so the containment-join candidate
+    * generator — whose pigeonhole proof guarantees every pair with
+    * |A∩B|/|A| ≥ t surfaces — is a strict superset of the Jaccard ≥ t
+    * pairs. Candidates are then cut by the LENGTH filter (J ≥ t forces
+    * t·|A| ≤ |B| ≤ |A|/t — a column compare, no array work) before the
+    * `graft_overlap` two-pointer verify computes the exact intersection
+    * on the pre-sorted hash arrays; J = ov / (|A|+|B|−ov).
+    *
+    * The threshold cut uses the UNROUNDED ratio (q66's hairline-band
+    * argument applies identically); round(…,4) is output-only. The
+    * oracle restates candidates as "pairs sharing ANY shingle" (exact
+    * for any t > 0 since J ≥ t ⇒ A∩B ≠ ∅) + the same verify, so a hash
+    * match certifies recall of the prefix filter, not just arithmetic.
+    *
+    * Scale shape: identical to q66 — the A side emits ~(1−t)·|A|+1
+    * prefix rows per doc, candidates shuffle as fixed-width longs, and
+    * the per-pair verify is allocation-free. At t = 0.5 the prefix is
+    * half the shingle table; the length filter then kills the
+    * size-mismatched half of candidates before any array is touched. */
+  def q87DocsJaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    jaccardJoinToks(tokenizedDocs(Tables(spark, dir, "documents")), 0.5)
+
+  /** The reusable operator behind q87: any (doc_id, text) frame. */
+  def jaccardJoin(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardJoinToks(
+      docs.select(col("doc_id"), toks(col("text")).as("toks")), threshold)
+
+  private def jaccardJoinToks(tokDf: DataFrame, t: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(tokDf.sparkSession)
+    val withHs = shingledHashed(tokDf)
+    val docsHs = withHs.select("doc_id", "hs")
+    // Containment candidates list every qualifying (A,B) with A's prefix
+    // hitting the overlap — for Jaccard both orientations qualify, so
+    // canonicalize to doc_a < doc_b before the (expensive) verify joins.
+    val cand = containmentCandidatesToks(withHs, t)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    cand
+      .join(docsHs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(docsHs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .filter(size(col("hb")).cast("double") >= lit(t) * size(col("ha")) &&
+        size(col("ha")).cast("double") >= lit(t) * size(col("hb")))
+      .withColumn("ov", call_function("graft_overlap", col("ha"), col("hb")))
+      .withColumn("uni", size(col("ha")) + size(col("hb")) - col("ov"))
+      .filter(col("ov").cast("double") / col("uni") >= t)
+      .select(col("doc_a"), col("doc_b"),
+        col("ov").as("shared_ngrams"), col("uni").as("union_ngrams"),
+        round(col("ov").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q88 — PMI COLLOCATIONS: which adjacent word pairs co-occur far more
+    * than their unigram frequencies predict — the classic corpus-quality
+    * / tokenizer-design signal (a high-lift tail of boilerplate bigrams
+    * is a dedup smell; high-lift content bigrams are multi-word terms a
+    * BPE vocabulary should keep intact).
+    *
+    * Emits the RATIONAL lift c(a,b)·N / (c(a)·c(b)) instead of its log
+    * (PMI = log2(lift)): log is monotone, so ranking and thresholds are
+    * unchanged, while the all-integer ratio rounds identically in any
+    * engine — the same bit-safety trick as q80/q81's rational idf.
+    *
+    * Scale shape: two hash aggregations with map-side combine (bigrams,
+    * unigrams — both vocabulary-sized outputs, corpus-sized inputs), the
+    * unigram table joined twice onto the bigram table (vocab-sized ⋈
+    * vocab-sized; Catalyst broadcasts under threshold), and one scalar
+    * token total attached as a broadcast-of-tiny crossJoin. The min-count
+    * cut (≥ 5) bounds the output to the frequent-bigram tail. Nothing
+    * corpus-sized is ever joined or re-shuffled. */
+  def q88PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenizedDocs(Tables(spark, dir, "documents"))
+    val n = size(col("toks"))
+    val bigrams = tok
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= 5)
+    val unigrams = tok
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = tok.select(sum(size(col("toks"))).as("n_tokens"))
+    bigrams
+      .join(unigrams.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(unigrams.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(col("pair_count").cast("double") * col("n_tokens") /
+          (col("c1") * col("c2")), 4).as("lift"))
+      .orderBy("w1", "w2")
+  }
+
   /** SimHash fingerprint: 60-bit signature where bit b is the sign of the
     * weighted sum of token-hash bits. Emitted with a 16-bit prefix bucket —
     * the banding key a near-dup pass would equi-join on (same pattern as

@@ -312,4 +312,35 @@ object EventQueries {
         col("event_type"), col("approx_users"))
       .orderBy(asc("win_start"), asc("event_type"))
   }
+
+  /** q89 — SKEW PROBE / SALT PLANNER: the diagnostic that decides whether
+    * a key needs the q64 salted-join treatment BEFORE the join runs. Per
+    * join key (here events.user_id) it reports the row count, the skew
+    * ratio versus a perfectly uniform spread (cnt·n_keys / total_rows),
+    * and the salt fan-out that would level it — the exact factor
+    * `asofJoinSalted`-style plans take as input. Top 20 heaviest keys,
+    * count ties broken by key so the cut is a total order.
+    *
+    * All-integer arithmetic end to end: the ratio is rounded only for
+    * display, and the salt factor is a ceiling DIVISION on longs
+    * ((cnt·k + total − 1) div total), never a float ceil — so the plan a
+    * cluster derives from this table is reproducible in any engine.
+    *
+    * Scale shape: one map-side-combined count per key (the probe costs
+    * one aggregation of the join input — the thing you were about to
+    * shuffle anyway), a two-long scalar attached broadcast, and a
+    * TakeOrderedAndProject top-k; the full per-key table never sorts. */
+  def q89SkewProbe(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("total_rows"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("user_id"), col("cnt"),
+        round(col("cnt").cast("double") * col("n_keys") / col("total_rows"), 4)
+          .as("skew_ratio"),
+        expr("(cnt * n_keys + total_rows - 1) div total_rows").as("salt_factor"))
+      .orderBy(desc("cnt"), asc("user_id"))
+      .limit(20)
+  }
 }
