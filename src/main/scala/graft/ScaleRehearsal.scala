@@ -217,6 +217,19 @@ object ScaleRehearsal {
           println(s"""{"rehearsal":true,"factor":$k,"metric":"containment_candidates_$lbl","value":$c}""")
       }
 
+      // Structural count: q87's exact-Jaccard candidates (the same prefix
+      // generator at t=0.5, canonicalized to unordered pairs) and its
+      // verified pairs. The t=0.5 prefix is ~half of every doc's shingle
+      // list — the widest prefix any registered query uses — so this is
+      // the upper bound on what the prefix-filter family shuffles; must
+      // stay ~linear like the t=0.8 counts above.
+      if (on("jaccard")) {
+        val c = graft.queries.DocQueries.jaccardCandidates(docsTab, 0.5).count()
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"jaccard_candidates","value":$c}""")
+        val p = graft.queries.DocQueries.jaccardJoin(docsTab, 0.5).count()
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"jaccard_pairs","value":$p}""")
+      }
+
       // The same two counts on a DF-SKEWED corpus: a 14-token boilerplate
       // footer appended to every 5th document gives ~12 shingles corpus-
       // wide document frequency. Under the hash order those shingles land

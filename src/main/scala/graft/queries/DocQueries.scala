@@ -1494,17 +1494,27 @@ object DocQueries {
     jaccardJoinToks(
       docs.select(col("doc_id"), toks(col("text")).as("toks")), threshold)
 
+  /** The canonicalized (doc_a < doc_b) candidate pairs BEFORE q87's exact
+    * verify — the growth-deciding quantity, public for the scale
+    * rehearsal like [[minhashCandidates]]/[[containmentCandidates]]. */
+  def jaccardCandidates(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardCandidatesToks(shingledHashed(
+      docs.select(col("doc_id"), toks(col("text")).as("toks"))), threshold)
+
+  // Containment candidates list every qualifying (A,B) with A's prefix
+  // hitting the overlap — for Jaccard both orientations qualify, so
+  // canonicalize to doc_a < doc_b before the (expensive) verify joins.
+  private def jaccardCandidatesToks(withHs: DataFrame, t: Double): DataFrame =
+    containmentCandidatesToks(withHs, t)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+
   private def jaccardJoinToks(tokDf: DataFrame, t: Double): DataFrame = {
     graft.functions.VectorExpressions.register(tokDf.sparkSession)
     val withHs = shingledHashed(tokDf)
     val docsHs = withHs.select("doc_id", "hs")
-    // Containment candidates list every qualifying (A,B) with A's prefix
-    // hitting the overlap — for Jaccard both orientations qualify, so
-    // canonicalize to doc_a < doc_b before the (expensive) verify joins.
-    val cand = containmentCandidatesToks(withHs, t)
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-      .distinct()
+    val cand = jaccardCandidatesToks(withHs, t)
     cand
       .join(docsHs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(docsHs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")

@@ -353,4 +353,46 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(hx.size <= 2 && hx.forall(_.contains("user_id")),
       s"unexpected exchanges $hx:\n$plan")
   }
+
+  test("q87: Jaccard join keeps q66's candidate shape — no cartesian, no shingle-DF aggregate") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q87_docs_jaccard_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The exact verify runs graft_overlap on re-attached hash arrays;
+    // candidates come from the map-only prefix slice (no aggregate keyed
+    // on the shingle hash), and nothing may degenerate to a pair blowup.
+    assert(plan.contains("graft_overlap"),
+      s"exact verify must use the codegen overlap expression:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Jaccard join must stay an equi-join pipeline:\n$plan")
+    assert("HashAggregate\\(keys=\\[g#".r.findFirstIn(plan).isEmpty,
+      s"hash-order candidates must not build a shingle-DF table:\n$plan")
+  }
+
+  test("q88: PMI shuffles keyed counts only — token arrays never cross an exchange") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q88_pmi_collocations")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the scalar-total attach must broadcast:\n$plan")
+    // Every hash exchange carries word/count slots (w1/w2/w or the
+    // aggregate's partial), never the exploded corpus token stream with
+    // its source arrays.
+    val hx = hashExchanges(plan)
+    assert(hx.nonEmpty && hx.forall(x => !x.contains("toks")),
+      s"token arrays must not cross an exchange, got $hx:\n$plan")
+  }
+
+  test("q89: skew probe is one keyed count + broadcast scalar + top-k — no sort of the key table") {
+    val plan = SparkEntry.queries("q89_skew_probe")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan TakeOrderedAndProject, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the totals attach must broadcast:\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.size <= 2 && hx.forall(_.contains("user_id")),
+      s"only the per-key count may shuffle, got $hx:\n$plan")
+  }
 }
