@@ -90,17 +90,24 @@ object ScaleRehearsal {
         col("embedding"), col("label"))
     }.reduce(_ unionByName _), dir, "embeddings")
 
-    // The shipped fixture stores TIMESTAMP(NANOS), which Spark (under
-    // nanosAsLong) can read but not write back. The amplified copy emits a
-    // real micro TIMESTAMP — timestamp_micros(ts div 1000), the exact
-    // rebuild every engine-side reader applies anyway — so DuckDB reads
-    // the SAME type as the engine and the events-family oracles stay
-    // value-checkable at amplified factors (they were previously excluded
-    // because DuckDB saw BIGINT where the shipped fixture has TIMESTAMP).
+    // The amplified copy always emits a real micro TIMESTAMP whatever
+    // shape the fixture carries — nano-long (the original writer, rebuilt
+    // with timestamp_micros(ts div 1000)), TIMESTAMP_NTZ (the round-11
+    // regeneration, cast exactly under the UTC session), or a plain
+    // TIMESTAMP (passes through) — so DuckDB reads the SAME type as the
+    // engine and the events-family oracles stay value-checkable at
+    // amplified factors. Same shape dispatch as graft.sources.Tables.
     val ev = spark.read.parquet(s"$src/events.parquet")
+    val tsCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      case _ => col("ts")
+    }
     singleFileParquet((0 until k).map { c =>
       ev.select((col("event_id") + lit(c * 1000000000L)).as("event_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"),
+        tsCol.as("ts"),
         (col("user_id") + lit(c * 10000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _), dir, "events")

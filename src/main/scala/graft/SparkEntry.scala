@@ -107,6 +107,7 @@ object SparkEntry {
     "q87_docs_jaccard_join" -> (DocQueries.q87DocsJaccardJoin _),
     "q88_pmi_collocations" -> (DocQueries.q88PmiCollocations _),
     "q89_skew_probe" -> (EventQueries.q89SkewProbe _),
+    "q90_source_tv_drift" -> (DocQueries.q90SourceTvDrift _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1849,5 +1850,30 @@ object SparkEntry {
         |       (cnt * n_keys + total_rows - 1) // total_rows AS salt_factor
         |FROM k, t
         |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
+    // All-integer TV distance (DuckDB int128 sums ≡ Spark decimal(38,0));
+    // the absent-token mass folds into the closed form N·n_s, so the
+    // oracle joins only present (source, token) pairs like the engine.
+    "q90_source_tv_drift" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT d.source, unnest(t.toks) AS w
+        |  FROM t JOIN documents d USING (doc_id)),
+        |sw AS (SELECT source, w, count(*) AS c_sw FROM st GROUP BY 1, 2),
+        |cw AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY 1),
+        |ns AS (SELECT source, sum(c_sw) AS n_src FROM sw GROUP BY 1),
+        |n AS (SELECT sum(n_src) AS n_total FROM ns),
+        |term AS (
+        |  SELECT sw.source, ns.n_src, n.n_total,
+        |         abs(c_sw * n_total - c_w * n_src) - c_w * n_src AS term
+        |  FROM sw JOIN cw USING (w) JOIN ns USING (source), n),
+        |a AS (
+        |  SELECT source, n_src, n_total, sum(term) AS adj
+        |  FROM term GROUP BY 1, 2, 3)
+        |SELECT source, CAST(n_src AS BIGINT) AS n_tokens,
+        |       round(CAST(n_total * n_src + adj AS DOUBLE) /
+        |             (2.0 * n_total * n_src), 6) AS tv_dist
+        |FROM a ORDER BY source""".stripMargin,
   )
 }

@@ -1571,6 +1571,55 @@ object DocQueries {
       .orderBy("w1", "w2")
   }
 
+  /** q90 — SOURCE DRIFT AUDIT: total-variation distance between each
+    * source's token distribution and the whole corpus — the curation
+    * dashboard number that answers "which shard looks nothing like the
+    * mix I'm training on" (a crawl gone wrong, a template-heavy dump, a
+    * mislabeled language shard) BEFORE that shard is blended in.
+    *
+    * TV(s, corpus) = ½·Σ_w |p_s(w) − p(w)| is computed ENTIRELY in
+    * integer arithmetic: with c_sw/c_w the source/corpus token counts and
+    * n_s/N the token totals, 2·N·n_s·TV = N·n_s + Σ_{w∈s}(|c_sw·N −
+    * c_w·n_s| − c_w·n_s) — the absent-token mass folds into the closed
+    * form N·n_s (Σ_w c_w·n_s = N·n_s), so only PRESENT (source, token)
+    * pairs are ever materialized, no source×vocabulary grid. Products
+    * accumulate as decimal(38,0) (exact at any corpus size; DuckDB's
+    * int128 sums are the oracle twin), and the single final
+    * integer→double conversion is IEEE-identical in both engines — the
+    * same determinism discipline as q80/q81/q88's rational statistics.
+    *
+    * Scale shape: one (source, token) aggregation with map-side combine
+    * (vocab×sources output), the corpus and per-source totals DERIVED
+    * from it (no second corpus pass), a vocab-sized join, and a
+    * broadcast scalar. The corpus-scale explode feeds exactly one
+    * exchange. */
+  def q90SourceTvDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val bySrcW = tokenizedDocs(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), explode(col("toks")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val byW = bySrcW.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val bySrc = bySrcW.groupBy("source").agg(sum("c_sw").as("n_src"))
+    val total = bySrc.agg(sum("n_src").as("n_total"))
+    bySrcW
+      .join(byW, "w")
+      .join(bySrc, "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_src"), col("n_total"),
+        (abs(dec(col("c_sw")) * dec(col("n_total")) -
+          dec(col("c_w")) * dec(col("n_src"))) -
+          dec(col("c_w")) * dec(col("n_src"))).as("term"))
+      .groupBy("source", "n_src", "n_total")
+      .agg(sum(col("term")).as("adj"))
+      .select(col("source"), col("n_src").as("n_tokens"),
+        round((dec(col("n_total")) * dec(col("n_src")) + col("adj"))
+          .cast("double") /
+          (lit(2.0) * col("n_total") * col("n_src")), 6).as("tv_dist"))
+      .orderBy("source")
+  }
+
   /** SimHash fingerprint: 60-bit signature where bit b is the sign of the
     * weighted sum of token-hash bits. Emitted with a 16-bit prefix bucket —
     * the banding key a near-dup pass would equi-join on (same pattern as

@@ -384,6 +384,21 @@ class PlanPinsSpec extends AnyFunSuite {
       s"token arrays must not cross an exchange, got $hx:\n$plan")
   }
 
+  test("q90: TV drift derives totals from the (source,w) aggregate — one corpus-scale exchange, no grid") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q90_source_tv_drift")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the scalar-total attach must broadcast:\n$plan")
+    // The exploded corpus token stream crosses exactly one exchange (the
+    // (source, w) partial aggregate); per-source and corpus totals are
+    // derived from that vocab-sized output, never from a second corpus
+    // pass — so no exchange input may carry the toks arrays.
+    val hx = hashExchanges(plan)
+    assert(hx.nonEmpty && hx.forall(x => !x.contains("toks")),
+      s"token arrays must not cross an exchange, got $hx:\n$plan")
+  }
+
   test("q89: skew probe is one keyed count + broadcast scalar + top-k — no sort of the key table") {
     val plan = SparkEntry.queries("q89_skew_probe")(spark, sfDir)
       .queryExecution.executedPlan.toString
