@@ -1588,25 +1588,26 @@ object DocQueries {
     * integer→double conversion is IEEE-identical in both engines — the
     * same determinism discipline as q80/q81/q88's rational statistics.
     *
-    * Scale shape: one (source, token) aggregation with map-side combine
-    * (vocab×sources output), the corpus and per-source totals DERIVED
-    * from it (no second corpus pass), a vocab-sized join, and a
-    * broadcast scalar. The corpus-scale explode feeds exactly one
-    * exchange. */
+    * Scale shape: the corpus-scale token explode feeds EXACTLY ONE
+    * map-side-combined aggregation — the (source, token) count table,
+    * vocab×sources-sized — and every total (per-token, per-source,
+    * corpus) is a window sum OVER THAT TINY TABLE, so the corpus is
+    * never re-read, re-exploded, or joined (the naive
+    * derive-by-reaggregation shape re-plans the corpus explode once per
+    * total: three corpus passes for one answer — PlanPinsSpec pins the
+    * single partial_count). */
   def q90SourceTvDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val bySrcW = tokenizedDocs(docs)
       .join(docs.select("doc_id", "source"), "doc_id")
       .select(col("source"), explode(col("toks")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
-    val byW = bySrcW.groupBy("w").agg(sum("c_sw").as("c_w"))
-    val bySrc = bySrcW.groupBy("source").agg(sum("c_sw").as("n_src"))
-    val total = bySrc.agg(sum("n_src").as("n_total"))
     bySrcW
-      .join(byW, "w")
-      .join(bySrc, "source")
-      .crossJoin(broadcast(total))
+      .withColumn("c_w", sum("c_sw").over(Window.partitionBy("w")))
+      .withColumn("n_src", sum("c_sw").over(Window.partitionBy("source")))
+      .withColumn("n_total", sum("c_sw").over(Window.partitionBy()))
       .select(col("source"), col("n_src"), col("n_total"),
         (abs(dec(col("c_sw")) * dec(col("n_total")) -
           dec(col("c_w")) * dec(col("n_src"))) -

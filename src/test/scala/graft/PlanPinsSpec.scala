@@ -384,16 +384,22 @@ class PlanPinsSpec extends AnyFunSuite {
       s"token arrays must not cross an exchange, got $hx:\n$plan")
   }
 
-  test("q90: TV drift derives totals from the (source,w) aggregate — one corpus-scale exchange, no grid") {
+  test("q90: TV drift explodes the corpus ONCE — totals are windows over the tiny aggregate") {
     graft.queries.DocQueries.unpersistShared(spark, sfDir)
     val plan = SparkEntry.queries("q90_source_tv_drift")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"),
-      s"the scalar-total attach must broadcast:\n$plan")
-    // The exploded corpus token stream crosses exactly one exchange (the
-    // (source, w) partial aggregate); per-source and corpus totals are
-    // derived from that vocab-sized output, never from a second corpus
-    // pass — so no exchange input may carry the toks arrays.
+    // The only join is the broadcast doc_id→source attach below the
+    // aggregate; the totals are Window sums, never SMJ self-joins of the
+    // re-derived aggregate.
+    assert(plan.contains("Window"), s"no window totals in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"totals must be windows over the aggregate, not joins:\n$plan")
+    // Exactly ONE corpus-scale pass: the (source, w) partial count. The
+    // naive derive-by-reaggregation shape plans this aggregate (and the
+    // corpus explode beneath it) once per derived total.
+    val passes = "partial_count".r.findAllMatchIn(plan).size
+    assert(passes == 1,
+      s"expected exactly one corpus-scale partial_count, got $passes:\n$plan")
     val hx = hashExchanges(plan)
     assert(hx.nonEmpty && hx.forall(x => !x.contains("toks")),
       s"token arrays must not cross an exchange, got $hx:\n$plan")
