@@ -108,6 +108,7 @@ object SparkEntry {
     "q88_pmi_collocations" -> (DocQueries.q88PmiCollocations _),
     "q89_skew_probe" -> (EventQueries.q89SkewProbe _),
     "q90_source_tv_drift" -> (DocQueries.q90SourceTvDrift _),
+    "q91_ivf_delta_assign" -> (EmbedQueries.q91IvfDeltaAssign _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1875,5 +1876,39 @@ object SparkEntry {
         |       round(CAST(n_total * n_src + adj AS DOUBLE) /
         |             (2.0 * n_total * n_src), 6) AS tv_dist
         |FROM a ORDER BY source""".stripMargin,
+    // Incremental IVF assignment restated with the q46 scoring
+    // construction (ordered list_sum fold ≡ graft_dot); the rebalance
+    // flag is an integer compare, engine-independent by construction.
+    "q91_ivf_delta_assign" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM emb WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, (e.vec_id >= 16 AND e.vec_id % 7 = 3) AS is_delta, c.cid,
+        |         list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) for i in range(1, 65)])
+        |           / (e.nrm * c.cnrm) AS score
+        |  FROM emb e CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, is_delta, cid FROM (
+        |    SELECT vec_id, is_delta, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |counts AS (
+        |  SELECT cid,
+        |         CAST(count(*) FILTER (NOT is_delta) AS BIGINT) AS standing_count,
+        |         CAST(count(*) FILTER (is_delta) AS BIGINT) AS delta_count
+        |  FROM assign GROUP BY cid),
+        |tot AS (
+        |  SELECT cid, standing_count, delta_count,
+        |         standing_count + delta_count AS new_total,
+        |         sum(standing_count + delta_count) OVER () AS grand,
+        |         count(*) OVER () AS n_lists
+        |  FROM counts)
+        |SELECT cid, standing_count, delta_count,
+        |       CAST(new_total AS BIGINT) AS new_total,
+        |       new_total * n_lists > 2 * grand AS rebalance
+        |FROM tot ORDER BY cid""".stripMargin,
   )
 }

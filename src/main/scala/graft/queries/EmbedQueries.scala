@@ -586,4 +586,67 @@ object EmbedQueries {
         md5(payload).as("checksum"))
       .orderBy("doc_id")
   }
+
+  /** q91 — INCREMENTAL IVF MAINTENANCE: assign a DELTA of newly-arrived
+    * vectors against the SHIPPED coarse quantizer (no retrain, no corpus
+    * rebuild — the q74 incremental posture applied to the vector index)
+    * and report per-list occupancy drift plus the rebalance trigger the
+    * √n rule implies. This is the write-path operation a production IVF
+    * store runs on every ingest batch: q46 answers "how do I build and
+    * serve the index", q91 answers "how do I keep it healthy as data
+    * arrives".
+    *
+    * Delta = vec_id ≡ 3 (mod 7) among non-seed vectors (a deterministic
+    * stand-in for an arrival batch); quantizer = the standing seed
+    * centroids (vec_id < 16 — trained BEFORE the delta existed, which is
+    * the whole point of incremental assignment). Assignment is the exact
+    * q46 shape: cosine argmax against the broadcast centroid table
+    * through the codegen'd graft_dot, ties broken toward the lower cid.
+    * The rebalance flag is ALL-INTEGER: list l flags when
+    * new_total(l) · nlist > 2 · Σ new_total — occupancy more than 2× the
+    * balanced share — the integer-compare form of the occupancy-ceiling
+    * argument in [[ivfAnn]]'s scaladoc, reproducible in any engine.
+    *
+    * Scale shape: the delta scan is the only per-batch work proportional
+    * to the batch (broadcast of k·dim centroid floats against it, one
+    * aggregation to ≤ nlist rows); the standing counts come from one
+    * corpus-side aggregation here because this engine stores no index
+    * between queries — a production deployment reads them from the list
+    * manifest ([[writeIvfLists]]' partition sizes) at zero scan cost.
+    * Totals are window sums over the ≤ nlist-row table (the q90
+    * single-pass rule). */
+  def q91IvfDeltaAssign(spark: SparkSession, dir: String): DataFrame = {
+    withDot(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val isDelta = col("vec_id") >= 16 && col("vec_id") % 7 === 3
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cnrm"))
+    def assigned(vs: DataFrame): DataFrame =
+      vs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+            .as("score"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
+    val standing = assigned(emb.filter(!isDelta))
+      .groupBy("cid").agg(count(lit(1)).as("standing_count"))
+    val delta = assigned(emb.filter(isDelta))
+      .groupBy("cid").agg(count(lit(1)).as("delta_count"))
+    standing.join(delta, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("standing_count"), lit(0L)).as("standing_count"),
+        coalesce(col("delta_count"), lit(0L)).as("delta_count"))
+      .withColumn("new_total", col("standing_count") + col("delta_count"))
+      .withColumn("grand",
+        sum(col("new_total")).over(Window.partitionBy()))
+      .withColumn("n_lists",
+        count(lit(1)).over(Window.partitionBy()))
+      .select(col("cid"), col("standing_count"), col("delta_count"),
+        col("new_total"),
+        (col("new_total") * col("n_lists") > lit(2L) * col("grand"))
+          .as("rebalance"))
+      .orderBy("cid")
+  }
 }

@@ -405,6 +405,22 @@ class PlanPinsSpec extends AnyFunSuite {
       s"token arrays must not cross an exchange, got $hx:\n$plan")
   }
 
+  test("q91: delta assignment broadcasts the quantizer — exchanges keyed on vec_id/cid only") {
+    val plan = SparkEntry.queries("q91_ivf_delta_assign")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot"),
+      s"scoring must run the codegen dot expression:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the centroid attach must broadcast:\n$plan")
+    // Corpus-side work shuffles only the per-vector argmax (vec_id) and
+    // the ≤ nlist count rows (cid) — an embedding array crossing a hash
+    // exchange would mean the scan side is being repartitioned.
+    val hx = hashExchanges(plan)
+    assert(hx.nonEmpty && hx.forall(x =>
+      x.contains("vec_id") || x.contains("cid")),
+      s"unexpected exchanges $hx:\n$plan")
+  }
+
   test("q89: skew probe is one keyed count + broadcast scalar + top-k — no sort of the key table") {
     val plan = SparkEntry.queries("q89_skew_probe")(spark, sfDir)
       .queryExecution.executedPlan.toString
