@@ -1597,11 +1597,19 @@ object DocQueries {
     * total: three corpus passes for one answer — PlanPinsSpec pins the
     * single partial_count). */
   def q90SourceTvDrift(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
+    sourceTvDriftToks(tokenizedDocs(docs)
+      .join(docs.select("doc_id", "source"), "doc_id"))
+  }
+
+  /** The reusable operator behind q90: any (source, text) frame. */
+  def sourceTvDrift(docs: DataFrame): DataFrame =
+    sourceTvDriftToks(docs.select(col("source"), toks(col("text")).as("toks")))
+
+  private def sourceTvDriftToks(srcToks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val bySrcW = tokenizedDocs(docs)
-      .join(docs.select("doc_id", "source"), "doc_id")
+    val bySrcW = srcToks
       .select(col("source"), explode(col("toks")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
     bySrcW
