@@ -330,17 +330,23 @@ object EventQueries {
     * one aggregation of the join input — the thing you were about to
     * shuffle anyway), a two-long scalar attached broadcast, and a
     * TakeOrderedAndProject top-k; the full per-key table never sorts. */
-  def q89SkewProbe(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables(spark, dir, "events")
-      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+  def q89SkewProbe(spark: SparkSession, dir: String): DataFrame =
+    skewProbe(Tables(spark, dir, "events"), "user_id", 20)
+
+  /** The reusable operator behind q89: probe any frame's join key. Top
+    * `topK` heaviest keys with their row count, skew ratio vs a uniform
+    * spread, and the integer salt fan-out that would level them. */
+  def skewProbe(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df
+      .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(
       sum(col("cnt")).as("total_rows"), count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(totals))
-      .select(col("user_id"), col("cnt"),
+      .select(col(keyCol), col("cnt"),
         round(col("cnt").cast("double") * col("n_keys") / col("total_rows"), 4)
           .as("skew_ratio"),
         expr("(cnt * n_keys + total_rows - 1) div total_rows").as("salt_factor"))
-      .orderBy(desc("cnt"), asc("user_id"))
-      .limit(20)
+      .orderBy(desc("cnt"), asc(keyCol))
+      .limit(topK)
   }
 }
