@@ -1547,8 +1547,15 @@ object DocQueries {
     * token total attached as a broadcast-of-tiny crossJoin. The min-count
     * cut (≥ 5) bounds the output to the frequent-bigram tail. Nothing
     * corpus-sized is ever joined or re-shuffled. */
-  def q88PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
-    val tok = tokenizedDocs(Tables(spark, dir, "documents"))
+  def q88PmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocationsToks(tokenizedDocs(Tables(spark, dir, "documents")), 5L)
+
+  /** The reusable operator behind q88: any (doc_id, text) frame. */
+  def pmiCollocations(docs: DataFrame, minCount: Long): DataFrame =
+    pmiCollocationsToks(
+      docs.select(col("doc_id"), toks(col("text")).as("toks")), minCount)
+
+  private def pmiCollocationsToks(tok: DataFrame, minCount: Long): DataFrame = {
     val n = size(col("toks"))
     val bigrams = tok
       .select(explode(zip_with(
@@ -1556,7 +1563,7 @@ object DocQueries {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
-      .filter(col("pair_count") >= 5)
+      .filter(col("pair_count") >= minCount)
     val unigrams = tok
       .select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
