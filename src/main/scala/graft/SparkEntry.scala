@@ -109,6 +109,7 @@ object SparkEntry {
     "q89_skew_probe" -> (EventQueries.q89SkewProbe _),
     "q90_source_tv_drift" -> (DocQueries.q90SourceTvDrift _),
     "q91_ivf_delta_assign" -> (EmbedQueries.q91IvfDeltaAssign _),
+    "q92_table_stats" -> (ParityPlusQueries.q92TableStats _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1910,5 +1911,25 @@ object SparkEntry {
         |       CAST(new_total AS BIGINT) AS new_total,
         |       new_total * n_lists > 2 * grand AS rebalance
         |FROM tot ORDER BY cid""".stripMargin,
+    "q92_table_stats" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(DISTINCT l_orderkey) AS d1, count(l_orderkey) AS c1,
+        |         count(DISTINCT l_partkey) AS d2, count(l_partkey) AS c2,
+        |         count(DISTINCT l_suppkey) AS d3, count(l_suppkey) AS c3,
+        |         count(DISTINCT l_returnflag) AS d4, count(l_returnflag) AS c4,
+        |         count(DISTINCT l_shipdate) AS d5, count(l_shipdate) AS c5
+        |  FROM lineitem)
+        |SELECT column_name, n_rows, ndv, null_count FROM (
+        |  SELECT 'l_orderkey' AS column_name, n_rows, d1 AS ndv, n_rows - c1 AS null_count FROM s
+        |  UNION ALL
+        |  SELECT 'l_partkey', n_rows, d2, n_rows - c2 FROM s
+        |  UNION ALL
+        |  SELECT 'l_suppkey', n_rows, d3, n_rows - c3 FROM s
+        |  UNION ALL
+        |  SELECT 'l_returnflag', n_rows, d4, n_rows - c4 FROM s
+        |  UNION ALL
+        |  SELECT 'l_shipdate', n_rows, d5, n_rows - c5 FROM s)
+        |ORDER BY column_name""".stripMargin,
   )
 }

@@ -323,4 +323,34 @@ object ParityPlusQueries {
         sum("day_cents").over(w).as("rolling7_cents"))
       .orderBy("priority", "day")
   }
+
+  /** q92 — TABLE STATISTICS COLLECTOR (ANALYZE parity): per-column row
+    * count, exact NDV, and null count for the join/filter columns the
+    * optimizer actually consults — the numbers that decide broadcast
+    * eligibility, shuffle-partition sizing, and salt factors (q89's
+    * probe is the per-KEY refinement of the same idea).
+    *
+    * ONE scan: the table unpivots FIRST (stack → (column_name, value) —
+    * k× map volume, the same cost multi-distinct Expand pays) and a
+    * single grouped aggregate computes every column's stats at once —
+    * Spark's own multi-distinct rewrite splits plain and distinct
+    * aggregates into two joined scans here, which is exactly the
+    * per-column-re-scan shape this form avoids (PlanPinsSpec pins the
+    * single scan). String-cast unifies the value slot; the cast is
+    * injective on these column types, so NDV is unchanged. Exact NDV
+    * keeps the DuckDB oracle bit-checkable; at 100 TB the mergeable swap
+    * is `approx_count_distinct` per column — the q18 HLL hatch, same
+    * single pass. */
+  def q92TableStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+      "l_shipdate")
+    val li = Tables(spark, dir, "lineitem").select(cols.map(col): _*)
+    val pairs = cols.map(c => s"'$c', cast($c AS string)").mkString(", ")
+    li.select(expr(s"stack(${cols.size}, $pairs) AS (column_name, v)"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("v")).as("ndv"),
+        (count(lit(1)) - count(col("v"))).as("null_count"))
+      .orderBy("column_name")
+  }
 }

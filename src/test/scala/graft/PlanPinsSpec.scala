@@ -421,6 +421,24 @@ class PlanPinsSpec extends AnyFunSuite {
       s"unexpected exchanges $hx:\n$plan")
   }
 
+  test("q92: stats collector reads the table ONCE — unpivot-then-aggregate, no per-column re-scan") {
+    val plan = SparkEntry.queries("q92_table_stats")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The unpivot-first shape: one Generate(stack) feeds one grouped
+    // multi-aggregate. Spark's own multi-distinct rewrite of the
+    // agg-then-unpivot form splits into TWO joined scans — the shape
+    // this pin exists to reject.
+    assert(plan.contains("Generate stack"),
+      s"stats must unpivot via stack before aggregating:\n$plan")
+    // One logical table read: either a single cached-relation scan (whose
+    // rendering embeds the original FileScan — not a second read) or,
+    // uncached, a single FileScan.
+    val imts = "InMemoryTableScan".r.findAllMatchIn(plan).size
+    val fs = "FileScan parquet".r.findAllMatchIn(plan).size
+    assert(imts == 1 || (imts == 0 && fs == 1),
+      s"expected exactly one table read, got $imts cached + $fs file scans:\n$plan")
+  }
+
   test("q89: skew probe is one keyed count + broadcast scalar + top-k — no sort of the key table") {
     val plan = SparkEntry.queries("q89_skew_probe")(spark, sfDir)
       .queryExecution.executedPlan.toString
