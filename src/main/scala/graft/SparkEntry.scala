@@ -110,6 +110,7 @@ object SparkEntry {
     "q90_source_tv_drift" -> (DocQueries.q90SourceTvDrift _),
     "q91_ivf_delta_assign" -> (EmbedQueries.q91IvfDeltaAssign _),
     "q92_table_stats" -> (ParityPlusQueries.q92TableStats _),
+    "q93_exact_substr_spans" -> (DocQueries.q93ExactSubstrSpans _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1931,5 +1932,43 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'l_shipdate', n_rows, d5, n_rows - c5 FROM s)
         |ORDER BY column_name""".stripMargin,
+    // ExactSubstr spans: the same position-carrying trigram-hash table,
+    // duplicated-hash set, and gaps-and-islands merge restated in SQL.
+    // Islands fuse when interval [pos, pos+2] overlaps or touches the
+    // running-max previous end (pos <= prev_max_pos + 3).
+    "q93_exact_substr_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 1)) AS pos, toks
+        |  FROM t WHERE len(toks) >= 3),
+        |g AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |         CAST(concat('0x', substr(md5(
+        |           toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]
+        |         ), 1, 14)) AS BIGINT) AS h
+        |  FROM p),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 3
+        |              THEN 1 ELSE 0 END AS st
+        |  FROM dp),
+        |s AS (
+        |  SELECT doc_id, pos,
+        |         sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |sp AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end
+        |  FROM s GROUP BY doc_id, sid)
+        |SELECT doc_id, span_start, span_end,
+        |       span_end - span_start + 1 AS span_tokens
+        |FROM sp ORDER BY doc_id, span_start""".stripMargin,
   )
 }

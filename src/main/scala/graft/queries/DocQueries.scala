@@ -1654,4 +1654,91 @@ object DocQueries {
         expr("simhash >> 44").as("band_bucket"))
       .orderBy("doc_id")
   }
+
+  /** EXACT-SUBSTRING DEDUP SPANS (q93): the substring-level member of the
+    * dedup family — duplicated PASSAGES inside otherwise-unique documents,
+    * the case doc-level exact (q20), near (q25/q26), containment (q66) and
+    * cluster (q79) dedup all miss. The ExactSubstr idea (suffix-array
+    * dedup in "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022) re-expressed relationally:
+    *
+    *   1. position-carrying k-gram hash table: one row per (doc, start
+    *      position), key = 56-bit hash of the k-token gram — the shuffle
+    *      key is fixed-width, never the text;
+    *   2. cross-doc duplicated grams: group by hash, keep hashes seen in
+    *      ≥ 2 distinct docs. The table is bounded by ACTUAL duplication,
+    *      not by the corpus — a clean corpus makes it tiny;
+    *   3. back-join to positions → the duplicated start positions per doc;
+    *   4. gaps-and-islands merge (window partitioned by doc_id): adjacent
+    *      or overlapping [p, p+k-1] intervals fuse into maximal redaction
+    *      spans — the per-doc spans a rewrite pass would cut, map-only.
+    *
+    * Scale shape: two corpus-scale exchanges (gram-hash groupBy, its
+    * back-join) on fixed-width keys, then a window whose partitions are
+    * single documents — bounded by doc length, embarrassingly parallel.
+    * Never all-pairs: candidate volume = duplicated positions, measured
+    * linear on the amplified corpora (SCALE.md). Registered with k = 3 to
+    * share the trigram universe the rest of the family uses; production
+    * ExactSubstr runs k ≈ 50 — same plan, longer grams, FEWER duplicated
+    * positions. */
+  def q93ExactSubstrSpans(spark: SparkSession, dir: String): DataFrame =
+    exactSubstrSpans(tokenizedDocs(Tables(spark, dir, "documents")), 3)
+      .orderBy("doc_id", "span_start")
+
+  /** Text-frame form of [[exactSubstrSpans]]: any (doc_id, text) frame. */
+  def exactSubstr(docs: DataFrame, k: Int): DataFrame =
+    exactSubstrSpans(
+      docs.select(col("doc_id"), toks(col("text")).as("toks")), k)
+
+  /** The reusable operator behind q93: any (doc_id, toks) frame → maximal
+    * per-doc duplicated-span table (doc_id, span_start, span_end,
+    * span_tokens), token positions 1-based inclusive. Two intervals merge
+    * when they overlap OR touch (a contiguous duplicated run is one
+    * span). */
+  def exactSubstrSpans(tok: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k-gram width must be >= 2, got $k")
+    val t = col("toks")
+    val n = size(t)
+    // k shifted slices zipped into "w1 w2 … wk" grams — each collection
+    // evaluated once per row (the HOF O(len²) trap documented at
+    // [[shingles]] applies here too).
+    val gram = (1 to k).map(i => slice(t, lit(i), n - (k - 1)))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    val grams = tok
+      .filter(n >= k)
+      .select(col("doc_id"), posexplode(gram))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        md5Long(col("col"), 14).as("h"))
+    // Hashes seen in >= 2 distinct docs. Cross-doc only by design: a
+    // within-doc repeat is not evidence of corpus duplication.
+    val dup = grams
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    // One row per gram position, so the equi-join (dup.h is distinct)
+    // yields at most one row per (doc, pos) — no dedup pass needed.
+    val dp = grams.join(dup, "h").select("doc_id", "pos")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMax = max(col("pos"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    // Island start when this interval [pos, pos+k-1] neither overlaps nor
+    // touches the furthest previous end (prevMax + k - 1): pos > prev end
+    // + 1  ⇔  pos > prevMax + k.
+    val st = when(prevMax.isNull || col("pos") > prevMax + lit(k), 1L)
+      .otherwise(0L)
+    dp
+      // Two projections: a window expression may not feed another window
+      // function in the same projection, so the island marker materializes
+      // first, then its running sum numbers the islands. Both run over the
+      // SAME (doc_id, pos) sort — one exchange + one sort, two Window ops.
+      .withColumn("st", st)
+      .withColumn("sid", sum(col("st")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
 }
