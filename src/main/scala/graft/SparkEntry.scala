@@ -111,6 +111,7 @@ object SparkEntry {
     "q91_ivf_delta_assign" -> (EmbedQueries.q91IvfDeltaAssign _),
     "q92_table_stats" -> (ParityPlusQueries.q92TableStats _),
     "q93_exact_substr_spans" -> (DocQueries.q93ExactSubstrSpans _),
+    "q94_source_capped_pack" -> (DocQueries.q94SourceCappedPack _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -1970,5 +1971,39 @@ object SparkEntry {
         |SELECT doc_id, span_start, span_end,
         |       span_end - span_start + 1 AS span_tokens
         |FROM sp ORDER BY doc_id, span_start""".stripMargin,
+    // Domain-cap pack: cap per (lang, source) at 150 tokens, then the
+    // q50 greedy fill per lang at 2000 over the cap survivors — both as
+    // running-total windows in the same (quality DESC, doc_id) order.
+    "q94_source_capped_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, lang, source, n_tokens,
+        |         round(0.4 * ttr + 0.3 * (1.0 - stop_ratio)
+        |               + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        |  FROM b),
+        |c1 AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang, source
+        |            ORDER BY quality DESC, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_src_tokens
+        |  FROM q),
+        |k AS (SELECT * FROM c1 WHERE cum_src_tokens <= 150),
+        |c2 AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+        |            ORDER BY quality DESC, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM k)
+        |SELECT doc_id, lang, source, n_tokens, quality,
+        |       CAST(cum_src_tokens AS BIGINT) AS cum_src_tokens,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c2 WHERE cum_tokens <= 2000
+        |ORDER BY lang, cum_tokens, doc_id""".stripMargin,
   )
 }

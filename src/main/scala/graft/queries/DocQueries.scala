@@ -62,7 +62,7 @@ object DocQueries {
   private def tokenizedDocs(docs: DataFrame): DataFrame =
     memoShared(docs, "tokenized") {
       docs.select(
-        col("doc_id"), col("lang"),
+        col("doc_id"), col("lang"), col("source"),
         length(col("text")).as("chars"),
         // BPE-ish subword proxy: letter runs, digit runs, single marks.
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
@@ -356,20 +356,23 @@ object DocQueries {
     packToBudget(scoredDocs(tokenizedDocs(Tables(spark, dir, "documents"))), 2000L)
       .orderBy("lang", "cum_tokens", "doc_id")
 
-  /** (doc_id, lang, n_tokens, quality) over a tokenized frame — the q22
-    * scoring surface shaped for packing. */
-  private def scoredDocs(tokDf: DataFrame): DataFrame = {
+  /** (doc_id, lang, [extra…,] n_tokens, quality) over a tokenized frame —
+    * the q22 scoring surface shaped for packing. `extra` columns (e.g.
+    * `source` for the q94 domain-cap pack) ride along untouched; the
+    * default keeps the historical 4-column shape q50/q52/q70/q76 emit. */
+  private def scoredDocs(tokDf: DataFrame,
+                         extra: Seq[String] = Nil): DataFrame = {
     val t = col("toks")
-    val base = tokDf.select(
-      col("doc_id"), col("lang"),
+    val keys = Seq(col("doc_id"), col("lang")) ++ extra.map(col)
+    val base = tokDf.select(keys ++ Seq(
       size(t).cast("long").as("n_tokens"),
       (size(filter(t, x => x === "the" || x === "a")).cast("double") / size(t))
         .as("stop_ratio"),
-      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
-    base.select(col("doc_id"), col("lang"), col("n_tokens"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr")): _*)
+    base.select(keys ++ Seq(col("n_tokens"),
       round(lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
         lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6)
-        .as("quality"))
+        .as("quality")): _*)
   }
 
   /** Per-stratum greedy fill: running token total in quality order (the
@@ -404,20 +407,30 @@ object DocQueries {
     * `budget` — a state the prefilter (correctly, for any n_tokens ≥ 1)
     * prunes. Null `quality` rows pass the prefilter untouched (see the
     * filter below) and fall to the window's null ordering. */
-  def packToBudget(scored: DataFrame, budget: Long): DataFrame = {
+  def packToBudget(scored: DataFrame, budget: Long): DataFrame =
+    packToBudget(scored, budget, Seq("lang"))
+
+  /** Strata-generalized form: the stratum key is any column list — q50
+    * packs per `lang`; the q94 domain-cap stage packs per `(lang,
+    * source)`, where "pack to the cap" IS the cap (no source can exceed
+    * the per-source token budget inside its language). The exact-prune
+    * argument is per-stratum and carries over verbatim. */
+  def packToBudget(scored: DataFrame, budget: Long,
+                   strata: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val sc = strata.map(col)
     // 1000 buckets over the [0,1] score; floor keeps the bucket edge below
     // every member, so "strictly-higher buckets" = "strictly-higher quality
     // prefix minus at most the boundary bucket" — the safe side.
     val qb = floor(col("quality") * 1000).cast("long")
-    val hist = scored.groupBy(col("lang"), qb.as("qb"))
+    val hist = scored.groupBy(sc :+ qb.as("qb"): _*)
       .agg(sum("n_tokens").as("btoks"))
-    val above = Window.partitionBy("lang").orderBy(desc("qb"))
+    val above = Window.partitionBy(sc: _*).orderBy(desc("qb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cutoffs = hist
       .withColumn("above", coalesce(sum("btoks").over(above), lit(0L)))
       .filter(col("above") < budget) // bucket still reachable within budget
-      .groupBy("lang").agg(min("qb").as("min_qb"))
+      .groupBy(sc: _*).agg(min("qb").as("min_qb"))
     // LEFT join + null-pass filter: a stratum the cutoff table cannot
     // name (a null lang never equi-joins) must fall through to the exact
     // window un-pruned rather than be silently dropped, and a null-quality
@@ -426,11 +439,11 @@ object DocQueries {
     // would vanish. Prefilter absence degrades to the pre-optimization
     // plan, never to data loss.
     val survivors = scored
-      .join(broadcast(cutoffs), Seq("lang"), "left")
+      .join(broadcast(cutoffs), strata, "left")
       .filter(qb.isNull || col("min_qb").isNull || qb >= col("min_qb"))
       .drop("min_qb")
     val w = Window
-      .partitionBy("lang").orderBy(desc("quality"), asc("doc_id"))
+      .partitionBy(sc: _*).orderBy(desc("quality"), asc("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     survivors
       .withColumn("cum_tokens", sum("n_tokens").over(w))
@@ -1137,6 +1150,38 @@ object DocQueries {
       .join(dedupLosers(docs), Seq("doc_id"), "left_anti")
       .filter(bucket < rate)
     packToBudget(scoredDocs(survivors), 2000L)
+      .orderBy("lang", "cum_tokens", "doc_id")
+  }
+
+  /** SOURCE-CAPPED PACK (q94) — the Common-Crawl domain-cap pattern: no
+    * single source may contribute more than a fixed token share of a
+    * language's training budget, however high its documents score. Two
+    * invocations of the SAME pack operator:
+    *
+    *   1. cap: [[packToBudget]] per `(lang, source)` stratum at the
+    *      per-source cap (150 tokens — sized to BIND on the test corpus,
+    *      where no source packs more than ~280 of q50's 2000-token
+    *      budget uncapped) — "pack to the cap" IS the cap;
+    *   2. fill: [[packToBudget]] per `lang` at the full budget over the
+    *      cap survivors — the greedy quality fill now skips over
+    *      cap-evicted docs to the next-best source.
+    *
+    * Scale shape: stage 1's window partitions by (lang, source) — FINER
+    * than q50's per-language partitioning, so the cap stage is more
+    * parallel, not less; stage 2's window input is cap-bounded (≤ cap
+    * tokens per source, i.e. ≤ #sources × cap per language) before the
+    * histogram prune even applies. Both stages keep the exact-prune
+    * histogram prefilter, so no corpus-sized stratum ever funnels through
+    * one task. Output carries both running totals (cum_src_tokens,
+    * cum_tokens) as the mix audit trail. */
+  def q94SourceCappedPack(spark: SparkSession, dir: String): DataFrame = {
+    val scored = scoredDocs(
+      tokenizedDocs(Tables(spark, dir, "documents")), Seq("source"))
+    val capped = packToBudget(scored, 150L, Seq("lang", "source"))
+      .withColumnRenamed("cum_tokens", "cum_src_tokens")
+    packToBudget(capped, 2000L)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("quality"), col("cum_src_tokens"), col("cum_tokens"))
       .orderBy("lang", "cum_tokens", "doc_id")
   }
 

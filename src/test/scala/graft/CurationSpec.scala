@@ -139,6 +139,30 @@ class CurationSpec extends AnyFunSuite {
       s"null-quality row must survive the prefilter and sort last: $got")
   }
 
+  test("source cap evicts the dominant source and backfills from the next") {
+    import spark.implicits._
+    // One language, two sources. src_big's docs outscore src_small's, so
+    // an uncapped 300-token pack would be all src_big; a 150-token
+    // per-source cap must stop src_big at 150 and backfill src_small.
+    val rows = Seq(
+      (60L, "xx", "src_big", 100L, 0.9),
+      (61L, "xx", "src_big", 50L, 0.8),
+      (62L, "xx", "src_big", 100L, 0.7), // cap-evicted (would hit 250)
+      (63L, "xx", "src_small", 100L, 0.5),
+      (64L, "xx", "src_small", 50L, 0.4))
+      .toDF("doc_id", "lang", "source", "n_tokens", "quality")
+    val capped = graft.queries.DocQueries
+      .packToBudget(rows, 150L, Seq("lang", "source"))
+      .withColumnRenamed("cum_tokens", "cum_src_tokens")
+    val packed = graft.queries.DocQueries.packToBudget(capped, 300L)
+      .orderBy("cum_tokens")
+      .select("doc_id", "cum_src_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(packed == Seq((60L, 100L, 100L), (61L, 150L, 150L),
+      (63L, 100L, 250L), (64L, 150L, 300L)),
+      s"cap-then-fill must evict doc 62 and admit both src_small docs: $packed")
+  }
+
   test("decontamination flags only held-out docs, with genuine overlap") {
     import spark.implicits._
     val flagged = graft.queries.DocQueries.q51Decontaminate(spark, sf)
