@@ -112,6 +112,7 @@ object SparkEntry {
     "q92_table_stats" -> (ParityPlusQueries.q92TableStats _),
     "q93_exact_substr_spans" -> (DocQueries.q93ExactSubstrSpans _),
     "q94_source_capped_pack" -> (DocQueries.q94SourceCappedPack _),
+    "q95_bigram_lm_score" -> (DocQueries.q95BigramLmScore _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2005,5 +2006,29 @@ object SparkEntry {
         |       CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c2 WHERE cum_tokens <= 2000
         |ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+    // Bigram LM quality: integer-ppm conditional probabilities from the
+    // corpus's own bigram model, integer mean per doc — log-free, so the
+    // hash compare is exact (same recipe as the q80/q81 rational idf).
+    "q95_bigram_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+        |  FROM t WHERE len(toks) >= 2),
+        |g AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1]), 1, 14)) AS BIGINT) AS h12,
+        |         CAST(concat('0x', substr(md5(toks[i]), 1, 14)) AS BIGINT) AS h1
+        |  FROM p),
+        |pair AS (SELECT h12, h1, count(*) AS c12 FROM g GROUP BY 1, 2),
+        |ctx AS (SELECT h1, sum(c12) AS c1 FROM pair GROUP BY 1),
+        |model AS (
+        |  SELECT h12, (c12 * 1000000) // c1 AS p_ppm
+        |  FROM pair JOIN ctx USING (h1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm
+        |FROM g JOIN model USING (h12)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

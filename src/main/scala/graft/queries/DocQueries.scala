@@ -260,8 +260,9 @@ object DocQueries {
     // Children before parents: losers read the shingle/tokenized caches.
     shared.remove((appId, docsKey, "losers")).foreach(_.unpersist())
     shared.get((appId, docsKey, "tokenized")).foreach { tok =>
-      shared.remove((appId, tok.queryExecution.analyzed.canonicalized,
-        "shingled")).foreach(_.unpersist())
+      val tokKey = tok.queryExecution.analyzed.canonicalized
+      shared.remove((appId, tokKey, "shingled")).foreach(_.unpersist())
+      shared.remove((appId, tokKey, "bigram-pairs")).foreach(_.unpersist())
     }
     shared.remove((appId, docsKey, "tokenized")).foreach(_.unpersist())
   }
@@ -1648,11 +1649,11 @@ object DocQueries {
     * derive-by-reaggregation shape re-plans the corpus explode once per
     * total: three corpus passes for one answer — PlanPinsSpec pins the
     * single partial_count). */
-  def q90SourceTvDrift(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    sourceTvDriftToks(tokenizedDocs(docs)
-      .join(docs.select("doc_id", "source"), "doc_id"))
-  }
+  def q90SourceTvDrift(spark: SparkSession, dir: String): DataFrame =
+    // tokenizedDocs carries `source` since the q94 domain-cap work — the
+    // former doc_id→source attach join is gone; the drift audit now rides
+    // the shared scan with zero joins.
+    sourceTvDriftToks(tokenizedDocs(Tables(spark, dir, "documents")))
 
   /** The reusable operator behind q90: any (source, text) frame. */
   def sourceTvDrift(docs: DataFrame): DataFrame =
@@ -1729,6 +1730,69 @@ object DocQueries {
   def q93ExactSubstrSpans(spark: SparkSession, dir: String): DataFrame =
     exactSubstrSpans(tokenizedDocs(Tables(spark, dir, "documents")), 3)
       .orderBy("doc_id", "span_start")
+
+  /** BIGRAM LM QUALITY SCORE (q95): a KenLM-style fluency proxy — how
+    * probable is each document under a bigram model of the corpus itself?
+    * Gopher-style pipelines use exactly this signal (perplexity under a
+    * reference LM) as a quality filter; here the model IS the corpus
+    * (self-scoring), so every document bigram exists in the model and the
+    * score needs no smoothing.
+    *
+    * Bit-safety: no logs, no floating point anywhere. Each bigram's
+    * conditional probability p(w2|w1) = c(w1 w2) / c(w1 ·) is quantized
+    * ppm by INTEGER floor division, and the document score is the integer
+    * mean of those ppm values — partial-aggregate merges combine exact
+    * longs, so the result is identical under any partitioning and
+    * hash-matches the sequential DuckDB restatement (the q80/q81
+    * rational-arithmetic recipe; `c12 * 1e6` stays under 2^63 for any
+    * corpus below ~9×10^12 repeats of one bigram).
+    *
+    * Scale shape: every shuffle key is a 56-bit hash (bigram h12, prefix
+    * h1) — never token text. The model is built once from the aggregated
+    * pair table (pair → prefix totals is a model-sized aggregation, NOT a
+    * second corpus pass), and the scoring join is corpus-stream ×
+    * aggregated-model — the corpus never self-joins. */
+  def q95BigramLmScore(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScoreToks(tokenizedDocs(Tables(spark, dir, "documents")))
+      .orderBy("doc_id")
+
+  /** The reusable operator behind q95: any (doc_id, text) frame. */
+  def bigramLmScore(docs: DataFrame): DataFrame =
+    bigramLmScoreToks(
+      docs.select(col("doc_id"), toks(col("text")).as("toks")))
+
+  private def bigramLmScoreToks(tok: DataFrame): DataFrame = {
+    val t = col("toks")
+    val n = size(t)
+    // One corpus pass: per bigram instance, the 56-bit bigram hash and
+    // its 56-bit prefix hash — fixed-width keys for everything downstream.
+    val g = tok
+      .filter(n >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+        (a, b) => struct(
+          md5Long(concat(a, lit(" "), b), 14).as("h12"),
+          md5Long(a, 14).as("h1")))).as("bg"))
+      .select(col("doc_id"), col("bg.h12").as("h12"), col("bg.h1").as("h1"))
+    // The pair table is VOCABULARY-sized (distinct bigrams), not
+    // corpus-sized — persist it so model and prefix totals both read the
+    // one aggregation. Without the cache, ctx's column pruning makes its
+    // pair subplan non-identical to model's, exchange reuse misses, and
+    // the corpus bigram stream is exploded a third time.
+    val pair = memoShared(tok, "bigram-pairs") {
+      g.groupBy("h12", "h1").agg(count(lit(1)).as("c12"))
+    }
+    // Prefix totals from the PAIR table (model-sized), not the corpus:
+    // c(w1 ·) = Σ_w2 c(w1 w2).
+    val ctx = pair.groupBy("h1").agg(sum("c12").as("c1"))
+    val model = pair.join(ctx, "h1")
+      .select(col("h12"), expr("(c12 * 1000000) div c1").as("p_ppm"))
+    g.select("doc_id", "h12")
+      .join(model, "h12")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("score_ppm"))
+  }
 
   /** Text-frame form of [[exactSubstrSpans]]: any (doc_id, text) frame. */
   def exactSubstr(docs: DataFrame, k: Int): DataFrame =

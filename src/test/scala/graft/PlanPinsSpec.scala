@@ -450,4 +450,56 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(hx.size <= 2 && hx.forall(_.contains("user_id")),
       s"only the per-key count may shuffle, got $hx:\n$plan")
   }
+
+  test("q93: substring spans shuffle hashed positions only — span aggregate reuses the window's doc_id exchange") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q93_exact_substr_spans")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"never all-pairs:\n$plan")
+    // Two Window ops (island marker, island id) over ONE doc_id sort.
+    assert("Window \\[".r.findAllIn(plan).size == 2,
+      s"expected the two-projection island windows:\n$plan")
+    val hx = hashExchanges(plan)
+    // Keys are only the 56-bit gram hash and doc_id; in particular the
+    // (doc_id, sid) span aggregate must ride the window's doc_id
+    // exchange (subset clustering), never shuffle on sid.
+    assert(hx.nonEmpty && hx.forall(k =>
+      k.contains("h#") || k.contains("doc_id")),
+      s"exchanges must carry hashed grams / doc ids only, got $hx:\n$plan")
+    assert(!hx.exists(_.contains("sid")),
+      s"span aggregate re-shuffled on sid instead of reusing the doc_id exchange: $hx\n$plan")
+  }
+
+  test("q94: cap-then-fill windows shuffle strata keys only; cutoff joins broadcast") {
+    val plan = SparkEntry.queries("q94_source_capped_pack")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"cutoff joins must broadcast:\n$plan")
+    // Both pack stages join their (tiny) histogram cutoffs by broadcast;
+    // stage 1 appears twice because stage 2's histogram and survivors
+    // each consume the capped frame.
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected broadcast cutoff joins in both stages:\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.nonEmpty && hx.forall(_.contains("lang")),
+      s"every corpus exchange must be keyed on the stratum, got $hx:\n$plan")
+  }
+
+  test("q95: LM scoring joins the aggregated model — exchanges carry bigram/prefix hashes or doc_id only") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q95_bigram_lm_score")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the corpus must never self-join raw:\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.nonEmpty && hx.forall(k =>
+      k.contains("h12") || k.contains("h1#") || k.contains("doc_id")),
+      s"exchanges must carry 56-bit hashes / doc ids only, got $hx:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(toks") &&
+      !hx.exists(_.contains("toks")),
+      s"token arrays must never cross an exchange: $hx\n$plan")
+  }
 }
