@@ -24,7 +24,11 @@ object StreamQueries {
   def q32StreamWindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ss = EventStreams.streamSession(spark)
     val events = EventStreams.fileReplaySource(ss, dir)
-    val counts = EventStreams.windowedDistinct(events, col("event_type"), "event_type")
+    // The registered topology carries the lateness observer: every
+    // micro-batch progress reports rows_in/min_ts/max_ts next to the
+    // state operator's numRowsDroppedByWatermark (StreamingLatenessSpec).
+    val counts = EventStreams.windowedDistinct(
+      EventStreams.observedLateness(events), col("event_type"), "event_type")
     EventStreams.runToMemory(spark, counts)
       .orderBy("win_start", "event_type")
   }

@@ -113,6 +113,29 @@ object EventStreams {
         to_json(struct(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("reg_name"), col("type_count"), col("k")))) // P10
 
+  /** LATENESS OBSERVABILITY: per-micro-batch input metrics — row count and
+    * the event-time span — collected as a side effect of the topology's
+    * own scan (`Dataset.observe`), never as a second pass; the streaming
+    * twin of the batch [[graft.queries.DocQueries.qualityGateObserved]].
+    * Each `StreamingQueryProgress` then carries BOTH halves of the late-
+    * data audit through the standard listener API:
+    *
+    *   - `observedMetrics("graft_lateness")`: rows_in / min_ts / max_ts —
+    *     what arrived this batch, observed BEFORE the stateful operator;
+    *   - `stateOperators(i).numRowsDroppedByWatermark`: what the stateful
+    *     operator then discarded as too late.
+    *
+    * arrived − aggregated = dropped is reconcilable per batch with zero
+    * re-reads — at 100 TB a lateness audit that re-scans the source to
+    * count drops is itself the bug. Spec: StreamingLatenessSpec asserts
+    * the drop counter equals the injected late rows exactly. */
+  def observedLateness(events: DataFrame,
+                       name: String = "graft_lateness"): DataFrame =
+    events.observe(name,
+      count(lit(1)).as("rows_in"),
+      min(col("ts")).as("min_ts"),
+      max(col("ts")).as("max_ts"))
+
   /** A14: per-key 1-minute tumbling window EXACT distinct count.
     * `size(collect_set)` is the HashSet-state parity (countDistinct is not
     * available in streaming aggregation); 0-second watermark = no grace;
