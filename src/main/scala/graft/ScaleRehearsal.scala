@@ -186,13 +186,17 @@ object ScaleRehearsal {
       "q83_funnel" -> (graft.queries.EventQueries.q83Funnel _),
       "q84_hybrid_rrf" -> (graft.queries.EmbedQueries.q84HybridRrf _),
       "q85_zorder_layout" -> (graft.queries.EtlQueries.q85ZorderLayout _),
-      "q86_stream_dedup_ingest" -> (graft.queries.StreamQueries.q86StreamDedupIngest _))
+      "q86_stream_dedup_ingest" -> (graft.queries.StreamQueries.q86StreamDedupIngest _),
+      "q93_exact_substr_spans" -> (graft.queries.DocQueries.q93ExactSubstrSpans _),
+      "q94_source_capped_pack" -> (graft.queries.DocQueries.q94SourceCappedPack _),
+      "q95_bigram_lm_score" -> (graft.queries.DocQueries.q95BigramLmScore _))
 
     // Factors past ×10 run in SHALLOW mode: structural counts for the doc
     // family only (one pass each, no min-of-2 timing) — the cheap extra
     // decade that shows whether the candidate ratio keeps holding.
     val shallowSet = Set("q20_exact_dedup", "q25_minhash_neardup",
-      "q49_stratified_sample", "q51_decontaminate", "q66_containment")
+      "q49_stratified_sample", "q51_decontaminate", "q66_containment",
+      "q93_exact_substr_spans")
 
     factors.foreach { k =>
       val deep = k <= 10
@@ -294,6 +298,35 @@ object ScaleRehearsal {
               floor(unix_micros(col("ws")) / cellUs).cast("long") + lit(1L))
               .as("cells")).collect()(0)
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q82_incidents","errors":$nErr,"merged_spans":${merged.getLong(0)},"grid_cells":${merged.getLong(1)}}""")
+      }
+
+      // q93 structural: duplicated (doc, position) volume — exactly what
+      // the per-doc island window sorts — and the resulting span count.
+      // Amplification token-salts copies 1..k-1, so cross-copy trigram
+      // matches are confined to copy 0's originals: both counts must stay
+      // ~linear for substring dedup to survive the scale-up (quadratic
+      // growth here would mean the dup-hash back-join is exploding).
+      if (on("substr")) {
+        val pos = graft.queries.DocQueries
+          .exactSubstrPositions(docsTab, 3).count()
+        val spans = graft.queries.DocQueries.exactSubstr(docsTab, 3).count()
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q93_substr","dup_positions":$pos,"spans":$spans}""")
+      }
+
+      // q95 structural: the bigram MODEL is the only non-stream relation
+      // — its row count (distinct bigrams) bounds the state the scoring
+      // join shuffles besides the corpus stream itself. Token-salted
+      // copies mint fresh bigrams, so the model grows ≈ linearly here
+      // (the worst case); on a real corpus vocabulary saturates and the
+      // model growth is sublinear.
+      if (on("lm")) {
+        val modelRows = graft.queries.DocQueries
+          .bigramModel(docsTab.select("doc_id", "text")).count()
+        val agg = graft.queries.DocQueries
+          .bigramLmScore(docsTab.select("doc_id", "text"))
+          .agg(count(lit(1)).as("docs"), sum("n_bigrams").as("bigrams"))
+          .collect()(0)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q95_lm","model_rows":$modelRows,"docs":${agg.getLong(0)},"bigram_instances":${agg.getLong(1)}}""")
       }
 
       // q79 structural: connected components over the verified near-dup

@@ -1761,12 +1761,23 @@ object DocQueries {
     bigramLmScoreToks(
       docs.select(col("doc_id"), toks(col("text")).as("toks")))
 
-  private def bigramLmScoreToks(tok: DataFrame): DataFrame = {
+  private def bigramPairs(g: DataFrame): DataFrame =
+    g.groupBy("h12", "h1").agg(count(lit(1)).as("c12"))
+
+  /** Structural diagnostic behind q95 (ScaleRehearsal): the model (pair)
+    * table — its cardinality is the only non-corpus-stream relation the
+    * scoring join carries; uncached (the rehearsal measures its size at
+    * factors the memo cache should not pin in memory). */
+  def bigramModel(docs: DataFrame): DataFrame =
+    bigramPairs(bigramStream(
+      docs.select(col("doc_id"), toks(col("text")).as("toks"))))
+
+  /** Per bigram instance: (doc_id, 56-bit bigram hash, 56-bit prefix
+    * hash) — one corpus pass, fixed-width keys for everything downstream. */
+  private def bigramStream(tok: DataFrame): DataFrame = {
     val t = col("toks")
     val n = size(t)
-    // One corpus pass: per bigram instance, the 56-bit bigram hash and
-    // its 56-bit prefix hash — fixed-width keys for everything downstream.
-    val g = tok
+    tok
       .filter(n >= 2)
       .select(col("doc_id"), explode(zip_with(
         slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
@@ -1774,14 +1785,16 @@ object DocQueries {
           md5Long(concat(a, lit(" "), b), 14).as("h12"),
           md5Long(a, 14).as("h1")))).as("bg"))
       .select(col("doc_id"), col("bg.h12").as("h12"), col("bg.h1").as("h1"))
+  }
+
+  private def bigramLmScoreToks(tok: DataFrame): DataFrame = {
+    val g = bigramStream(tok)
     // The pair table is VOCABULARY-sized (distinct bigrams), not
     // corpus-sized — persist it so model and prefix totals both read the
     // one aggregation. Without the cache, ctx's column pruning makes its
     // pair subplan non-identical to model's, exchange reuse misses, and
     // the corpus bigram stream is exploded a third time.
-    val pair = memoShared(tok, "bigram-pairs") {
-      g.groupBy("h12", "h1").agg(count(lit(1)).as("c12"))
-    }
+    val pair = memoShared(tok, "bigram-pairs") { bigramPairs(g) }
     // Prefix totals from the PAIR table (model-sized), not the corpus:
     // c(w1 ·) = Σ_w2 c(w1 w2).
     val ctx = pair.groupBy("h1").agg(sum("c12").as("c1"))
@@ -1799,13 +1812,22 @@ object DocQueries {
     exactSubstrSpans(
       docs.select(col("doc_id"), toks(col("text")).as("toks")), k)
 
+  /** Structural diagnostic behind q93 (ScaleRehearsal): the duplicated
+    * (doc, position) table feeding the island merge — the quantity that
+    * must stay ~linear in corpus size for ExactSubstr to survive a
+    * scale-up (it is exactly what the doc_id window sorts). */
+  def exactSubstrPositions(docs: DataFrame, k: Int): DataFrame =
+    dupPositions(
+      docs.select(col("doc_id"), toks(col("text")).as("toks")), k)
+
   /** The reusable operator behind q93: any (doc_id, toks) frame → maximal
     * per-doc duplicated-span table (doc_id, span_start, span_end,
     * span_tokens), token positions 1-based inclusive. Two intervals merge
     * when they overlap OR touch (a contiguous duplicated run is one
     * span). */
-  def exactSubstrSpans(tok: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The duplicated (doc_id, pos) table: start positions of k-grams seen
+    * in ≥ 2 distinct docs. */
+  private def dupPositions(tok: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2, got $k")
     val t = col("toks")
     val n = size(t)
@@ -1827,7 +1849,12 @@ object DocQueries {
       .select("h")
     // One row per gram position, so the equi-join (dup.h is distinct)
     // yields at most one row per (doc, pos) — no dedup pass needed.
-    val dp = grams.join(dup, "h").select("doc_id", "pos")
+    grams.join(dup, "h").select("doc_id", "pos")
+  }
+
+  def exactSubstrSpans(tok: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dp = dupPositions(tok, k)
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val prevMax = max(col("pos"))
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))

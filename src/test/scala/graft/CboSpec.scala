@@ -66,4 +66,48 @@ class CboSpec extends AnyFunSuite {
       }
     } finally spark.sql("DROP TABLE IF EXISTS cbo_lineitem")
   }
+
+  test("CBO join reorder rewrites the written left-deep order from statistics") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    Seq("cbo_l", "cbo_o", "cbo_c").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.read.parquet(s"$sf/lineitem.parquet").write.saveAsTable("cbo_l")
+    spark.read.parquet(s"$sf/orders.parquet").write.saveAsTable("cbo_o")
+    spark.read.parquet(s"$sf/customer.parquet").write.saveAsTable("cbo_c")
+    try {
+      // The query is WRITTEN worst-first: the two big tables join before
+      // the selective customer filter can shrink anything.
+      def innermostJoinLeaves: Set[String] = {
+        val plan: LogicalPlan = spark.sql(
+          """SELECT l.l_quantity, o.o_totalprice, c.c_name
+            |FROM cbo_l l
+            |JOIN cbo_o o ON l.l_orderkey = o.o_orderkey
+            |JOIN cbo_c c ON o.o_custkey = c.c_custkey
+            |WHERE c.c_nationkey = 3""".stripMargin)
+          .queryExecution.optimizedPlan
+        val joins = plan.collect { case j: Join => j }
+        assert(joins.size == 2, s"expected a two-join tree:\n$plan")
+        // collect is pre-order, so the LAST join is the innermost one.
+        joins.last.collectLeaves()
+          .flatMap(_.toString.linesIterator.take(1))
+          .map(l => Seq("cbo_l", "cbo_o", "cbo_c").find(l.contains).getOrElse(l))
+          .toSet
+      }
+      withConfs(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true") {
+        assert(innermostJoinLeaves == Set("cbo_l", "cbo_o"),
+          "without stats the written order must survive — reorder has no costs to work with")
+        Seq("cbo_l", "cbo_o", "cbo_c").foreach { t =>
+          spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+        }
+        spark.sql("ANALYZE TABLE cbo_c COMPUTE STATISTICS FOR COLUMNS c_custkey, c_nationkey")
+        spark.sql("ANALYZE TABLE cbo_o COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+        spark.sql("ANALYZE TABLE cbo_l COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+        val reordered = innermostJoinLeaves
+        assert(reordered.contains("cbo_c") && reordered != Set("cbo_l", "cbo_o"),
+          s"with stats, reorder must join through the filtered customer side first, got $reordered")
+      }
+    } finally
+      Seq("cbo_l", "cbo_o", "cbo_c").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
