@@ -1820,6 +1820,49 @@ object DocQueries {
     dupPositions(
       docs.select(col("doc_id"), toks(col("text")).as("toks")), k)
 
+  /** SUBSTRING REDACTION (q96): APPLY the q93 spans — rewrite the corpus
+    * with every cross-doc duplicated passage cut out. Detection (q93)
+    * and rewrite compose into the full ExactSubstr pipeline: the
+    * registered policy cuts ALL duplicated occurrences (deterministic,
+    * order-free); the keep-one-occurrence refinement is a doc_id-ranked
+    * filter on the duplicated-hash table before the back-join — same
+    * plan, one extra window over the (bounded) dup table.
+    *
+    * Shape: covered token positions come straight from the duplicated
+    * START positions (`sequence(pos, pos+k-1)` + distinct — never from
+    * re-matching text), collect to a per-doc sorted array (bounded by doc
+    * length), left-join back, and the rewrite itself is one indexed
+    * `filter` HOF + `array_join` — map-only over the joined row. Output
+    * text is the token-normalized form (lowercased, single-spaced): the
+    * rewrite operates on the SAME token stream the detector hashed, so a
+    * span cut here is exactly a span the detector flagged. */
+  def q96SubstrRedact(spark: SparkSession, dir: String): DataFrame =
+    substrRedact(tokenizedDocs(Tables(spark, dir, "documents")), 3)
+      .orderBy("doc_id")
+
+  /** The reusable operator behind q96: any (doc_id, toks) frame. */
+  def substrRedact(tok: DataFrame, k: Int): DataFrame = {
+    val cov = dupPositions(tok, k)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("cpos"))).as("cps"))
+    tok
+      .join(cov, Seq("doc_id"), "left")
+      // coalesce BEFORE the lambda: array_contains(null, i) is null, and
+      // a null predicate drops the token — an unspanned doc would lose
+      // every token instead of keeping them all.
+      .withColumn("cps2", coalesce(col("cps"), array().cast("array<long>")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (t, i) =>
+          !array_contains(col("cps2"), (i + 1).cast("long"))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        array_join(col("kept"), " ").as("redacted_text"))
+  }
+
   /** The reusable operator behind q93: any (doc_id, toks) frame → maximal
     * per-doc duplicated-span table (doc_id, span_start, span_end,
     * span_tokens), token positions 1-based inclusive. Two intervals merge

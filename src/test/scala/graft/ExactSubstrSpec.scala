@@ -47,6 +47,24 @@ class ExactSubstrSpec extends AnyFunSuite {
       (6L, 1L, 6L, 6L), (7L, 2L, 4L, 3L), (8L, 1L, 3L, 3L)))
   }
 
+  test("redaction cuts exactly the spans and keeps everything else") {
+    import org.apache.spark.sql.functions.{col, split, lower, trim}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta u1 u2"),
+      (2L, "zzz alpha beta gamma delta yyy www qqq"),
+      (3L, "completely unrelated vocabulary here"),
+      (4L, "alpha beta gamma delta")) // fully duplicated → empty rewrite
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val out = DocQueries.substrRedact(docs, 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 6L, 2L, "u1 u2"),
+      (2L, 8L, 4L, "zzz yyy www qqq"),
+      (3L, 4L, 4L, "completely unrelated vocabulary here"),
+      (4L, 4L, 0L, "")))
+  }
+
   test("within-doc repetition alone is not duplication; tiny docs are safe") {
     // W repeats its own trigram twice but shares nothing cross-doc;
     // T has < 3 tokens. Neither may emit a span (and neither may crash).
