@@ -114,6 +114,7 @@ object SparkEntry {
     "q94_source_capped_pack" -> (DocQueries.q94SourceCappedPack _),
     "q95_bigram_lm_score" -> (DocQueries.q95BigramLmScore _),
     "q96_substr_redact" -> (DocQueries.q96SubstrRedact _),
+    "q97_substr_redact_keep_one" -> (DocQueries.q97SubstrRedactKeepOne _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2049,6 +2050,38 @@ object SparkEntry {
         |  FROM p),
         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
         |dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + d AS cpos
+        |  FROM dp CROSS JOIN unnest([0, 1, 2]) AS u(d)),
+        |covl AS (SELECT doc_id, list(cpos) AS cps FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id AS doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(toks) - coalesce(len(cps), 0) AS BIGINT) AS kept_tokens,
+        |       coalesce(array_to_string(
+        |         [toks[i] FOR i IN range(1, len(toks) + 1)
+        |          IF NOT list_contains(coalesce(cps, []), i)], ' '), '') AS redacted_text
+        |FROM t LEFT JOIN covl ON t.doc_id = covl.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // Keep-one redaction: each duplicated gram elects its min-doc_id
+    // owner; only non-owner occurrences are covered.
+    "q97_substr_redact_keep_one" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 1)) AS pos, toks
+        |  FROM t WHERE len(toks) >= 3),
+        |g AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |         CAST(concat('0x', substr(md5(
+        |           toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]
+        |         ), 1, 14)) AS BIGINT) AS h
+        |  FROM p),
+        |dup AS (
+        |  SELECT h, min(doc_id) AS owner FROM g
+        |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (
+        |  SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)
+        |  WHERE g.doc_id <> dup.owner),
         |cov AS (
         |  SELECT DISTINCT doc_id, pos + d AS cpos
         |  FROM dp CROSS JOIN unnest([0, 1, 2]) AS u(d)),

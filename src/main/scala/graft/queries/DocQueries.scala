@@ -1823,10 +1823,10 @@ object DocQueries {
   /** SUBSTRING REDACTION (q96): APPLY the q93 spans — rewrite the corpus
     * with every cross-doc duplicated passage cut out. Detection (q93)
     * and rewrite compose into the full ExactSubstr pipeline: the
-    * registered policy cuts ALL duplicated occurrences (deterministic,
-    * order-free); the keep-one-occurrence refinement is a doc_id-ranked
-    * filter on the duplicated-hash table before the back-join — same
-    * plan, one extra window over the (bounded) dup table.
+    * q96 policy cuts ALL duplicated occurrences (deterministic,
+    * order-free); q97 ([[substrRedactKeepOne]]) is the keep-one policy —
+    * an owner election on the (bounded) dup-hash table, same plan
+    * otherwise.
     *
     * Shape: covered token positions come straight from the duplicated
     * START positions (`sequence(pos, pos+k-1)` + distinct — never from
@@ -1840,9 +1840,41 @@ object DocQueries {
     substrRedact(tokenizedDocs(Tables(spark, dir, "documents")), 3)
       .orderBy("doc_id")
 
+  /** q97: [[substrRedactKeepOne]] registered — duplicated passages
+    * survive in their canonical (min-doc_id) owner only. */
+  def q97SubstrRedactKeepOne(spark: SparkSession, dir: String): DataFrame =
+    substrRedactKeepOne(tokenizedDocs(Tables(spark, dir, "documents")), 3)
+      .orderBy("doc_id")
+
   /** The reusable operator behind q96: any (doc_id, toks) frame. */
-  def substrRedact(tok: DataFrame, k: Int): DataFrame = {
-    val cov = dupPositions(tok, k)
+  def substrRedact(tok: DataFrame, k: Int): DataFrame =
+    redactByPositions(tok, dupPositions(tok, k), k)
+
+  /** KEEP-ONE redaction (q97): the Lee et al. policy proper — duplicated
+    * content survives in exactly ONE document. Each duplicated gram hash
+    * elects a canonical owner (min doc_id — deterministic, order-free);
+    * only non-owner occurrences are cut. The owner election is one extra
+    * aggregate column on the (bounded) dup-hash table — same plan as the
+    * cut-all form otherwise. A doc can own one phrase and lose another;
+    * ownership is per-passage, not per-document. */
+  def substrRedactKeepOne(tok: DataFrame, k: Int): DataFrame = {
+    val grams = posGrams(tok, k)
+    val dup = grams
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= 2)
+      .select("h", "owner")
+    val dp = grams.join(dup, "h")
+      .filter(col("doc_id") =!= col("owner"))
+      .select("doc_id", "pos")
+    redactByPositions(tok, dp, k)
+  }
+
+  /** Shared rewrite tail: expand duplicated start positions to covered
+    * positions, cut those tokens, rebuild the text. */
+  private def redactByPositions(tok: DataFrame, dp: DataFrame,
+                                k: Int): DataFrame = {
+    val cov = dp
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
       .distinct()
@@ -1868,9 +1900,8 @@ object DocQueries {
     * span_tokens), token positions 1-based inclusive. Two intervals merge
     * when they overlap OR touch (a contiguous duplicated run is one
     * span). */
-  /** The duplicated (doc_id, pos) table: start positions of k-grams seen
-    * in ≥ 2 distinct docs. */
-  private def dupPositions(tok: DataFrame, k: Int): DataFrame = {
+  /** One row per k-gram start position: (doc_id, pos, 56-bit gram hash). */
+  private def posGrams(tok: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2, got $k")
     val t = col("toks")
     val n = size(t)
@@ -1879,11 +1910,17 @@ object DocQueries {
     // [[shingles]] applies here too).
     val gram = (1 to k).map(i => slice(t, lit(i), n - (k - 1)))
       .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
-    val grams = tok
+    tok
       .filter(n >= k)
       .select(col("doc_id"), posexplode(gram))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         md5Long(col("col"), 14).as("h"))
+  }
+
+  /** The duplicated (doc_id, pos) table: start positions of k-grams seen
+    * in ≥ 2 distinct docs. */
+  private def dupPositions(tok: DataFrame, k: Int): DataFrame = {
+    val grams = posGrams(tok, k)
     // Hashes seen in >= 2 distinct docs. Cross-doc only by design: a
     // within-doc repeat is not evidence of corpus duplication.
     val dup = grams

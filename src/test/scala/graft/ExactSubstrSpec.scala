@@ -65,6 +65,25 @@ class ExactSubstrSpec extends AnyFunSuite {
       (4L, 4L, 0L, "")))
   }
 
+  test("keep-one redaction: the min-doc_id owner keeps each passage, per-passage") {
+    import org.apache.spark.sql.functions.{col, split, lower, trim}
+    // Doc 1 owns "alpha beta gamma delta" (shared with 2); doc 2 owns
+    // "one two three" (shared with 3) — ownership is per-passage: doc 2
+    // loses the first phrase but keeps the second.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta u1 u2"),
+      (2L, "alpha beta gamma delta one two three"),
+      (3L, "x1 x2 one two three x3"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val out = DocQueries.substrRedactKeepOne(docs, 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 6L, 6L, "alpha beta gamma delta u1 u2"), // owner: untouched
+      (2L, 7L, 3L, "one two three"),                // loses phrase 1, owns phrase 2
+      (3L, 6L, 3L, "x1 x2 x3")))                    // loses phrase 2
+  }
+
   test("within-doc repetition alone is not duplication; tiny docs are safe") {
     // W repeats its own trigram twice but shares nothing cross-doc;
     // T has < 3 tokens. Neither may emit a span (and neither may crash).
