@@ -189,7 +189,9 @@ object ScaleRehearsal {
       "q86_stream_dedup_ingest" -> (graft.queries.StreamQueries.q86StreamDedupIngest _),
       "q93_exact_substr_spans" -> (graft.queries.DocQueries.q93ExactSubstrSpans _),
       "q94_source_capped_pack" -> (graft.queries.DocQueries.q94SourceCappedPack _),
-      "q95_bigram_lm_score" -> (graft.queries.DocQueries.q95BigramLmScore _))
+      "q95_bigram_lm_score" -> (graft.queries.DocQueries.q95BigramLmScore _),
+      "q96_substr_redact" -> (graft.queries.DocQueries.q96SubstrRedact _),
+      "q97_substr_redact_keep_one" -> (graft.queries.DocQueries.q97SubstrRedactKeepOne _))
 
     // Factors past ×10 run in SHALLOW mode: structural counts for the doc
     // family only (one pass each, no min-of-2 timing) — the cheap extra
