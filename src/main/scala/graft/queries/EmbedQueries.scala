@@ -649,4 +649,96 @@ object EmbedQueries {
           .as("rebalance"))
       .orderBy("cid")
   }
+
+  /** PRODUCT QUANTIZATION + ADC TOP-K (q98): the remaining standard ANN
+    * compression next to SQ8 (q60/q65) — split the 64-dim vector into
+    * m = 4 subspaces of 16 dims, encode each subspace as its nearest of
+    * 16 codebook centroids (16 bits/vector here vs 64 floats: the memory
+    * ratio that makes billion-scale serving fit), and answer queries by
+    * ASYMMETRIC DISTANCE COMPUTATION — the query stays full-precision,
+    * each candidate contributes only its 4 small codes, and the distance
+    * is 4 lookups into the query's per-subspace distance table.
+    *
+    * House determinism recipe: per-subspace squared-L2 distances are an
+    * ordered 16-element fold (≡ DuckDB list_sum) then quantized to
+    * integer MICRO-units — so the 4-way ADC sum is an INTEGER sum,
+    * order-free under any partial-aggregate merge (the float-sum-order
+    * hazard q95 documents never arises). Codebook = subspace slices of
+    * the 16 seed vectors (vec_id < 16), the q46 seeded-quantizer pattern:
+    * deterministic, zero RNG, restatable in the oracle; a production PQ
+    * trains per-subspace k-means offline ([[trainKmeans]] is the
+    * in-repo trainer) and ships the codebook as a dim table — same
+    * plan, different 32-row broadcast.
+    *
+    * Scale shape: encoding is corpus × broadcast-codebook (32 rows) —
+    * map-only narrow expansion, one pass, exactly the q46 assignment
+    * shape; the ADC join is codes × broadcast query-LUT with an integer
+    * groupBy on (q_id, vec_id). Composed with IVF (q46) the candidate
+    * side shrinks to the probed lists — IVF-PQ — with identical plumbing. */
+  def q98EmbedPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val m = 4
+    val subDim = 16
+    val nCodes = 16
+    val cb = emb.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // (vector × centroid × subspace) micro-distance rows: the shared
+    // relation both encoding (argmin per (vec, s)) and the query LUT
+    // slice out of. Ordered fold per 16-dim slice, then integer micro.
+    def sq(a: Column, b: Column): Column = {
+      val d = a.cast("double") - b.cast("double")
+      d * d
+    }
+    val off = col("s") * subDim + 1
+    val dUm = round(aggregate(
+      zip_with(slice(col("embedding"), off, lit(subDim)),
+        slice(col("cv"), off, lit(subDim)), sq),
+      lit(0.0), (acc, x) => acc + x) * lit(1e6)).cast("long")
+    val sub = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("cid"), col("embedding"), col("cv"),
+        explode(array((0 until m).map(lit): _*)).as("s"))
+      .select(col("vec_id"), col("cid"), col("s"), dUm.as("d_um"))
+    val bySub = Window.partitionBy("vec_id", "s")
+      .orderBy(col("d_um"), col("cid"))
+    val codes = sub
+      .withColumn("rn", row_number().over(bySub))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
+    val lut = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("s"), col("cid"), col("d_um"))
+    val adc = codes
+      .join(broadcast(lut),
+        codes("s") === lut("s") && codes("code") === lut("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d_um")).as("adc_um"))
+    // ADC SHORTLIST → EXACT RERANK (the q65 ladder with PQ codes):
+    // inside a quantization cell ADC is blind — every member of a cell
+    // shares all 4 codes, so within-cell order degenerates to the tie
+    // break (measured: clustered recall collapses to 0.07 WITHOUT the
+    // rerank, because a real cluster IS one cell). The shortlist cut
+    // pays 4 integer lookups per candidate; only the ≤ 32 survivors pay
+    // a full-precision 64-dim distance.
+    val byAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc_um"), col("vec_id"))
+    val shortlist = adc
+      .withColumn("srank", row_number().over(byAdc))
+      .filter(col("srank") <= 32)
+      .select("q_id", "vec_id", "adc_um")
+    val qv = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val rer = shortlist
+      .join(broadcast(qv), "q_id")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("q_id"), col("vec_id"), col("adc_um"),
+        round(aggregate(zip_with(col("embedding"), col("qv"), sq),
+          lit(0.0), (acc, x) => acc + x), 6).as("l2sq"))
+    val byExact = Window.partitionBy("q_id")
+      .orderBy(col("l2sq"), col("vec_id"))
+    rer
+      .withColumn("rank", row_number().over(byExact).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
 }

@@ -43,6 +43,51 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(topk(graft.queries.EmbedQueries.q46EmbedIvfAnn(spark, sf)).size == 5)
   }
 
+  /** Exact L2 top-3 per query (vec_id < 5) — q98's ground truth: PQ-ADC
+    * approximates SQUARED-L2, so q27's cosine truth is the wrong
+    * yardstick on unnormalized vectors. */
+  private def l2Truth(dir: String): Map[Long, Set[Long]] = {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("qv"), (a, b) => {
+        val d = a.cast("double") - b.cast("double"); d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+    topk(emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3))
+  }
+
+  test("PQ-ADC recall@3 vs exact L2 stays above the documented floors") {
+    val truth = l2Truth(sf)
+    assert(truth.size == 5)
+    val pq = recall(topk(
+      graft.queries.EmbedQueries.q98EmbedPqAdc(spark, sf)), truth)
+    // 16-bit codes (4 subspaces × 16 seed centroids) summarizing 64
+    // near-uniform float dims, then the exact rerank of the ADC-top-32
+    // shortlist — measured 0.53 (the same worst-case regime that pins
+    // LSH at 0.40; ADC alone measured 0.20 before the ladder landed).
+    info(f"PQ-ADC recall@3 vs exact L2 (near-uniform): $pq%.3f")
+    assert(pq >= 0.45, f"PQ-ADC recall collapsed: $pq%.3f")
+    // Clustered fixture (the regime real embeddings live in), identical
+    // code and code budget — the compression has structure to exploit.
+    val dir = ClusteredEmbeddings.ensure(spark)
+    val pqC = recall(topk(
+      graft.queries.EmbedQueries.q98EmbedPqAdc(spark, dir)), l2Truth(dir))
+    // Measured 1.00: the cluster IS one quantization cell, the ADC
+    // shortlist admits the whole cell, the rerank orders it exactly —
+    // ADC without the rerank measured 0.07 here (within-cell blindness).
+    info(f"PQ-ADC recall@3 vs exact L2 (clustered): $pqC%.3f")
+    assert(pqC >= 0.95, f"clustered PQ-ADC recall collapsed: $pqC%.3f")
+  }
+
   test("clustered embeddings: the same probe budgets buy far higher recall") {
     // The near-uniform pins above are the honest WORST case; this is the
     // measured counterpart on data with angular structure (deterministic
