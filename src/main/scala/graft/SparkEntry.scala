@@ -116,6 +116,7 @@ object SparkEntry {
     "q96_substr_redact" -> (DocQueries.q96SubstrRedact _),
     "q97_substr_redact_keep_one" -> (DocQueries.q97SubstrRedactKeepOne _),
     "q98_embed_pq_adc" -> (EmbedQueries.q98EmbedPqAdc _),
+    "q99_embed_ivf_pq" -> (EmbedQueries.q99EmbedIvfPq _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2120,6 +2121,76 @@ object SparkEntry {
         |  SELECT l.q_id, c.vec_id, CAST(sum(l.d_um) AS BIGINT) AS adc_um
         |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cid
         |  WHERE c.vec_id <> l.q_id
+        |  GROUP BY 1, 2),
+        |short AS (
+        |  SELECT q_id, vec_id, adc_um FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY adc_um, vec_id) AS srank
+        |    FROM adc) WHERE srank <= 32),
+        |rer AS (
+        |  SELECT s.q_id, s.vec_id, s.adc_um,
+        |         round(list_sum([
+        |           (CAST(x.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+        |             * (CAST(x.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+        |           for i in range(1, 65)]), 6) AS l2sq
+        |  FROM short s
+        |  JOIN embeddings q ON s.q_id = q.vec_id
+        |  JOIN embeddings x ON s.vec_id = x.vec_id)
+        |SELECT q_id, vec_id, adc_um, l2sq, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |            ORDER BY l2sq, vec_id) AS BIGINT) AS rank
+        |  FROM rer)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // IVF-PQ: q46's cosine-argmax lists + nProbe=2 probe bound the
+    // candidates; q98's codes/LUT/shortlist/rerank ladder prices them.
+    "q99_embed_ivf_pq" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM emb WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |         list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) for i in range(1, 65)])
+        |           / (e.nrm * c.cnrm) AS score
+        |  FROM emb e CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS q_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT q.q_id, a.vec_id FROM assign a JOIN qprobe q ON a.cid = q.cid
+        |  WHERE a.vec_id <> q.q_id),
+        |cb AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |sub AS (
+        |  SELECT e.vec_id, cc.cid, t.s,
+        |         CAST(round(list_sum([
+        |           (CAST(e.embedding[i] AS DOUBLE) - CAST(cc.cv[i] AS DOUBLE))
+        |             * (CAST(e.embedding[i] AS DOUBLE) - CAST(cc.cv[i] AS DOUBLE))
+        |           for i in range(t.s * 16 + 1, t.s * 16 + 17)]) * 1000000)
+        |           AS BIGINT) AS d_um
+        |  FROM embeddings e
+        |  CROSS JOIN cb cc
+        |  CROSS JOIN unnest([0, 1, 2, 3]) AS t(s)),
+        |codes AS (
+        |  SELECT vec_id, s, cid AS code FROM (
+        |    SELECT vec_id, s, cid,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d_um, cid) AS rn
+        |    FROM sub) WHERE rn = 1),
+        |lut AS (
+        |  SELECT vec_id AS q_id, s, cid, d_um FROM sub WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT ca.q_id, ca.vec_id, CAST(sum(l.d_um) AS BIGINT) AS adc_um
+        |  FROM cand ca
+        |  JOIN codes co ON ca.vec_id = co.vec_id
+        |  JOIN lut l ON l.q_id = ca.q_id AND l.s = co.s AND l.cid = co.code
         |  GROUP BY 1, 2),
         |short AS (
         |  SELECT q_id, vec_id, adc_um FROM (

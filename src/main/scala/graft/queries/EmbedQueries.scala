@@ -741,4 +741,99 @@ object EmbedQueries {
       .filter(col("rank") <= 3)
       .orderBy("q_id", "rank")
   }
+
+  /** IVF-PQ (q99): the production billion-scale serving composition —
+    * q46's inverted lists bound WHICH vectors are scored, q98's PQ codes
+    * bound WHAT each candidate costs, and the exact rerank restores
+    * precision on the shortlist only. Per query: probe nProbe = 2 of 16
+    * lists (cosine argmax assignment, the q46 quantizer) → ADC over the
+    * probed lists' members only (4 integer lookups each) → top-32
+    * shortlist → full-precision L2 rerank → top-3.
+    *
+    * Cost ledger at scale: the list probe cuts candidates to
+    * ~nProbe/nlist of the corpus; ADC prices each survivor at 4 integer
+    * lookups against codes 256× smaller than the vectors (16 bits vs 64
+    * floats); the only full-width distance computations left are the
+    * ≤ 32 reranked rows per query. Every piece reuses a measured
+    * component: q46's assignment (recall 0.93/1.00), q98's
+    * codebook/ADC/ladder (0.53/1.00 — and the clustered fixture's lists
+    * coincide with its clusters, so the probe loses nothing there). */
+  def q99EmbedIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    withDot(spark)
+    val m = 4
+    val subDim = 16
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    // ---- IVF side (q46): cosine argmax assignment + nProbe=2 probe.
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+          .as("score"))
+    val assign = scored.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
+    val byQScore = Window.partitionBy("vec_id")
+      .orderBy(desc("score"), asc("cid"))
+    val qprobe = scored.filter(col("vec_id") < 5)
+      .withColumn("rn", row_number().over(byQScore))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val cand = assign.join(broadcast(qprobe), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    // ---- PQ side (q98): seeded codebook, integer-micro subspace table.
+    val cb = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    def sq(a: Column, b: Column): Column = {
+      val d = a.cast("double") - b.cast("double")
+      d * d
+    }
+    val off = col("s") * subDim + 1
+    val dUm = round(aggregate(
+      zip_with(slice(col("embedding"), off, lit(subDim)),
+        slice(col("cv"), off, lit(subDim)), sq),
+      lit(0.0), (acc, x) => acc + x) * lit(1e6)).cast("long")
+    val sub = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("cid"), col("embedding"), col("cv"),
+        explode(array((0 until m).map(lit): _*)).as("s"))
+      .select(col("vec_id"), col("cid"), col("s"), dUm.as("d_um"))
+    val bySub = Window.partitionBy("vec_id", "s")
+      .orderBy(col("d_um"), col("cid"))
+    val codes = sub
+      .withColumn("rn", row_number().over(bySub))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
+    val lut = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("s"), col("cid"), col("d_um"))
+    // ---- ADC restricted to the probed lists, then the q98 ladder.
+    val adc = cand
+      .join(codes, "vec_id")
+      .join(broadcast(lut.select(col("q_id"), col("s"),
+        col("cid").as("code"), col("d_um"))), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d_um")).as("adc_um"))
+    val byAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc_um"), col("vec_id"))
+    val shortlist = adc
+      .withColumn("srank", row_number().over(byAdc))
+      .filter(col("srank") <= 32)
+      .select("q_id", "vec_id", "adc_um")
+    val qv = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val rer = shortlist
+      .join(broadcast(qv), "q_id")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("q_id"), col("vec_id"), col("adc_um"),
+        round(aggregate(zip_with(col("embedding"), col("qv"), sq),
+          lit(0.0), (acc, x) => acc + x), 6).as("l2sq"))
+    val byExact2 = Window.partitionBy("q_id")
+      .orderBy(col("l2sq"), col("vec_id"))
+    rer
+      .withColumn("rank", row_number().over(byExact2).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
 }

@@ -88,6 +88,26 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(pqC >= 0.95, f"clustered PQ-ADC recall collapsed: $pqC%.3f")
   }
 
+  test("IVF-PQ recall@3 vs exact L2: the probe cost composes with the PQ cost") {
+    val ivfpq = recall(topk(
+      graft.queries.EmbedQueries.q99EmbedIvfPq(spark, sf)), l2Truth(sf))
+    info(f"IVF-PQ recall@3 vs exact L2 (near-uniform): $ivfpq%.3f")
+    // Measured 0.87 — ABOVE plain PQ's 0.53, which surprised us: the
+    // probe does drop true neighbors assigned to unprobed lists, but it
+    // also evicts ADC-noise candidates from the FIXED 32-slot shortlist
+    // (over the full corpus the shortlist is the binding constraint, and
+    // contention loses more truth than the probe does). The two cuts
+    // compose favorably, not multiplicatively.
+    assert(ivfpq >= 0.75, f"IVF-PQ recall collapsed: $ivfpq%.3f")
+    val dir = ClusteredEmbeddings.ensure(spark)
+    val ivfpqC = recall(topk(
+      graft.queries.EmbedQueries.q99EmbedIvfPq(spark, dir)), l2Truth(dir))
+    // Clustered: the probed lists coincide with the query's cluster, so
+    // the probe loses nothing and the ladder holds its 1.00.
+    info(f"IVF-PQ recall@3 vs exact L2 (clustered): $ivfpqC%.3f")
+    assert(ivfpqC >= 0.95, f"clustered IVF-PQ recall collapsed: $ivfpqC%.3f")
+  }
+
   test("clustered embeddings: the same probe budgets buy far higher recall") {
     // The near-uniform pins above are the honest WORST case; this is the
     // measured counterpart on data with angular structure (deterministic
