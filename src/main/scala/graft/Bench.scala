@@ -66,7 +66,10 @@ object Bench {
           case _ => None
         }
       }.sortBy(_._1).map(_._2)
-    val entry = """\\?"(q[0-9][^"\\]*)\\?":([0-9][0-9.eE+-]*)""".r
+    // `:\s*` tolerance: a hand-rewritten or pretty-printed BENCHLOCAL
+    // ("key": 1.2 with a space) must not silently parse to empty and
+    // fall through to a stale BENCH_r* baseline (round-12 postmortem).
+    val entry = """\\?"(q[0-9][^"\\]*)\\?":\s*([0-9][0-9.eE+-]*)""".r
     def parse(f: java.io.File): Map[String, Double] = {
       val text = try scala.io.Source.fromFile(f, "UTF-8").mkString
                  catch { case _: Throwable => "" }
@@ -74,7 +77,7 @@ object Bench {
       // literal key (quoted or escape-quoted) — a bare word match could hit
       // the word "queries" inside a WARN line in the tail and silently
       // yield an empty map.
-      val anchor = """\\?"queries\\?":\{""".r
+      val anchor = """\\?"queries\\?":\s*\{""".r
       anchor.findAllMatchIn(text).toSeq.lastOption match {
         case Some(m) =>
           val body = text.substring(m.end, math.min(text.length, m.end + 65536))
