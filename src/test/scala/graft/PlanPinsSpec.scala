@@ -502,4 +502,50 @@ class PlanPinsSpec extends AnyFunSuite {
       !hx.exists(_.contains("toks")),
       s"token arrays must never cross an exchange: $hx\n$plan")
   }
+
+  for (q <- Seq("q96_substr_redact", "q97_substr_redact_keep_one"))
+    test(s"$q: rewrite is window-free — covered positions join broadcast, exchanges keyed doc_id/hash") {
+      graft.queries.DocQueries.unpersistShared(spark, sfDir)
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"never all-pairs:\n$plan")
+      // Unlike q93, the rewrite needs NO island merge: covered positions
+      // come straight from duplicated starts, so no Window operator and
+      // no per-doc sort may appear.
+      assert(!plan.contains("Window ["),
+        s"the rewrite must not plan a window:\n$plan")
+      val hx = hashExchanges(plan)
+      assert(hx.nonEmpty && hx.forall(k =>
+        k.contains("doc_id") || k.contains("h#")),
+        s"exchanges must carry doc ids / gram hashes only, got $hx:\n$plan")
+    }
+
+  test("q98: PQ ladder pushes WindowGroupLimit at every rank cut; exchanges keyed on ids/subspaces") {
+    val plan = SparkEntry.queries("q98_embed_pq_adc")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no raw cartesian:\n$plan")
+    // Three rank cuts — per-(vec,s) argmin code, ADC top-32 shortlist,
+    // final top-3 — must all plan as WindowGroupLimit (partial top-k
+    // before the exchange), never a full per-partition sort of the pool.
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 3,
+      s"rank cuts must push WindowGroupLimit:\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.nonEmpty && hx.forall(k =>
+      k.contains("vec_id") || k.contains("q_id")),
+      s"exchanges must be keyed on vec/query ids (+ subspace), got $hx:\n$plan")
+  }
+
+  test("q99: IVF-PQ keeps the ladder shape — probe bounds candidates before ADC, WindowGroupLimit cuts") {
+    val plan = SparkEntry.queries("q99_embed_ivf_pq")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no raw cartesian:\n$plan")
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 3,
+      s"rank cuts must push WindowGroupLimit:\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.nonEmpty && hx.forall(k =>
+      k.contains("vec_id") || k.contains("q_id")),
+      s"exchanges must be keyed on vec/query ids, got $hx:\n$plan")
+  }
 }
