@@ -117,6 +117,7 @@ object SparkEntry {
     "q97_substr_redact_keep_one" -> (DocQueries.q97SubstrRedactKeepOne _),
     "q98_embed_pq_adc" -> (EmbedQueries.q98EmbedPqAdc _),
     "q99_embed_ivf_pq" -> (EmbedQueries.q99EmbedIvfPq _),
+    "q100_token_blocks" -> (DocQueries.q100TokenBlocks _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2141,6 +2142,24 @@ object SparkEntry {
         |            ORDER BY l2sq, vec_id) AS BIGINT) AS rank
         |  FROM rer)
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // Token blockization: the oracle states the NAIVE form — one global
+    // running sum in doc_id order — which the two-level prefix sum must
+    // equal exactly (all block math is non-negative integer division).
+    "q100_token_blocks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        |  FROM t)
+        |SELECT doc_id, n_tokens, "offset",
+        |       "offset" // 256 AS block_first,
+        |       ("offset" + n_tokens - 1) // 256 AS block_last,
+        |       ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1 AS blocks_spanned
+        |FROM c ORDER BY doc_id""".stripMargin,
     // IVF-PQ: q46's cosine-argmax lists + nProbe=2 probe bound the
     // candidates; q98's codes/LUT/shortlist/rerank ladder prices them.
     "q99_embed_ivf_pq" ->

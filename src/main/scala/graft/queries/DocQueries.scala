@@ -1682,6 +1682,68 @@ object DocQueries {
       .orderBy("source")
   }
 
+  /** TOKEN BLOCKIZATION (q100): the concat-and-split packing an LLM
+    * trainer actually performs — all documents' tokens concatenated in
+    * doc_id order and cut into fixed-size training blocks — restated as
+    * the per-doc placement table: global token offset, first/last block
+    * touched, blocks spanned. Downstream, a writer groups by block id to
+    * emit exactly-filled sequences; this table IS the shuffle key plan
+    * for that write.
+    *
+    * The whole operator is one exact GLOBAL PREFIX SUM over the corpus in
+    * doc_id order — the textbook unpartitioned-window hazard (one task
+    * sorts everything; the q70 scaladoc documents the same exposure). The
+    * scale shape here is the classic two-level scan:
+    *
+    *   1. bucket documents by `doc_id div W` (order-preserving);
+    *   2. per-bucket token sums — a real aggregation with map-side
+    *      combine, output corpus/W rows;
+    *   3. running bucket offsets — a window over the BUCKET table only;
+    *   4. broadcast offsets back; per-doc running sums in windows
+    *      partitioned by bucket — ≤ W docs each, embarrassingly parallel.
+    *
+    * Identical output to the naive global window (TokenBlocksSpec asserts
+    * equality and PlanPinsSpec forbids the corpus-wide unpartitioned
+    * window); every corpus-scale exchange is keyed on the bucket. All
+    * block arithmetic is non-negative integer division, identical under
+    * truncation and floor — bit-safe cross-engine with no rounding
+    * games. */
+  def q100TokenBlocks(spark: SparkSession, dir: String): DataFrame =
+    tokenBlocks(tokenizedDocs(Tables(spark, dir, "documents")), 256L, 100L)
+      .orderBy("doc_id")
+
+  /** The reusable operator behind q100: any (doc_id, toks) frame;
+    * `blockSize` in tokens, `bucketWidth` in doc_ids (the parallelism /
+    * window-input-size dial). */
+  def tokenBlocks(tok: DataFrame, blockSize: Long,
+                  bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blockSize >= 1 && bucketWidth >= 1)
+    val counts = tok.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bucketWidth").as("b"))
+    val bsums = counts.groupBy("b").agg(sum("n_tokens").as("btoks"))
+    // Unpartitioned window — over the BUCKET table (corpus/W rows), the
+    // one place a global order is inherently needed, never the corpus.
+    val byBucket = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bsums
+      .withColumn("boff", coalesce(sum("btoks").over(byBucket), lit(0L)))
+      .select("b", "boff")
+    val inBucket = Window.partitionBy("b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .join(broadcast(offsets), "b")
+      .withColumn("doff", coalesce(sum("n_tokens").over(inBucket), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("boff") + col("doff")).as("offset"))
+      .select(col("doc_id"), col("n_tokens"), col("offset"),
+        expr(s"offset div $blockSize").as("block_first"),
+        expr(s"(offset + n_tokens - 1) div $blockSize").as("block_last"))
+      .withColumn("blocks_spanned",
+        col("block_last") - col("block_first") + 1)
+  }
+
   /** SimHash fingerprint: 60-bit signature where bit b is the sign of the
     * weighted sum of token-hash bits. Emitted with a 16-bit prefix bucket —
     * the banding key a near-dup pass would equi-join on (same pattern as

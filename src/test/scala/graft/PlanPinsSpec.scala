@@ -537,6 +537,30 @@ class PlanPinsSpec extends AnyFunSuite {
       s"exchanges must be keyed on vec/query ids (+ subspace), got $hx:\n$plan")
   }
 
+  test("q100: the only unpartitioned window runs over the bucket table — the corpus never single-tasks") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q100_token_blocks")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // Exactly one empty-partition-spec window (the bucket-offset scan);
+    // the per-doc windows must all be partitioned by the bucket column.
+    // First windowspecdefinition arg: a bare column = partition key; a
+    // column with a sort direction = ORDER key, i.e. NO partition keys.
+    val windows = "Window \\[[^\\n]*windowspecdefinition\\(([^,]*)"
+      .r.findAllMatchIn(plan).map(_.group(1).trim).toSeq
+    assert(windows.size == 2, s"expected bucket + in-bucket windows:\n$plan")
+    assert(windows.count(w => w.startsWith("b#") && !w.contains("ASC")) == 1,
+      s"per-doc window must partition by bucket, got $windows:\n$plan")
+    assert(windows.count(_.contains("ASC")) == 1,
+      s"exactly one unpartitioned (order-first) window allowed, got $windows:\n$plan")
+    // The unpartitioned one consumes the bucket AGGREGATE (corpus/W
+    // rows): its subtree must contain the btoks sum, not a corpus scan.
+    assert(plan.contains("btoks"),
+      s"bucket-sum aggregate missing below the global window:\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.forall(k => k.contains("b#") || k.contains("b_")),
+      s"corpus exchanges must be keyed on the bucket, got $hx:\n$plan")
+  }
+
   test("q99: IVF-PQ keeps the ladder shape — probe bounds candidates before ADC, WindowGroupLimit cuts") {
     val plan = SparkEntry.queries("q99_embed_ivf_pq")(spark, sfDir)
       .queryExecution.executedPlan.toString
