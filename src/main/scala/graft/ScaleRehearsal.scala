@@ -193,7 +193,8 @@ object ScaleRehearsal {
       "q96_substr_redact" -> (graft.queries.DocQueries.q96SubstrRedact _),
       "q97_substr_redact_keep_one" -> (graft.queries.DocQueries.q97SubstrRedactKeepOne _),
       "q98_embed_pq_adc" -> (graft.queries.EmbedQueries.q98EmbedPqAdc _),
-      "q99_embed_ivf_pq" -> (graft.queries.EmbedQueries.q99EmbedIvfPq _))
+      "q99_embed_ivf_pq" -> (graft.queries.EmbedQueries.q99EmbedIvfPq _),
+      "q100_token_blocks" -> (graft.queries.DocQueries.q100TokenBlocks _))
 
     // Factors past ×10 run in SHALLOW mode: structural counts for the doc
     // family only (one pass each, no min-of-2 timing) — the cheap extra
