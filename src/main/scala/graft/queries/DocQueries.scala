@@ -1643,12 +1643,21 @@ object DocQueries {
     *
     * Scale shape: the corpus-scale token explode feeds EXACTLY ONE
     * map-side-combined aggregation — the (source, token) count table,
-    * vocab×sources-sized — and every total (per-token, per-source,
-    * corpus) is a window sum OVER THAT TINY TABLE, so the corpus is
-    * never re-read, re-exploded, or joined (the naive
-    * derive-by-reaggregation shape re-plans the corpus explode once per
-    * total: three corpus passes for one answer — PlanPinsSpec pins the
-    * single partial_count). */
+    * vocab×sources-sized (10⁸–10⁹ rows at 100 TB: parallel-sized, not
+    * driver-sized). Per-token totals c_w are a window HASH-PARTITIONED
+    * BY TOKEN over that table — vocab-wide parallel. The per-source and
+    * corpus totals are NOT windows over it: the round-12 shape put
+    * n_total behind `Window.partitionBy()`, which planned `Exchange
+    * SinglePartition` under the vocab table and let the two windows
+    * stacked above satisfy their clustering trivially on that one
+    * partition — the whole (source, token) table crossed a single task
+    * three times. Now they ride q88's broadcast-of-tiny idiom: one
+    * narrow `sum(size(toks))` pass (map-combined straight to ≤ #sources
+    * rows, no explode), n_total as an unpartitioned window over THAT
+    * ≤ #sources-row table (the adjudicated q91/nlist pattern), and the
+    * result broadcast-joined back. PlanPinsSpec pins the single
+    * corpus-scale partial_count, the token-keyed window exchange, and
+    * forbids SinglePartition exchanges under the vocab table. */
   def q90SourceTvDrift(spark: SparkSession, dir: String): DataFrame =
     // tokenizedDocs carries `source` since the q94 domain-cap work — the
     // former doc_id→source attach join is gone; the drift audit now rides
@@ -1665,10 +1674,18 @@ object DocQueries {
     val bySrcW = srcToks
       .select(col("source"), explode(col("toks")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    // Per-source token totals + the corpus total: a second NARROW corpus
+    // pass (size(toks) only — no explode) that map-combines straight to
+    // ≤ #sources rows; the unpartitioned n_total window runs over that
+    // tiny table, never the vocab×sources one. n_src ≡ Σ_w c_sw per
+    // source, so the output integers are bit-identical to the window
+    // form (TvDriftPropsSpec re-proves vs brute force).
+    val perSrc = srcToks
+      .groupBy("source").agg(sum(size(col("toks"))).as("n_src"))
+      .withColumn("n_total", sum("n_src").over(Window.partitionBy()))
     bySrcW
       .withColumn("c_w", sum("c_sw").over(Window.partitionBy("w")))
-      .withColumn("n_src", sum("c_sw").over(Window.partitionBy("source")))
-      .withColumn("n_total", sum("c_sw").over(Window.partitionBy()))
+      .join(broadcast(perSrc), "source")
       .select(col("source"), col("n_src"), col("n_total"),
         (abs(dec(col("c_sw")) * dec(col("n_total")) -
           dec(col("c_w")) * dec(col("n_src"))) -

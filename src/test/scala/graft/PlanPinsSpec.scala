@@ -384,25 +384,36 @@ class PlanPinsSpec extends AnyFunSuite {
       s"token arrays must not cross an exchange, got $hx:\n$plan")
   }
 
-  test("q90: TV drift explodes the corpus ONCE — totals are windows over the tiny aggregate") {
+  test("q90: TV drift explodes the corpus ONCE — vocab table never funnels to one partition") {
     graft.queries.DocQueries.unpersistShared(spark, sfDir)
-    val plan = SparkEntry.queries("q90_source_tv_drift")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    // The only join is the broadcast doc_id→source attach below the
-    // aggregate; the totals are Window sums, never SMJ self-joins of the
-    // re-derived aggregate.
-    assert(plan.contains("Window"), s"no window totals in plan:\n$plan")
+    val df = SparkEntry.queries("q90_source_tv_drift")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // c_w is a window HASH-PARTITIONED BY TOKEN over the vocab table;
+    // the per-source/corpus totals broadcast-join back (q88 idiom) —
+    // never an SMJ self-join of the re-derived aggregate.
+    assert(plan.contains("Window"), s"no c_w window in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast-join back:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
-      s"totals must be windows over the aggregate, not joins:\n$plan")
-    // Exactly ONE corpus-scale pass: the (source, w) partial count. The
-    // naive derive-by-reaggregation shape plans this aggregate (and the
-    // corpus explode beneath it) once per derived total.
+      s"totals must attach as broadcasts, not shuffled joins:\n$plan")
+    // Exactly ONE corpus-scale pass explodes tokens: the (source, w)
+    // partial count. The per-source totals pass is a NARROW partial_sum
+    // over size(toks) — no explode, map-combined to ≤ #sources rows.
     val passes = "partial_count".r.findAllMatchIn(plan).size
     assert(passes == 1,
       s"expected exactly one corpus-scale partial_count, got $passes:\n$plan")
     val hx = hashExchanges(plan)
     assert(hx.nonEmpty && hx.forall(x => !x.contains("toks")),
       s"token arrays must not cross an exchange, got $hx:\n$plan")
+    // THE round-12 regression pin: the r12 shape put n_total behind
+    // Window.partitionBy(), planning `Exchange SinglePartition` under
+    // the vocab×sources table (the corpus-derived explode output) —
+    // every SinglePartition exchange must now sit above either a global
+    // partial aggregate or the tiny no-explode per-source aggregate,
+    // never above anything with a Generate (explode) in its subtree.
+    for (child <- PlanAudit.singlePartitionChildren(df))
+      assert(!PlanAudit.hasGenerate(child),
+        s"explode-derived rows funnel through one partition:\n$child")
   }
 
   test("q91: delta assignment broadcasts the quantizer — exchanges keyed on vec_id/cid only") {
