@@ -214,7 +214,15 @@ object Bench {
       }
     }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Ascending-cost emission: the driver captures only the output TAIL,
+    // truncating from the FRONT — cheap queries go first so what gets cut
+    // is the sub-second noise and the expensive queries' times always
+    // survive (round-12 kept only 47/100 per-query times, losing the ones
+    // a plan audit would want). Errors (-1) sort last: a dead query's
+    // marker must outlive any truncation.
+    val qs = results
+      .sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")

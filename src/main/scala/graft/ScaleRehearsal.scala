@@ -194,14 +194,15 @@ object ScaleRehearsal {
       "q97_substr_redact_keep_one" -> (graft.queries.DocQueries.q97SubstrRedactKeepOne _),
       "q98_embed_pq_adc" -> (graft.queries.EmbedQueries.q98EmbedPqAdc _),
       "q99_embed_ivf_pq" -> (graft.queries.EmbedQueries.q99EmbedIvfPq _),
-      "q100_token_blocks" -> (graft.queries.DocQueries.q100TokenBlocks _))
+      "q100_token_blocks" -> (graft.queries.DocQueries.q100TokenBlocks _),
+      "q101_semdedup_clusters" -> (graft.queries.EmbedQueries.q101SemdedupClusters _))
 
     // Factors past ×10 run in SHALLOW mode: structural counts for the doc
     // family only (one pass each, no min-of-2 timing) — the cheap extra
     // decade that shows whether the candidate ratio keeps holding.
     val shallowSet = Set("q20_exact_dedup", "q25_minhash_neardup",
       "q49_stratified_sample", "q51_decontaminate", "q66_containment",
-      "q93_exact_substr_spans")
+      "q93_exact_substr_spans", "q100_token_blocks")
 
     factors.foreach { k =>
       val deep = k <= 10
@@ -318,6 +319,43 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q93_substr","dup_positions":$pos,"spans":$spans}""")
       }
 
+      // q93/q96/q97 gram-length dial: the fixtures share k=3 so the
+      // trigram universe is common across the redaction family, but
+      // production ExactSubstr runs k ≈ 20–50 (Lee et al.'s 50-token
+      // threshold) — LONGER grams mean strictly fewer duplicated
+      // positions (a duplicated k-gram start is also a duplicated
+      // (k-1)-gram start, so volume is monotonically non-increasing in
+      // k). Measured, not asserted: the dup-position table the island
+      // merge sorts must SHRINK as k rises toward the production
+      // setting — same plan, fewer rows.
+      if (on("substrk")) {
+        val perK = Seq(3, 10, 20, 50).map { kk =>
+          kk -> graft.queries.DocQueries
+            .exactSubstrPositions(docsTab, kk).count()
+        }
+        val fields = perK.map { case (kk, c) => s""""k$kk":$c""" }.mkString(",")
+        perK.sliding(2).foreach {
+          case Seq((k1, c1), (k2, c2)) => require(c2 <= c1,
+            s"dup positions must not grow with k: k=$k1→$c1, k=$k2→$c2")
+          case _ =>
+        }
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q93_substr_kdial",$fields}""")
+      }
+
+      // q100 structural: the √n bucket-width rule. With W derived as
+      // √n_docs (tokenBlocksAuto — the registered q100), BOTH levels of
+      // the two-level scan stay √n-sized: the bucket table crossing the
+      // one unpartitioned window AND each per-bucket window partition.
+      // The row asserts the bucket table grows as √factor, not factor —
+      // sub-linear by measurement.
+      if (on("tokenblocks")) {
+        val nDocs = docsTab.count()
+        val w = math.max(1L, math.sqrt(nDocs.toDouble).round)
+        val buckets = docsTab
+          .select(expr(s"doc_id div $w").as("b")).distinct().count()
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q100_buckets","n_docs":$nDocs,"bucket_width":$w,"bucket_rows":$buckets}""")
+      }
+
       // q95 structural: the bigram MODEL is the only non-stream relation
       // — its row count (distinct bigrams) bounds the state the scoring
       // join shuffles besides the corpus stream itself. Token-salted
@@ -348,6 +386,33 @@ object ScaleRehearsal {
           countDistinct(col("cluster_id")).as("clusters"),
           max(col("cluster_size")).as("max_size")).collect()(0)
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q79_clusters","nodes":${row.getLong(0)},"clusters":${row.getLong(1)},"max_size":${row.getLong(2)},"rounds":$rounds}""")
+      }
+
+      // q101 structural: semantic dedup over the embedding pair graph.
+      // Amplified copies carry IDENTICAL vectors under shifted vec_ids,
+      // so every vector gains k-1 perfect (cosine 1.0) cross-copy dups —
+      // the adversarial regime for semantic dedup, with a pair graph
+      // that grows ~k² BY CONSTRUCTION (this is the workload being
+      // quadratic, not the engine — the candidate generator's linearity
+      // on independent data is q36/q28's pinned property). The claims to
+      // pin here are the CLUSTER side: nodes cover all n·k vectors,
+      // cluster count stays ≈ the ×1 structure (cross-copy dups COLLAPSE
+      // instead of minting clusters — dedup doing its job), and path
+      // halving's round count stays ~constant on the denser graph.
+      // Factors ≤ 10: the ×30 pair listing would be ~900× the base cost
+      // re-demonstrating a known quadratic (the containment-skew
+      // precedent above).
+      if (on("semdedup") && deep) {
+        val pairs = graft.queries.EmbedQueries
+          .embedCosineNeardupPairs(spark, dir, 0.4)
+          .select("vec_a", "vec_b")
+          .withColumnsRenamed(Map("vec_a" -> "doc_a", "vec_b" -> "doc_b"))
+        val (cl, rounds) = graft.queries.DocQueries.dedupClustersWithRounds(pairs)
+        val row = cl.agg(
+          count(lit(1)).as("nodes"),
+          countDistinct(col("cluster_id")).as("clusters"),
+          max(col("cluster_size")).as("max_size")).collect()(0)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q101_semdedup","nodes":${row.getLong(0)},"clusters":${row.getLong(1)},"max_size":${row.getLong(2)},"rounds":$rounds}""")
       }
 
       // Optional per-query filter (csv of names) for targeted timing

@@ -118,6 +118,7 @@ object SparkEntry {
     "q98_embed_pq_adc" -> (EmbedQueries.q98EmbedPqAdc _),
     "q99_embed_ivf_pq" -> (EmbedQueries.q99EmbedIvfPq _),
     "q100_token_blocks" -> (DocQueries.q100TokenBlocks _),
+    "q101_semdedup_clusters" -> (EmbedQueries.q101SemdedupClusters _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2230,5 +2231,36 @@ object SparkEntry {
         |            ORDER BY l2sq, vec_id) AS BIGINT) AS rank
         |  FROM rer)
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // Semantic dedup: q36's pair graph (same bucketed-LSH restatement)
+    // closed transitively by DuckDB's recursive CTE — q79's oracle
+    // pattern on the embedding side.
+    "q101_semdedup_clusters" ->
+      """WITH RECURSIVE wb AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_sum(
+        |           [CASE WHEN list_sum([(CAST(((p * 131071 + i * 524287) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+        |                                * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]) > 0
+        |                 THEN CAST(round(pow(2, p)) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |            for p in range(0, 4)]) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |p2 AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         round(
+        |           list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
+        |           (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)])) *
+        |            sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]))), 6) AS cosine
+        |  FROM wb a JOIN wb b ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT vec_a, vec_b FROM p2 WHERE cosine >= 0.4),
+        |e AS (SELECT vec_a AS id, vec_b AS nbr FROM pairs
+        |      UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |reach AS (
+        |  SELECT id AS u, id AS v FROM (SELECT DISTINCT id FROM e)
+        |  UNION
+        |  SELECT reach.u, e.nbr FROM reach JOIN e ON reach.v = e.id),
+        |lab AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        |SELECT vec_id, cluster_id,
+        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |       vec_id = cluster_id AS is_canonical
+        |FROM lab ORDER BY cluster_id, vec_id""".stripMargin,
   )
 }

@@ -1726,12 +1726,28 @@ object DocQueries {
     * truncation and floor — bit-safe cross-engine with no rounding
     * games. */
   def q100TokenBlocks(spark: SparkSession, dir: String): DataFrame =
-    tokenBlocks(tokenizedDocs(Tables(spark, dir, "documents")), 256L, 100L)
+    tokenBlocksAuto(tokenizedDocs(Tables(spark, dir, "documents")), 256L)
       .orderBy("doc_id")
+
+  /** [[tokenBlocks]] with the bucket width derived by the √n rule: the
+    * two-level scan is balanced when BOTH levels are √n-sized — the
+    * bucket table (n/W rows through the one unpartitioned window) and
+    * each per-bucket window partition (≤ W docs) — so W ≈ √n_docs keeps
+    * either side at ~10⁵ rows even for a 10¹⁰-doc corpus. A fixed W is
+    * a footgun in both directions (W=100 at 10¹⁰ docs → a 10⁸-row
+    * bucket table through one task; W=10⁶ at 10⁴ docs → no
+    * parallelism), so the registered q100 pays one cheap count() to set
+    * the dial. The width never changes the OUTPUT (TokenBlocksSpec
+    * proves equality at arbitrary widths), only the plan's balance. */
+  def tokenBlocksAuto(tok: DataFrame, blockSize: Long): DataFrame = {
+    val n = tok.count()
+    tokenBlocks(tok, blockSize, math.max(1L, math.sqrt(n.toDouble).round))
+  }
 
   /** The reusable operator behind q100: any (doc_id, toks) frame;
     * `blockSize` in tokens, `bucketWidth` in doc_ids (the parallelism /
-    * window-input-size dial). */
+    * window-input-size dial — W ≈ √n_docs unless you have a reason, see
+    * [[tokenBlocksAuto]]). */
   def tokenBlocks(tok: DataFrame, blockSize: Long,
                   bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1749,8 +1765,15 @@ object DocQueries {
       .select("b", "boff")
     val inBucket = Window.partitionBy("b").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // No broadcast hint: at the √n width the offset table is √n rows
+    // (trivially broadcast — AQE picks that at runtime), but a caller
+    // pinning a small W on a huge corpus makes it corpus/W rows, and a
+    // forced broadcast would overwhelm the driver; an equi-join on b
+    // costs nothing extra anyway — the per-doc window needs the corpus
+    // hash-partitioned by b regardless, so both join inputs ride
+    // exchanges the plan already has.
     counts
-      .join(broadcast(offsets), "b")
+      .join(offsets, "b")
       .withColumn("doff", coalesce(sum("n_tokens").over(inBucket), lit(0L)))
       .select(col("doc_id"), col("n_tokens"),
         (col("boff") + col("doff")).as("offset"))
@@ -1835,10 +1858,18 @@ object DocQueries {
     bigramLmScoreToks(tokenizedDocs(Tables(spark, dir, "documents")))
       .orderBy("doc_id")
 
-  /** The reusable operator behind q95: any (doc_id, text) frame. */
+  /** The reusable operator behind q95: any (doc_id, text) frame. Unlike
+    * the registered q95 (which rides the session-scoped tokenizedDocs
+    * cache that [[unpersistShared]] can name and release), this generic
+    * path does NOT memo-cache the pair table — a library caller scoring
+    * many ad-hoc frames in one session would otherwise accumulate
+    * persisted pair tables keyed on frames no public release method can
+    * address. The cost is one extra corpus bigram pass when exchange
+    * reuse misses; the registered/tokenized path keeps the cache. */
   def bigramLmScore(docs: DataFrame): DataFrame =
     bigramLmScoreToks(
-      docs.select(col("doc_id"), toks(col("text")).as("toks")))
+      docs.select(col("doc_id"), toks(col("text")).as("toks")),
+      memo = false)
 
   private def bigramPairs(g: DataFrame): DataFrame =
     g.groupBy("h12", "h1").agg(count(lit(1)).as("c12"))
@@ -1866,14 +1897,17 @@ object DocQueries {
       .select(col("doc_id"), col("bg.h12").as("h12"), col("bg.h1").as("h1"))
   }
 
-  private def bigramLmScoreToks(tok: DataFrame): DataFrame = {
+  private def bigramLmScoreToks(tok: DataFrame,
+                                memo: Boolean = true): DataFrame = {
     val g = bigramStream(tok)
     // The pair table is VOCABULARY-sized (distinct bigrams), not
     // corpus-sized — persist it so model and prefix totals both read the
     // one aggregation. Without the cache, ctx's column pruning makes its
     // pair subplan non-identical to model's, exchange reuse misses, and
-    // the corpus bigram stream is exploded a third time.
-    val pair = memoShared(tok, "bigram-pairs") { bigramPairs(g) }
+    // the corpus bigram stream is exploded a third time. memo=false on
+    // the ad-hoc-frame path (see [[bigramLmScore]]).
+    val pair = if (memo) memoShared(tok, "bigram-pairs") { bigramPairs(g) }
+               else bigramPairs(g)
     // Prefix totals from the PAIR table (model-sized), not the corpus:
     // c(w1 ·) = Σ_w2 c(w1 w2).
     val ctx = pair.groupBy("h1").agg(sum("c12").as("c1"))

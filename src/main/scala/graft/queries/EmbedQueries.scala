@@ -370,7 +370,13 @@ object EmbedQueries {
     * split (on by default; divides an oversized bucket's sort-merge
     * partition by size, same key or not), and `core.saltedJoin` as the
     * manual fallback when the plan must be pinned. */
-  def q36EmbedCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
+  def q36EmbedCosineNeardup(spark: SparkSession, dir: String): DataFrame =
+    embedCosineNeardupPairs(spark, dir, 0.4).orderBy("vec_a", "vec_b")
+
+  /** The unsorted pair relation behind q36 — also the edge set q101's
+    * semantic cluster assignment consumes. */
+  def embedCosineNeardupPairs(spark: SparkSession, dir: String,
+                              threshold: Double): DataFrame = {
     withDot(spark)
     // Fan the corpus out to session parallelism BEFORE the pair join: the
     // verify join broadcasts the probe side, so it executes on THESE
@@ -393,8 +399,43 @@ object EmbedQueries {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
-    pairs.filter(col("cosine") >= 0.4).orderBy("vec_a", "vec_b")
+    pairs.filter(col("cosine") >= threshold)
   }
+
+  /** SEMANTIC DEDUP (q101, SemDeDup-style): collapse embedding-space
+    * near-duplicates into clusters with one canonical survivor each —
+    * the last member of the dedup family (exact q20, MinHash q25,
+    * SimHash q26, containment q66, substring q93, textual clusters q79
+    * all exist; this is their SEMANTIC twin: two documents phrased
+    * differently but embedded together dedup here and nowhere else).
+    * Abbas et al. 2023 ("SemDeDup") prune within k-means cluster
+    * neighborhoods; the composition here is the same verdict computed
+    * from proven parts — q36's probed-LSH cosine pair graph (recall
+    * measured in AnnRecallSpec on both data regimes) fed through q79's
+    * path-halving connected components, canonical = min vec_id.
+    *
+    * Scale shape: inherits its two components' measured bounds — the
+    * pair join is bucketed+probed (never all-pairs; the 2^planes
+    * parallelism ceiling and its knobs are q36's scaladoc), and the
+    * label iteration is node-sized with ~constant rounds (SCALE.md
+    * q79/q101 rows). The oracle recomputes the components with DuckDB's
+    * recursive-CTE closure over the brute-force pair graph — a hash
+    * match certifies the assignment, not a shared implementation. */
+  def q101SemdedupClusters(spark: SparkSession, dir: String): DataFrame =
+    semdedupClusters(embedCosineNeardupPairs(spark, dir, 0.4))
+      .orderBy("cluster_id", "vec_id")
+
+  /** The reusable operator behind q101: any (vec_a, vec_b) pair frame →
+    * (vec_id, cluster_id, cluster_size, is_canonical), one row per node
+    * of the pair graph. `checkpointDir` as in
+    * [[graft.queries.DocQueries.dedupClusters]]. */
+  def semdedupClusters(pairs: DataFrame,
+                       checkpointDir: Option[String] = None): DataFrame =
+    graft.queries.DocQueries.dedupClusters(
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      checkpointDir)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"), col("is_canonical"))
 
   /** Int8 scalar quantization + quantized-space retrieval (q60): each
     * vector is symmetrically quantized to 64 int8 codes with one

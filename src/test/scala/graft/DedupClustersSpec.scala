@@ -89,6 +89,18 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(wrote > 0, "reliable mode wrote no checkpoint files")
   }
 
+  test("q101 semdedupClusters maps the embedding pair frame onto the same assignment") {
+    // The wrapper's whole job is column mapping (vec_* in, vec_id out)
+    // around the proven dedupClusters — pin it on a two-component graph.
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("vec_a", "vec_b")
+    val got = graft.queries.EmbedQueries.semdedupClusters(pairs)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (5L, 1L, 3L, false),
+      (7L, 7L, 2L, true), (9L, 7L, 2L, false)))
+  }
+
   test("tf-idf ranks doc-frequent corpus-rare terms first") {
     val docs = Seq(
       (1L, "apple apple banana"),

@@ -40,6 +40,16 @@ class TokenBlocksSpec extends AnyFunSuite {
     }
   }
 
+  test("auto width (√n rule) reproduces the fixed-width result exactly") {
+    val docs = toksDf((0L until 50L).map(i =>
+      (i * 2 + (i % 3), Seq.fill((i % 11 + 1).toInt)("t"))))
+    val auto = DocQueries.tokenBlocksAuto(docs, 64L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val fixed = DocQueries.tokenBlocks(docs, 64L, 13L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(auto == fixed, "the derived width changed the output")
+  }
+
   test("offsets are gapless and blocks partition the token stream") {
     val docs = toksDf((0L until 40L).map(i =>
       (i * 3, Seq.fill((i % 7 + 1).toInt)("t"))))
