@@ -195,14 +195,17 @@ object ScaleRehearsal {
       "q98_embed_pq_adc" -> (graft.queries.EmbedQueries.q98EmbedPqAdc _),
       "q99_embed_ivf_pq" -> (graft.queries.EmbedQueries.q99EmbedIvfPq _),
       "q100_token_blocks" -> (graft.queries.DocQueries.q100TokenBlocks _),
-      "q101_semdedup_clusters" -> (graft.queries.EmbedQueries.q101SemdedupClusters _))
+      "q101_semdedup_clusters" -> (graft.queries.EmbedQueries.q101SemdedupClusters _),
+      "q102_temperature_mix" -> (graft.queries.DocQueries.q102TemperatureMix _),
+      "q103_filter_cascade" -> (graft.queries.DocQueries.q103FilterCascade _))
 
     // Factors past ×10 run in SHALLOW mode: structural counts for the doc
     // family only (one pass each, no min-of-2 timing) — the cheap extra
     // decade that shows whether the candidate ratio keeps holding.
     val shallowSet = Set("q20_exact_dedup", "q25_minhash_neardup",
       "q49_stratified_sample", "q51_decontaminate", "q66_containment",
-      "q93_exact_substr_spans", "q100_token_blocks")
+      "q93_exact_substr_spans", "q100_token_blocks",
+      "q102_temperature_mix", "q103_filter_cascade")
 
     factors.foreach { k =>
       val deep = k <= 10

@@ -119,6 +119,8 @@ object SparkEntry {
     "q99_embed_ivf_pq" -> (EmbedQueries.q99EmbedIvfPq _),
     "q100_token_blocks" -> (DocQueries.q100TokenBlocks _),
     "q101_semdedup_clusters" -> (EmbedQueries.q101SemdedupClusters _),
+    "q102_temperature_mix" -> (DocQueries.q102TemperatureMix _),
+    "q103_filter_cascade" -> (DocQueries.q103FilterCascade _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2262,5 +2264,78 @@ object SparkEntry {
         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
         |       vec_id = cluster_id AS is_canonical
         |FROM lab ORDER BY cluster_id, vec_id""".stripMargin,
+    // Temperature mix (α = 1/2): all allocation arithmetic is integer —
+    // w = floor(sqrt(mass)) is the one double op, and IEEE sqrt is
+    // correctly rounded so both engines floor the identical value; the
+    // allocation itself uses integer division (`div` / `//`), never a
+    // double quotient.
+    "q102_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, lang, source, n_tokens,
+        |         round(0.4 * ttr + 0.3 * (1.0 - stop_ratio)
+        |               + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        |  FROM b),
+        |m AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+        |         CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM q GROUP BY source),
+        |d AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM m),
+        |a AS (SELECT m.source, m.src_tokens,
+        |             CAST((6000 * m.w) // d.sw AS BIGINT) AS alloc_tokens
+        |      FROM m, d),
+        |c AS (
+        |  SELECT q.*, a.src_tokens, a.alloc_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY q.source
+        |           ORDER BY quality DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM q JOIN a ON q.source = a.source)
+        |SELECT doc_id, lang, source, n_tokens, quality, src_tokens,
+        |       alloc_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= alloc_tokens
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+    // Filter cascade: first-fail attribution via the same ordered CASE
+    // chain; min/max are order-insensitive so no float-sum tolerance.
+    "q103_filter_cascade" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |  FROM t),
+        |q AS (
+        |  SELECT *, round(0.4 * ttr + 0.3 * (1.0 - stop_ratio)
+        |            + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        |  FROM b),
+        |v AS (
+        |  SELECT *,
+        |         CAST(CASE WHEN n_tokens < 16 THEN 1
+        |              WHEN stop_ratio < 0.015 THEN 2
+        |              WHEN ttr < 0.32 THEN 3
+        |              WHEN quality < 0.62 THEN 4
+        |              ELSE 5 END AS BIGINT) AS rule_idx,
+        |         CASE WHEN n_tokens < 16 THEN 'too_short'
+        |              WHEN stop_ratio < 0.015 THEN 'low_stopword'
+        |              WHEN ttr < 0.32 THEN 'high_repetition'
+        |              WHEN quality < 0.62 THEN 'low_quality'
+        |              ELSE 'kept' END AS verdict
+        |  FROM q)
+        |SELECT lang, rule_idx, verdict,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |       min(quality) AS min_quality, max(quality) AS max_quality
+        |FROM v GROUP BY lang, rule_idx, verdict
+        |ORDER BY lang, rule_idx""".stripMargin,
   )
 }

@@ -2070,4 +2070,149 @@ object DocQueries {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
+
+  /** [[packToBudget]] generalized to PER-STRATUM budgets: `budgets` is a
+    * tiny (strata…, budget: long) table — one row per stratum, broadcast
+    * everywhere it is used. A stratum absent from `budgets` is excluded by
+    * policy (allocation zero), so the corpus join is inner, not left.
+    *
+    * The exact-prune argument of [[packToBudget]] carries over with
+    * `budget` read from the joined column instead of a literal: a
+    * document whose strictly-higher quality buckets already hold ≥ its
+    * stratum's budget can never be admitted. The histogram window still
+    * runs over ≤ strata × 1001 rows and the exact window over
+    * ~budget-sized survivors — nothing corpus-sized is ever sorted. */
+  def packToBudgets(scored: DataFrame, budgets: DataFrame,
+                    strata: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = strata.map(col)
+    val qb = floor(col("quality") * 1000).cast("long")
+    val hist = scored.groupBy(sc :+ qb.as("qb"): _*)
+      .agg(sum("n_tokens").as("btoks"))
+    val above = Window.partitionBy(sc: _*).orderBy(desc("qb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cutoffs = hist
+      .join(broadcast(budgets.select(sc :+ col("budget"): _*)), strata)
+      .withColumn("above", coalesce(sum("btoks").over(above), lit(0L)))
+      .filter(col("above") < col("budget"))
+      .groupBy(sc: _*).agg(min("qb").as("min_qb"))
+    // Same null-pass posture as packToBudget: a null-quality row or a
+    // stratum the cutoff table cannot name falls through to the exact
+    // window un-pruned rather than vanishing.
+    val survivors = scored
+      .join(broadcast(budgets), strata)
+      .join(broadcast(cutoffs), strata, "left")
+      .filter(qb.isNull || col("min_qb").isNull || qb >= col("min_qb"))
+      .drop("min_qb")
+    val w = Window
+      .partitionBy(sc: _*).orderBy(desc("quality"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= col("budget"))
+  }
+
+  /** TEMPERATURE-WEIGHTED SOURCE MIX — the multilingual-LLM sampling rule
+    * (weights ∝ massᵅ, α = 1/2) as a batch pack: low-resource sources are
+    * UP-sampled relative to their corpus share, high-resource sources
+    * down-sampled, and each source's allocation is filled with its
+    * highest-quality documents.
+    *
+    * All the α = 1/2 arithmetic is EXACT and order-independent, so the
+    * DuckDB hash compare needs no float tolerance:
+    *   - per-source mass nᵢ: integer sum (map-combinable aggregate);
+    *   - weight wᵢ = ⌊√nᵢ⌋: IEEE sqrt is correctly rounded, so Spark and
+    *     DuckDB compute the identical double and the identical floor;
+    *   - denominator S = Σwᵢ: integer sum over the #sources-row table;
+    *   - allocation aᵢ = (B·wᵢ) div S: INTEGER division (`div`, `//`) —
+    *     never a double quotient that could round across an integer.
+    *
+    * Scale shape: one map-combinable aggregate builds the #sources-row
+    * mass table; the 1-row denominator attaches by broadcast crossJoin
+    * (q88's idiom); the pack is [[packToBudgets]], so the per-source
+    * fill windows see ~allocation-sized survivor sets, never whole
+    * sources. The corpus crosses exactly two exchanges (mass aggregate,
+    * histogram aggregate) plus the bounded survivor sort. */
+  def temperatureMix(scored: DataFrame, budget: Long): DataFrame = {
+    val mass = scored.groupBy("source")
+      .agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("w", floor(sqrt(col("src_tokens").cast("double"))))
+    val denom = mass.agg(sum("w").as("sw"))
+    val budgets = mass.crossJoin(broadcast(denom))
+      .withColumn("budget", expr(s"(${budget}L * w) div sw"))
+      .select(col("source"), col("src_tokens"), col("budget"))
+    packToBudgets(scored, budgets, Seq("source"))
+      .withColumnRenamed("budget", "alloc_tokens")
+  }
+
+  /** q102: [[temperatureMix]] over the scored corpus, B = 6000 tokens.
+    * On the fixture the per-source allocations (~B/#sources ≈ 300
+    * tokens, against ~1.3k-token sources) all bind, so the oracle
+    * exercises both the allocation arithmetic and a multi-document
+    * quality-ordered fill per source. */
+  def q102TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val scored = scoredDocs(
+      tokenizedDocs(Tables(spark, dir, "documents")), Seq("source"))
+    temperatureMix(scored, 6000L)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("quality"), col("src_tokens"), col("alloc_tokens"),
+        col("cum_tokens"))
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+
+  /** FILTER CASCADE with first-fail attribution — the curation-pipeline
+    * audit behind every web-corpus filter stack (which rule kills how
+    * many documents, and how much token mass goes with them?). `rules`
+    * is an ORDERED (name, fail-condition) list; a document is attributed
+    * to the FIRST rule it fails — the convention that makes per-rule
+    * counts a partition of the corpus (Σ n_docs = total docs) rather
+    * than overlapping tallies, so rule costs can be read off directly.
+    *
+    * Shape: the whole cascade is ONE chained `when` projection — map-only
+    * — followed by a single map-combinable aggregate. Nothing about it
+    * changes at 100 TB; `min/max_quality` are order-insensitive so the
+    * result is engine-stable with no float-sum games. */
+  def filterCascade(scored: DataFrame,
+                    rules: Seq[(String, Column)]): DataFrame = {
+    val verdict = rules.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, cond), i)) =>
+        val arm = struct(lit(i + 1).cast("long").as("rule_idx"),
+          lit(name).as("verdict"))
+        Some(acc.fold(when(cond, arm))(_.when(cond, arm)))
+      }.get
+      .otherwise(struct(lit(rules.size + 1).cast("long").as("rule_idx"),
+        lit("kept").as("verdict")))
+    scored
+      .withColumn("v", verdict)
+      .groupBy(col("lang"), col("v.rule_idx").as("rule_idx"),
+        col("v.verdict").as("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+        min("quality").as("min_quality"), max("quality").as("max_quality"))
+  }
+
+  /** q103: the standard four-rule stack over the scored corpus —
+    * too-short, stopword-free (not natural language under the corpus's
+    * en-marker heuristic), high repetition (low type/token ratio), and a
+    * final quality floor. Thresholds chosen so every rule fires on the
+    * fixture (n: p5≈16, stop_ratio: p10≈0.015, ttr: p10≈0.32,
+    * quality: p25≈0.627). */
+  def q103FilterCascade(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("toks")
+    val base = tokenizedDocs(Tables(spark, dir, "documents")).select(
+      col("doc_id"), col("lang"),
+      size(t).cast("long").as("n_tokens"),
+      (size(filter(t, x => x === "the" || x === "a")).cast("double") /
+        size(t)).as("stop_ratio"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+    val scored = base.withColumn("quality", round(
+      lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+        lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)),
+      6))
+    filterCascade(scored, Seq(
+      "too_short" -> (col("n_tokens") < 16),
+      "low_stopword" -> (col("stop_ratio") < 0.015),
+      "high_repetition" -> (col("ttr") < 0.32),
+      "low_quality" -> (col("quality") < 0.62)))
+      .orderBy("lang", "rule_idx")
+  }
 }
