@@ -197,7 +197,9 @@ object ScaleRehearsal {
       "q100_token_blocks" -> (graft.queries.DocQueries.q100TokenBlocks _),
       "q101_semdedup_clusters" -> (graft.queries.EmbedQueries.q101SemdedupClusters _),
       "q102_temperature_mix" -> (graft.queries.DocQueries.q102TemperatureMix _),
-      "q103_filter_cascade" -> (graft.queries.DocQueries.q103FilterCascade _))
+      "q103_filter_cascade" -> (graft.queries.DocQueries.q103FilterCascade _),
+      "q104_bpe_train" -> (graft.queries.DocQueries.q104BpeTrain _),
+      "q105_bpe_encode" -> (graft.queries.DocQueries.q105BpeEncode _))
 
     // Factors past ×10 run in SHALLOW mode: structural counts for the doc
     // family only (one pass each, no min-of-2 timing) — the cheap extra
@@ -205,7 +207,8 @@ object ScaleRehearsal {
     val shallowSet = Set("q20_exact_dedup", "q25_minhash_neardup",
       "q49_stratified_sample", "q51_decontaminate", "q66_containment",
       "q93_exact_substr_spans", "q100_token_blocks",
-      "q102_temperature_mix", "q103_filter_cascade")
+      "q102_temperature_mix", "q103_filter_cascade", "q104_bpe_train",
+      "q105_bpe_encode")
 
     factors.foreach { k =>
       val deep = k <= 10

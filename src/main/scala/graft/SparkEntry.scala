@@ -121,6 +121,8 @@ object SparkEntry {
     "q101_semdedup_clusters" -> (EmbedQueries.q101SemdedupClusters _),
     "q102_temperature_mix" -> (DocQueries.q102TemperatureMix _),
     "q103_filter_cascade" -> (DocQueries.q103FilterCascade _),
+    "q104_bpe_train" -> (DocQueries.q104BpeTrain _),
+    "q105_bpe_encode" -> (DocQueries.q105BpeEncode _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2337,5 +2339,79 @@ object SparkEntry {
         |       min(quality) AS min_quality, max(quality) AS max_quality
         |FROM v GROUP BY lang, rule_idx, verdict
         |ORDER BY lang, rule_idx""".stripMargin,
+    // BPE trainer: all 10 merge iterations restated as an UNROLLED chain
+    // of MATERIALIZED CTEs (materialization is semantically inert but
+    // stops DuckDB re-evaluating each vocab level twice per stage — the
+    // naive chain is 2^N). Every row certifies one full
+    // argmax-over-evolving-vocabulary round; literal `replace` has the
+    // same left-to-right non-overlapping semantics in both engines, which
+    // IS the BPE greedy merge rule.
+    "q104_bpe_train" -> bpeOracleSql(10),
+    // BPE encode: same unrolled chain, then a 10-deep literal-replace
+    // fold applied to every corpus word -- the map-only projection the
+    // Spark side plans, restated.
+    "q105_bpe_encode" -> bpeEncodeOracleSql(10),
   )
+
+  /** The shared WITH-clause prefix for the BPE oracles: word-frequency
+    * table, wrapped initial vocab, and the n unrolled
+    * (pair-count, argmax, rewrite) stages. MATERIALIZED stops DuckDB
+    * re-evaluating each vocab level twice per stage (the naive chain is
+    * 2^n). */
+  private def bpeStagesSql(n: Int): String = {
+    val stages = (1 to n).map { i =>
+      val p = i - 1
+      s"""p$i AS (
+         |  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest([ [l[j], l[j+1]] for j in range(1, len(l)) ]) AS pr
+         |        FROM (SELECT string_split(s[2:-2], chr(2)||chr(1)) AS l, freq FROM v$p))
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT replace(v.s, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
+         |                        chr(1)||m.a||m.b||chr(2)) AS s, v.freq
+         |         FROM v$p v, m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |v0 AS MATERIALIZED (SELECT list_aggregate(list_transform(string_split(word, ''),
+       |         x -> chr(1) || x || chr(2)), 'string_agg', '') AS s, freq FROM w),
+       |$stages""".stripMargin
+  }
+
+  /** Generates the unrolled n-iteration BPE training oracle (q104). */
+  private def bpeOracleSql(n: Int): String = {
+    val finals = (1 to n).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, a||b AS merged, cnt AS pair_count FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"""${bpeStagesSql(n)}
+       |$finals
+       |ORDER BY step""".stripMargin
+  }
+
+  /** Generates the n-merge BPE ENCODE oracle (q105): the same unrolled
+    * training chain, then every corpus word folded through the n learned
+    * replaces (each m-table is one row, cross-joined in so its pair is a
+    * plain column reference) and symbol counts summed per document. */
+  private def bpeEncodeOracleSql(n: Int): String = {
+    val enc = (1 to n).foldLeft(
+      "list_aggregate(list_transform(string_split(word, ''), x -> chr(1) || x || chr(2)), 'string_agg', '')") {
+      (acc, i) =>
+        s"replace($acc, chr(1)||mm$i.a||chr(2)||chr(1)||mm$i.b||chr(2), chr(1)||mm$i.a||mm$i.b||chr(2))"
+    }
+    val mrefs = (1 to n).map(i => s"m$i mm$i").mkString(", ")
+    s"""${bpeStagesSql(n)},
+       |d AS (SELECT doc_id, lang,
+       |             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |      FROM documents),
+       |dw AS (SELECT doc_id, lang, word FROM d WHERE length(word) > 0),
+       |e AS (SELECT doc_id, lang, length(word) AS wlen, $enc AS s
+       |      FROM dw, $mrefs)
+       |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(wlen) AS BIGINT) AS n_chars,
+       |       CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) AS n_bpe_tokens
+       |FROM e GROUP BY doc_id, lang
+       |ORDER BY doc_id""".stripMargin
+  }
 }

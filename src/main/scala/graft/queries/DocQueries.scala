@@ -276,6 +276,7 @@ object DocQueries {
     val appId = spark.sparkContext.applicationId
     shared.keys.filter(_._1 == appId).toSeq.foreach(k =>
       shared.remove(k).foreach(_.unpersist()))
+    sharedBpe.keys.filter(_._1 == appId).toSeq.foreach(sharedBpe.remove)
   }
 
   /** The banded candidate pairs BEFORE the exact-Jaccard verify — the
@@ -2189,6 +2190,156 @@ object DocQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
         min("quality").as("min_quality"), max("quality").as("max_quality"))
   }
+
+  /** DISTRIBUTED BPE TRAINER — the tokenizer-training step expressed in
+    * the shape that survives 100 TB: the corpus is crossed EXACTLY ONCE
+    * (one explode → word-frequency aggregate, map-side combined); every
+    * merge iteration then runs on the VOCABULARY-sized word table, whose
+    * row count is fixed by the language, not the corpus.
+    *
+    * Representation: each word is a string of sentinel-wrapped symbols
+    * (U+0001 sym U+0002, repeated), so one BPE merge is a single literal
+    * `replace` of the wrapped pair with the wrapped concatenation —
+    * and literal replace's left-to-right non-overlapping scan IS the BPE
+    * greedy merge rule ("aaa" + (a,a) → "aa","a"), with the sentinels
+    * making a symbol-boundary match impossible to confuse with a
+    * substring match ("xa","b" can never match pair (a,b)). The
+    * pair-count step splits the string back to symbols and counts
+    * adjacent pairs weighted by word frequency — overlapping pairs
+    * counted, the standard convention.
+    *
+    * Each iteration collects exactly ONE row (the argmax pair, ties
+    * broken lexicographically so both engines agree) — the kmeans/IVF
+    * trainer idiom, not a driver-side data loop; the evolving vocab
+    * re-persists per round and the superseded relation is released.
+    * Caveat: corpora that may contain U+0001/U+0002 should strip them
+    * upstream (the sentinels must not occur in text).
+    *
+    * Reference scope: the reference has no tokenizer trainer; this is
+    * the training-data-pipeline extra (SURVEY §7.1) — Sennrich et al.'s
+    * algorithm re-expressed relationally. */
+  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainBpe(docs, nMerges).toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** The BPE sentinels (see [[bpeMerges]]). */
+  private val bpeS = "\u0001"
+  private val bpeE = "\u0002"
+
+  /** Driver-value twin of [[memoShared]]: the trained merge list keyed by
+    * (appId, input plan, nMerges). A few tuples of strings -- no persisted
+    * relation to release -- but cleared by [[unpersistAllShared]] so a
+    * long-lived session can drop a stale tokenizer explicitly (the key is
+    * the INPUT plan, so a changed corpus trains fresh regardless). q104
+    * (train) and q105 (encode) share one training run through this. */
+  private val sharedBpe = scala.collection.concurrent.TrieMap
+    .empty[(String, Any, Int), Seq[(Long, String, String, String, Long)]]
+
+  private def trainBpe(docs: DataFrame, nMerges: Int)
+      : Seq[(Long, String, String, String, Long)] =
+    sharedBpe.getOrElseUpdate(
+      (docs.sparkSession.sparkContext.applicationId,
+        docs.queryExecution.analyzed.canonicalized, nMerges),
+      trainBpeUncached(docs, nMerges))
+
+  private def trainBpeUncached(docs: DataFrame, nMerges: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    val S = bpeS; val E = bpeE
+    val words = tokenizedDocs(docs)
+      .select(explode(col("toks")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // Spark's split("", -1) keeps a trailing empty string; filter it.
+    val enc = array_join(
+      transform(filter(split(col("word"), ""), ch => ch =!= ""),
+        ch => concat(lit(S), ch, lit(E))), "")
+    var vocab = words.select(enc.as("s"), col("freq")).persist()
+    val merges =
+      scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val syms = split(
+        regexp_replace(col("s"), "^\u0001|\u0002$", ""), "\u0002\u0001")
+      val top = vocab
+        .select(col("freq"), syms.as("y"))
+        .select(col("freq"), explode(zip_with(
+          slice(col("y"), lit(1), size(col("y")) - 1),
+          slice(col("y"), lit(2), size(col("y")) - 1),
+          (x, z) => struct(x.as("a"), z.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, a, b, a + b, c))
+        val next = vocab.withColumn("s",
+          replace(col("s"), lit(S + a + E + S + b + E), lit(S + a + b + E)))
+          .persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** BPE ENCODER -- the serving side of [[bpeMerges]]: apply the trained
+    * merge list to the corpus and report per-document token statistics
+    * under the learned tokenizer. The 100 TB shape is the whole point:
+    * the merge table is a DRIVER CONSTANT (the shipped tokenizer
+    * artifact), so encoding folds the merges into ONE map-only projection
+    * -- a chain of literal `replace` calls, no join, no broadcast, no
+    * shuffle until the per-doc aggregate -- and the corpus is crossed
+    * exactly once. Symbol count = sentinel count (one length subtraction),
+    * so every output is an exact integer. */
+  def bpeEncodeStats(docs: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val S = bpeS; val E = bpeE
+    val enc0 = array_join(
+      transform(filter(split(col("word"), ""), ch => ch =!= ""),
+        ch => concat(lit(S), ch, lit(E))), "")
+    val encoded = merges.foldLeft(enc0) { case (c, (a, b)) =>
+      replace(c, lit(S + a + E + S + b + E), lit(S + a + b + E))
+    }
+    tokenizedDocs(docs)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("word"))
+      .filter(length(col("word")) > 0)
+      // Materialize the replace-fold once per row -- the two length()
+      // consumers below would otherwise each re-evaluate the whole chain.
+      .select(col("doc_id"), col("lang"), length(col("word")).as("wlen"),
+        encoded.as("enc"))
+      .select(col("doc_id"), col("lang"), col("wlen"),
+        (length(col("enc")) - length(replace(col("enc"), lit(S), lit(""))))
+          .as("nsym"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("wlen").cast("long")).as("n_chars"),
+        sum(col("nsym").cast("long")).as("n_bpe_tokens"))
+  }
+
+  /** q105: encode the corpus under q104's 10-merge tokenizer (one shared
+    * training run via the driver-value cache) -- per-doc word/char/BPE-token
+    * counts, the compression audit a tokenizer change ships with. */
+  def q105BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val merges = trainBpe(docs, 10).map { case (_, a, b, _, _) => (a, b) }
+    bpeEncodeStats(docs, merges).orderBy("doc_id")
+  }
+
+  /** q104: 10 BPE merges trained on the corpus — the merge table IS the
+    * tokenizer artifact a training run ships. The oracle restates all 10
+    * iterations as an unrolled chain of MATERIALIZED CTEs, so every row
+    * certifies one full argmax-over-evolving-vocabulary round
+    * cross-engine. */
+  def q104BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables(spark, dir, "documents"), 10).orderBy("step")
 
   /** q103: the standard four-rule stack over the scored corpus —
     * too-short, stopword-free (not natural language under the corpus's

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior pins for the distributed BPE trainer (q104) beyond the
+  * unrolled DuckDB oracle: full-run equality against an independent
+  * in-memory reference implementation, the greedy-overlap merge rule,
+  * and the property that makes BPE BPE — merged symbols participate in
+  * later merges. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Sennrich et al.'s algorithm, straight-line Scala: overlapping pair
+    * counts weighted by word frequency, lexicographic tie-break, greedy
+    * left-to-right non-overlapping merge application. */
+  private def reference(words: Map[String, Long], n: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, f) => w.split("").filter(_.nonEmpty).toVector -> f }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, String, Long)]
+    for (step <- 1 to n) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.minBy { case ((x, y), m) => (-m, x, y) }
+        out += ((step.toLong, a, b, a + b, c))
+        def merge(s: Vector[String]): Vector[String] = {
+          val r = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+              r += a + b; i += 2
+            } else { r += s(i); i += 1 }
+          }
+          r.result()
+        }
+        vocab = vocab.groupMapReduce { case (s, _) => merge(s) } { case (_, f) => f }(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("q104 equals the reference implementation for all 10 merges") {
+    import spark.implicits._
+    val words = graft.sources.Tables(spark, sf, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    val expect = reference(words, 10)
+    val got = graft.queries.DocQueries.q104BpeTrain(spark, sf)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == expect, s"merge tables diverged:\n got=$got\n exp=$expect")
+    // The property that makes BPE BPE: at least one later merge consumes
+    // an earlier merge's output symbol.
+    assert(got.exists { case (_, a, b, _, _) => a.length > 1 || b.length > 1 },
+      s"no hierarchical merge in 10 steps — suspicious: $got")
+  }
+
+  test("merge application is greedy left-to-right non-overlapping") {
+    import spark.implicits._
+    // 'aaaa' x3: pair (a,a) counts 3 overlapping positions x 3 = 9.
+    // Greedy merge yields 'aa','aa' (never 'a','aa','a' or overlap).
+    // Step 2 must then see (aa,aa) with count 3 — only true under the
+    // non-overlapping rule.
+    val docs = Seq((1L, "aaaa aaaa aaaa", "en", "s0", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.DocQueries.bpeMerges(docs, 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "a", "aa", 9L), (2L, "aa", "aa", "aaaa", 3L)),
+      s"got $got")
+  }
+
+  test("q105 encoding equals a reference encode under the trained merges") {
+    import spark.implicits._
+    val words = graft.sources.Tables(spark, sf, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    val merges = reference(words, 10).map { case (_, a, b, _, _) => (a, b) }
+    def encode(w: String): Int = {
+      var syms = w.split("").filter(_.nonEmpty).toVector
+      merges.foreach { case (a, b) =>
+        val r = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            r += a + b; i += 2
+          } else { r += syms(i); i += 1 }
+        }
+        syms = r.result()
+      }
+      syms.length
+    }
+    val docTotals = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .as[(Long, String)].collect()
+      .groupMapReduce(_._1) { case (_, w) => (1L, w.length.toLong, encode(w).toLong) } {
+        case ((a1, b1, c1), (a2, b2, c2)) => (a1 + a2, b1 + b2, c1 + c2)
+      }
+    val got = graft.queries.DocQueries.q105BpeEncode(spark, sf)
+      .select("doc_id", "n_words", "n_chars", "n_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == docTotals, "encoder diverged from the reference encode")
+    // Sanity bounds: merges only shrink, never below one symbol per word.
+    got.values.foreach { case (nw, nc, nb) =>
+      assert(nb <= nc && nb >= nw, s"symbol counts out of bounds: $nw $nc $nb")
+    }
+  }
+
+  test("zero merges encodes every character as its own symbol") {
+    import spark.implicits._
+    val docs = Seq((1L, "cat dog", "en", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.DocQueries.bpeEncodeStats(docs, Nil)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "en", 2L, 6L, 6L)), s"got $got")
+  }
+
+  test("trainer stops early when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.DocQueries.bpeMerges(docs, 10)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // One merge exhausts the corpus (every word becomes one symbol).
+    assert(got == Seq((1L, "a", "b", "ab", 2L)), s"got $got")
+  }
+}
