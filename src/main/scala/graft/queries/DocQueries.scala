@@ -2256,6 +2256,14 @@ object DocQueries {
       transform(filter(split(col("word"), ""), ch => ch =!= ""),
         ch => concat(lit(S), ch, lit(E))), "")
     var vocab = words.select(enc.as("s"), col("freq")).persist()
+    // Deferred-unpersist discipline: the argmax action on round i
+    // materializes vocab_i's cache as a side effect, so the PREVIOUS
+    // round's relation can only be released after that action has run
+    // (releasing earlier would re-derive round i from the corpus).
+    // This keeps each round at exactly ONE job — no eager count() to
+    // force materialization — at the cost of two tiny cached relations
+    // live at a time.
+    var prevVocab: Option[DataFrame] = None
     val merges =
       scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
     var step = 1
@@ -2273,19 +2281,21 @@ object DocQueries {
         .agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), asc("a"), asc("b"))
         .limit(1).collect()
+      // The collect above just materialized `vocab`; the round before it
+      // is now safe to release.
+      prevVocab.foreach(_.unpersist())
+      prevVocab = Some(vocab)
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step.toLong, a, b, a + b, c))
-        val next = vocab.withColumn("s",
+        vocab = vocab.withColumn("s",
           replace(col("s"), lit(S + a + E + S + b + E), lit(S + a + b + E)))
           .persist()
-        next.count()
-        vocab.unpersist()
-        vocab = next
         step += 1
       }
     }
+    prevVocab.foreach(_.unpersist())
     vocab.unpersist()
     merges.toSeq
   }
