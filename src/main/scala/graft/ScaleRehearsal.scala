@@ -199,7 +199,8 @@ object ScaleRehearsal {
       "q102_temperature_mix" -> (graft.queries.DocQueries.q102TemperatureMix _),
       "q103_filter_cascade" -> (graft.queries.DocQueries.q103FilterCascade _),
       "q104_bpe_train" -> (graft.queries.DocQueries.q104BpeTrain _),
-      "q105_bpe_encode" -> (graft.queries.DocQueries.q105BpeEncode _))
+      "q105_bpe_encode" -> (graft.queries.DocQueries.q105BpeEncode _),
+      "q106_incr_sem_clusters" -> (graft.queries.EmbedQueries.q106IncrementalSemClusters _))
 
     // Factors past ×10 run in SHALLOW mode: structural counts for the doc
     // family only (one pass each, no min-of-2 timing) — the cheap extra

@@ -123,6 +123,7 @@ object SparkEntry {
     "q103_filter_cascade" -> (DocQueries.q103FilterCascade _),
     "q104_bpe_train" -> (DocQueries.q104BpeTrain _),
     "q105_bpe_encode" -> (DocQueries.q105BpeEncode _),
+    "q106_incr_sem_clusters" -> (EmbedQueries.q106IncrementalSemClusters _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2238,7 +2239,15 @@ object SparkEntry {
     // Semantic dedup: q36's pair graph (same bucketed-LSH restatement)
     // closed transitively by DuckDB's recursive CTE — q79's oracle
     // pattern on the embedding side.
-    "q101_semdedup_clusters" ->
+    "q101_semdedup_clusters" -> semdedupClosureOracle,
+    // Incremental cluster maintenance reuses the SAME full-closure
+    // oracle verbatim: the incremental plan (label stars + delta pairs)
+    // must land on the batch recompute's hash — the strongest equality
+    // claim the gate can express.
+    "q106_incr_sem_clusters" -> semdedupClosureOracle,
+  ) ++ mixCascadeOracles
+
+  private val semdedupClosureOracle: String =
       """WITH RECURSIVE wb AS (
         |  SELECT vec_id, embedding,
         |         CAST(list_sum(
@@ -2265,7 +2274,9 @@ object SparkEntry {
         |SELECT vec_id, cluster_id,
         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
         |       vec_id = cluster_id AS is_canonical
-        |FROM lab ORDER BY cluster_id, vec_id""".stripMargin,
+        |FROM lab ORDER BY cluster_id, vec_id""".stripMargin
+
+  private val mixCascadeOracles: Map[String, String] = Map(
     // Temperature mix (α = 1/2): all allocation arithmetic is integer —
     // w = floor(sqrt(mass)) is the one double op, and IEEE sqrt is
     // correctly rounded so both engines floor the identical value; the

@@ -76,9 +76,16 @@ object Tables {
         val df = read(spark, dir, name)
         val laidOut = spread.get(name) match {
           case Some(rowsPerPartition) =>
+            // Floor at 2, never 1: repartition(1) reports SinglePartition
+            // once materialized, which satisfies EVERY clustered
+            // distribution and lets EnsureRequirements elide the very
+            // exchanges the plan audits (PlanPinsSpec) pin — a tiny-SF
+            // cache would then make downstream plans shape-dependent on
+            // WHICH suite materialized it first. Two ~250-row partitions
+            // cost nothing; the 100 TB path never takes this branch.
             val target = math.min(
               spark.sparkContext.defaultParallelism.toLong,
-              math.max(1L, df.count() / rowsPerPartition)).toInt
+              math.max(2L, df.count() / rowsPerPartition)).toInt
             df.repartition(target)
           case None => df
         }
