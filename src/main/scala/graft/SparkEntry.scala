@@ -124,6 +124,7 @@ object SparkEntry {
     "q104_bpe_train" -> (DocQueries.q104BpeTrain _),
     "q105_bpe_encode" -> (DocQueries.q105BpeEncode _),
     "q106_incr_sem_clusters" -> (EmbedQueries.q106IncrementalSemClusters _),
+    "q107_wordpiece_train" -> (DocQueries.q107WordpieceTrain _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2362,22 +2363,46 @@ object SparkEntry {
     // fold applied to every corpus word -- the map-only projection the
     // Spark side plans, restated.
     "q105_bpe_encode" -> bpeEncodeOracleSql(10),
+    // WordPiece: the same unrolled chain with a per-round unigram CTE and
+    // the likelihood-ratio argmax (ORDER BY an IEEE-exact division of
+    // exact integers -- identical doubles in both engines).
+    "q107_wordpiece_train" -> wordpieceOracleSql(10),
   )
+
+  /** Generates the unrolled n-iteration WordPiece oracle (q107). */
+  private def wordpieceOracleSql(n: Int): String = {
+    val finals = (1 to n).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, a||b AS merged, cnt AS pair_count, score_e9 FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"""${bpeStagesSql(n, wordpiece = true)}
+       |$finals
+       |ORDER BY step""".stripMargin
+  }
 
   /** The shared WITH-clause prefix for the BPE oracles: word-frequency
     * table, wrapped initial vocab, and the n unrolled
     * (pair-count, argmax, rewrite) stages. MATERIALIZED stops DuckDB
     * re-evaluating each vocab level twice per stage (the naive chain is
     * 2^n). */
-  private def bpeStagesSql(n: Int): String = {
+  private def bpeStagesSql(n: Int, wordpiece: Boolean = false): String = {
     val stages = (1 to n).map { i =>
       val p = i - 1
-      s"""p$i AS (
+      val ranked =
+        if (!wordpiece)
+          s"m$i AS (SELECT a, b, cnt, CAST(0 AS BIGINT) AS score_e9 FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"
+        else
+          s"""u$i AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS u
+             |        FROM (SELECT freq, unnest(l) AS sym FROM sy$i) GROUP BY sym),
+             |m$i AS (SELECT p.a, p.b, p.cnt,
+             |               CAST(round(1e9 * p.cnt / (ua.u * ub.u)) AS BIGINT) AS score_e9
+             |        FROM p$i p JOIN u$i ua ON p.a = ua.sym JOIN u$i ub ON p.b = ub.sym
+             |        ORDER BY p.cnt / (ua.u * ub.u) DESC, p.a, p.b LIMIT 1)""".stripMargin
+      s"""sy$i AS MATERIALIZED (SELECT string_split(s[2:-2], chr(2)||chr(1)) AS l, freq FROM v$p),
+         |p$i AS (
          |  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT freq, unnest([ [l[j], l[j+1]] for j in range(1, len(l)) ]) AS pr
-         |        FROM (SELECT string_split(s[2:-2], chr(2)||chr(1)) AS l, freq FROM v$p))
+         |  FROM (SELECT freq, unnest([ [l[j], l[j+1]] for j in range(1, len(l)) ]) AS pr FROM sy$i)
          |  GROUP BY 1, 2),
-         |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |$ranked,
          |v$i AS MATERIALIZED (SELECT replace(v.s, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
          |                        chr(1)||m.a||m.b||chr(2)) AS s, v.freq
          |         FROM v$p v, m$i m)""".stripMargin

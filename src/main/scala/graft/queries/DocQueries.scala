@@ -2221,7 +2221,28 @@ object DocQueries {
   def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    trainBpe(docs, nMerges).toDF("step", "lhs", "rhs", "merged", "pair_count")
+    trainBpe(docs, nMerges, wordpiece = false)
+      .map { case (st, a, b, m, c, _) => (st, a, b, m, c) }
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** WORDPIECE-scored trainer — the same machinery as [[bpeMerges]] with
+    * the argmax criterion swapped: merge the pair maximizing the
+    * likelihood ratio c(ab) / (c(a)·c(b)) instead of the raw count
+    * (Schuster & Nakajima's WordPiece rule; BPE merges what is frequent,
+    * WordPiece merges what is SURPRISINGLY frequent — on the fixture its
+    * first merge is 'q'+'u', the textbook example, where BPE's is
+    * 'e'+'r'). Cross-engine determinism: the score is a correctly-rounded
+    * IEEE division of exact integers (counts ≤ 2⁵³, product ≤ 2⁶³), so
+    * both engines order by the identical double; ties break
+    * lexicographically. The per-round unigram table is one extra
+    * vocab-sized aggregate + two broadcast-sized joins — the iteration
+    * stays vocabulary-bounded. */
+  def wordpieceMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainBpe(docs, nMerges, wordpiece = true)
+      .toDF("step", "lhs", "rhs", "merged", "pair_count", "score_e9")
   }
 
   /** The BPE sentinels (see [[bpeMerges]]). */
@@ -2235,17 +2256,18 @@ object DocQueries {
     * the INPUT plan, so a changed corpus trains fresh regardless). q104
     * (train) and q105 (encode) share one training run through this. */
   private val sharedBpe = scala.collection.concurrent.TrieMap
-    .empty[(String, Any, Int), Seq[(Long, String, String, String, Long)]]
+    .empty[(String, Any, Int, Boolean), Seq[(Long, String, String, String, Long, Long)]]
 
-  private def trainBpe(docs: DataFrame, nMerges: Int)
-      : Seq[(Long, String, String, String, Long)] =
+  private def trainBpe(docs: DataFrame, nMerges: Int, wordpiece: Boolean)
+      : Seq[(Long, String, String, String, Long, Long)] =
     sharedBpe.getOrElseUpdate(
       (docs.sparkSession.sparkContext.applicationId,
-        docs.queryExecution.analyzed.canonicalized, nMerges),
-      trainBpeUncached(docs, nMerges))
+        docs.queryExecution.analyzed.canonicalized, nMerges, wordpiece),
+      trainBpeUncached(docs, nMerges, wordpiece))
 
-  private def trainBpeUncached(docs: DataFrame, nMerges: Int)
-      : Seq[(Long, String, String, String, Long)] = {
+  private def trainBpeUncached(docs: DataFrame, nMerges: Int,
+                               wordpiece: Boolean)
+      : Seq[(Long, String, String, String, Long, Long)] = {
     val S = bpeS; val E = bpeE
     val words = tokenizedDocs(docs)
       .select(explode(col("toks")).as("word"))
@@ -2265,21 +2287,40 @@ object DocQueries {
     // live at a time.
     var prevVocab: Option[DataFrame] = None
     val merges =
-      scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
+      scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long, Long)]
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
       val syms = split(
         regexp_replace(col("s"), "^\u0001|\u0002$", ""), "\u0002\u0001")
-      val top = vocab
-        .select(col("freq"), syms.as("y"))
+      val symRows = vocab.select(col("freq"), syms.as("y"))
+      val pairs = symRows
         .select(col("freq"), explode(zip_with(
           slice(col("y"), lit(1), size(col("y")) - 1),
           slice(col("y"), lit(2), size(col("y")) - 1),
           (x, z) => struct(x.as("a"), z.as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("cnt"))
-        .orderBy(desc("cnt"), asc("a"), asc("b"))
+      val ranked =
+        if (!wordpiece)
+          pairs.withColumn("score_e9", lit(0L))
+            .orderBy(desc("cnt"), asc("a"), asc("b"))
+        else {
+          // Per-round symbol unigram counts: one more vocab-sized
+          // aggregate, broadcast back onto the (vocab-sized) pair table.
+          val uni = symRows
+            .select(col("freq"), explode(col("y")).as("sym"))
+            .groupBy("sym").agg(sum("freq").as("u"))
+          val score = col("cnt").cast("double") / (col("ua") * col("ub"))
+          pairs
+            .join(broadcast(uni.select(col("sym").as("a"), col("u").as("ua"))), "a")
+            .join(broadcast(uni.select(col("sym").as("b"), col("u").as("ub"))), "b")
+            .withColumn("score_e9",
+              round(lit(1e9) * score).cast("long"))
+            .orderBy(score.desc, asc("a"), asc("b"))
+        }
+      val top = ranked
+        .select(col("a"), col("b"), col("cnt"), col("score_e9"))
         .limit(1).collect()
       // The collect above just materialized `vocab`; the round before it
       // is now safe to release.
@@ -2288,7 +2329,7 @@ object DocQueries {
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((step.toLong, a, b, a + b, c))
+        merges += ((step.toLong, a, b, a + b, c, top(0).getLong(3)))
         vocab = vocab.withColumn("s",
           replace(col("s"), lit(S + a + E + S + b + E), lit(S + a + b + E)))
           .persist()
@@ -2339,9 +2380,17 @@ object DocQueries {
     * counts, the compression audit a tokenizer change ships with. */
   def q105BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val merges = trainBpe(docs, 10).map { case (_, a, b, _, _) => (a, b) }
+    val merges = trainBpe(docs, 10, wordpiece = false)
+      .map { case (_, a, b, _, _, _) => (a, b) }
     bpeEncodeStats(docs, merges).orderBy("doc_id")
   }
+
+  /** q107: 10 WordPiece merges ([[wordpieceMerges]]) — the
+    * likelihood-ratio sibling of q104, sharing its oracle machinery
+    * (the unrolled chain gains a per-round unigram CTE and the scored
+    * argmax). */
+  def q107WordpieceTrain(spark: SparkSession, dir: String): DataFrame =
+    wordpieceMerges(Tables(spark, dir, "documents"), 10).orderBy("step")
 
   /** q104: 10 BPE merges trained on the corpus — the merge table IS the
     * tokenizer artifact a training run ships. The oracle restates all 10

@@ -79,6 +79,66 @@ class BpeSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("q107 WordPiece equals the reference with the likelihood-ratio argmax") {
+    import spark.implicits._
+    val words = graft.sources.Tables(spark, sf, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    // Independent restatement: per-round unigram counts and the
+    // c(ab)/(c(a)c(b)) argmax, ties lexicographic.
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, f) => w.split("").filter(_.nonEmpty).toVector -> f }
+    val expect = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, Long)]
+    for (step <- 1 to 10) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val uc = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (syms, f) =>
+        syms.foreach(sym => uc(sym) = uc.getOrElse(sym, 0L) + f)
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((a, b), c) = pc.minBy { case ((x, y), m) =>
+          (-(m.toDouble / (uc(x) * uc(y))), x, y)
+        }
+        expect += ((step.toLong, a, b, c))
+        def merge(sv: Vector[String]): Vector[String] = {
+          val r = Vector.newBuilder[String]; var i = 0
+          while (i < sv.length) {
+            if (i + 1 < sv.length && sv(i) == a && sv(i + 1) == b) {
+              r += a + b; i += 2
+            } else { r += sv(i); i += 1 }
+          }
+          r.result()
+        }
+        vocab = vocab.groupMapReduce { case (sv, _) => merge(sv) } { case (_, f) => f }(_ + _)
+      }
+    }
+    val got = graft.queries.DocQueries.q107WordpieceTrain(spark, sf)
+      .select("step", "lhs", "rhs", "pair_count")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == expect.toSeq, s"wordpiece diverged:\n got=$got\n exp=${expect.toSeq}")
+  }
+
+  test("the two criteria pick DIFFERENT first merges on the fixture") {
+    import spark.implicits._
+    // BPE merges what is frequent; WordPiece what is surprisingly
+    // frequent. If the fixture ever degenerates so both pick the same
+    // pair, the two trainers no longer demonstrate distinct criteria.
+    val bpe1 = graft.queries.DocQueries.q104BpeTrain(spark, sf)
+      .filter(col("step") === 1).select("lhs", "rhs")
+      .as[(String, String)].head()
+    val wp1 = graft.queries.DocQueries.q107WordpieceTrain(spark, sf)
+      .filter(col("step") === 1).select("lhs", "rhs")
+      .as[(String, String)].head()
+    assert(bpe1 != wp1, s"criteria collapsed: both chose $bpe1")
+  }
+
   test("q105 encoding equals a reference encode under the trained merges") {
     import spark.implicits._
     val words = graft.sources.Tables(spark, sf, "documents")
