@@ -201,7 +201,8 @@ object ScaleRehearsal {
       "q104_bpe_train" -> (graft.queries.DocQueries.q104BpeTrain _),
       "q105_bpe_encode" -> (graft.queries.DocQueries.q105BpeEncode _),
       "q106_incr_sem_clusters" -> (graft.queries.EmbedQueries.q106IncrementalSemClusters _),
-      "q107_wordpiece_train" -> (graft.queries.DocQueries.q107WordpieceTrain _))
+      "q107_wordpiece_train" -> (graft.queries.DocQueries.q107WordpieceTrain _),
+      "q108_quality_calibration" -> (graft.queries.DocQueries.q108QualityCalibration _))
 
     // Factors past ×10 run in SHALLOW mode: structural counts for the doc
     // family only (one pass each, no min-of-2 timing) — the cheap extra
@@ -210,7 +211,7 @@ object ScaleRehearsal {
       "q49_stratified_sample", "q51_decontaminate", "q66_containment",
       "q93_exact_substr_spans", "q100_token_blocks",
       "q102_temperature_mix", "q103_filter_cascade", "q104_bpe_train",
-      "q105_bpe_encode", "q107_wordpiece_train")
+      "q105_bpe_encode", "q107_wordpiece_train", "q108_quality_calibration")
 
     factors.foreach { k =>
       val deep = k <= 10

@@ -125,6 +125,7 @@ object SparkEntry {
     "q105_bpe_encode" -> (DocQueries.q105BpeEncode _),
     "q106_incr_sem_clusters" -> (EmbedQueries.q106IncrementalSemClusters _),
     "q107_wordpiece_train" -> (DocQueries.q107WordpieceTrain _),
+    "q108_quality_calibration" -> (DocQueries.q108QualityCalibration _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2367,6 +2368,30 @@ object SparkEntry {
     // the likelihood-ratio argmax (ORDER BY an IEEE-exact division of
     // exact integers -- identical doubles in both engines).
     "q107_wordpiece_train" -> wordpieceOracleSql(10),
+    // Quality calibration: percent_rank over the total (quality, doc_id)
+    // order -- (rank-1)/(n-1) is an IEEE-exact division of exact ints.
+    "q108_quality_calibration" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, lang, source, n_tokens,
+        |         round(0.4 * ttr + 0.3 * (1.0 - stop_ratio)
+        |               + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        |  FROM b),
+        |c AS (
+        |  SELECT *, CAST(round(1e9 * percent_rank() OVER (PARTITION BY source
+        |              ORDER BY quality, doc_id)) AS BIGINT) AS cal_e9
+        |  FROM q)
+        |SELECT doc_id, lang, source, n_tokens, quality, cal_e9,
+        |       cal_e9 >= 500000000 AS keep_fair
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 
   /** Generates the unrolled n-iteration WordPiece oracle (q107). */

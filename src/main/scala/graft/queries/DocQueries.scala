@@ -2385,6 +2385,41 @@ object DocQueries {
     bpeEncodeStats(docs, merges).orderBy("doc_id")
   }
 
+  /** PER-SOURCE QUALITY CALIBRATION (q108): replace each document's raw
+    * quality score with its PERCENTILE RANK within its own source —
+    * the standard calibration step before any corpus-wide threshold,
+    * because raw score distributions differ by source (a web crawl's
+    * 0.6 is not a books corpus's 0.6) and a single raw cutoff silently
+    * skews the mix toward whichever source scores generously. After
+    * calibration a global cutoff keeps the SAME FRACTION of every
+    * source (spec'd: equal per-source acceptance on the fixture, and a
+    * shifted-distribution fixture where the raw threshold keeps
+    * 100%/0% while the calibrated one keeps ~half of each).
+    *
+    * Cross-engine exactness: percent_rank = (rank−1)/(n−1) over the
+    * TOTAL (quality, doc_id) order — a correctly-rounded IEEE division
+    * of exact integers, identical in both engines; stored ×1e9 as an
+    * integer.
+    *
+    * Scale shape: the rank window serializes each source into one task
+    * (the q70 exposure). The documented scale path is q76's: per-source
+    * approx-percentile CUTPOINTS (map-combinable aggregate, broadcast)
+    * + map-only binning — trading exact ranks for boundary-epsilon
+    * bins; this registered form is the exact variant. */
+  def q108QualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredDocs(
+      tokenizedDocs(Tables(spark, dir, "documents")), Seq("source"))
+    val w = Window.partitionBy("source").orderBy(asc("quality"), asc("doc_id"))
+    scored
+      .withColumn("cal_e9",
+        round(lit(1e9) * percent_rank().over(w)).cast("long"))
+      .withColumn("keep_fair", col("cal_e9") >= lit(500000000L))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("quality"), col("cal_e9"), col("keep_fair"))
+      .orderBy("doc_id")
+  }
+
   /** q107: 10 WordPiece merges ([[wordpieceMerges]]) — the
     * likelihood-ratio sibling of q104, sharing its oracle machinery
     * (the unrolled chain gains a per-round unigram CTE and the scored
