@@ -126,6 +126,7 @@ object SparkEntry {
     "q106_incr_sem_clusters" -> (EmbedQueries.q106IncrementalSemClusters _),
     "q107_wordpiece_train" -> (DocQueries.q107WordpieceTrain _),
     "q108_quality_calibration" -> (DocQueries.q108QualityCalibration _),
+    "q109_exact_substr_prod_k" -> (DocQueries.q109ExactSubstrProdK _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2392,7 +2393,51 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_tokens, quality, cal_e9,
         |       cal_e9 >= 500000000 AS keep_fair
         |FROM c ORDER BY doc_id""".stripMargin,
+    // ExactSubstr at the production gram width: the q93 restatement
+    // with k parameterized (list slice instead of the hand-unrolled
+    // trigram concat) — certifies the dial real deployments run.
+    "q109_exact_substr_prod_k" -> exactSubstrOracleSql(20),
   )
+
+  /** Generates the k-parameterized ExactSubstr oracle (q93's SQL shape
+    * with the gram width as a dial — q109 registers k = 20). The gram
+    * string is the same "w1 w2 … wk" join the Spark side hashes; islands
+    * fuse when [pos, pos+k-1] overlaps or touches the running-max
+    * previous end (pos <= prev_max_pos + k). */
+  private def exactSubstrOracleSql(k: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, unnest(range(1, len(toks) - ${k - 2})) AS pos, toks
+       |  FROM t WHERE len(toks) >= $k),
+       |g AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |         CAST(concat('0x', substr(md5(
+       |           array_to_string(toks[pos:pos+${k - 1}], ' ')
+       |         ), 1, 14)) AS BIGINT) AS h
+       |  FROM p),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |              OR pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + $k
+       |              THEN 1 ELSE 0 END AS st
+       |  FROM dp),
+       |s AS (
+       |  SELECT doc_id, pos,
+       |         sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM m),
+       |sp AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} AS span_end
+       |  FROM s GROUP BY doc_id, sid)
+       |SELECT doc_id, span_start, span_end,
+       |       span_end - span_start + 1 AS span_tokens
+       |FROM sp ORDER BY doc_id, span_start""".stripMargin
 
   /** Generates the unrolled n-iteration WordPiece oracle (q107). */
   private def wordpieceOracleSql(n: Int): String = {
@@ -2419,7 +2464,7 @@ object SparkEntry {
           s"""u$i AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS u
              |        FROM (SELECT freq, unnest(l) AS sym FROM sy$i) GROUP BY sym),
              |m$i AS (SELECT p.a, p.b, p.cnt,
-             |               CAST(round(1e9 * p.cnt / (ua.u * ub.u)) AS BIGINT) AS score_e9
+             |               CAST(round(1e9 * (p.cnt / (ua.u * ub.u))) AS BIGINT) AS score_e9
              |        FROM p$i p JOIN u$i ua ON p.a = ua.sym JOIN u$i ub ON p.b = ub.sym
              |        ORDER BY p.cnt / (ua.u * ub.u) DESC, p.a, p.b LIMIT 1)""".stripMargin
       s"""sy$i AS MATERIALIZED (SELECT string_split(s[2:-2], chr(2)||chr(1)) AS l, freq FROM v$p),

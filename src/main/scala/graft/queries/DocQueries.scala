@@ -277,6 +277,7 @@ object DocQueries {
     shared.keys.filter(_._1 == appId).toSeq.foreach(k =>
       shared.remove(k).foreach(_.unpersist()))
     sharedBpe.keys.filter(_._1 == appId).toSeq.foreach(sharedBpe.remove)
+    EmbedQueries.clearShared(spark)
   }
 
   /** The banded candidate pairs BEFORE the exact-Jaccard verify — the
@@ -482,24 +483,33 @@ object DocQueries {
     * quality desc, doc_id) — the two views agree row-for-row, so a decile
     * here IS a budget prefix there.
     *
-    * Scale shape: ntile is rank-based, so the window needs each
-    * language's docs in one sorted partition — per-stratum serialization,
-    * same exposure q50 documents. Mitigations when a stratum outgrows a
-    * task: (a) the q50 histogram trick does not apply (every row gets a
-    * bin, none can be pruned), so the scale path is (b) compute approx
-    * decile CUTPOINTS (approx_percentile over quality — a map-combinable
-    * aggregate) and assign bins by comparison, map-only, trading exact
-    * equal-count bins for boundary-epsilon ones. This registered form is
-    * the exact variant; min/max/sum outputs are all order-insensitive, so
-    * the result is engine-stable with no rounding games. The groupBy after
-    * the window re-uses the window's lang hash exchange (lang ⊆ (lang,
-    * decile) satisfies the clustering) — ONE shuffle total. */
+    * Scale shape: ntile is rank-based, so a naive window needs each
+    * language's docs in one sorted partition — per-stratum
+    * serialization. Fixed the same way as q108: the exact rank runs
+    * through [[exactStratumRank]]'s two-level decomposition (per-lang
+    * quantile range-buckets on the DESCENDING composite key → bucket
+    * offsets → per-bucket row_number), and `ntile(t)` is restated as
+    * its closed form over that exact rank — the first n mod t buckets
+    * hold ⌈n/t⌉ rows, the rest ⌊n/t⌋, so
+    *   decile = rnk ≤ r·(q+1) ? ⌈rnk/(q+1)⌉ : r + ⌈(rnk − r·(q+1))/q⌉
+    * with q = n div 10, r = n mod 10 — pure integer arithmetic, map-only
+    * after the rank. Bit-identical to `ntile(10)` over the per-lang
+    * window (CalibrationSpec property); min/max/sum outputs are
+    * order-insensitive, so the result stays engine-stable. q76 remains
+    * the approximate sibling (cutpoint binning, boundary-epsilon
+    * bins). */
   def q70CurriculumDeciles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = scoredDocs(tokenizedDocs(Tables(spark, dir, "documents")))
-    val w = Window.partitionBy("lang").orderBy(desc("quality"), asc("doc_id"))
-    scored
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val docs = Tables(spark, dir, "documents")
+    val scored = scoredDocs(tokenizedDocs(docs))
+      .withColumn("k70", qualityDocKey(desc = true))
+    exactStratumRank(scored, Seq("lang"), "k70", rankBuckets(docs))
+      .withColumn("decile", expr(
+        """CASE WHEN rnk <= (grp_n % 10) * (grp_n div 10 + 1)
+          |     THEN (rnk + grp_n div 10) div (grp_n div 10 + 1)
+          |     ELSE (grp_n % 10) +
+          |          (rnk - (grp_n % 10) * (grp_n div 10 + 1)
+          |           + grp_n div 10 - 1) div (grp_n div 10)
+          |END""".stripMargin).cast("long"))
       .groupBy("lang", "decile")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("tokens"),
@@ -1785,6 +1795,102 @@ object DocQueries {
         col("block_last") - col("block_first") + 1)
   }
 
+  /** EXACT PER-STRATUM RANK, TWO-LEVEL (the [[tokenBlocks]] prefix-sum
+    * idiom applied to ranking): rank every row within its stratum by a
+    * caller-supplied long key — order-isomorphic to the intended sort
+    * order and DISTINCT within each stratum — without ever sorting a
+    * whole stratum in one task. The naive form
+    * (`Window.partitionBy(stratum).orderBy(...)`) serializes each
+    * stratum; at 100 TB a dominant source (a web crawl holding most of
+    * the corpus) funnels through ONE task. Decomposition:
+    *
+    *   1. per-stratum RANGE CUTPOINTS on the key via
+    *      `percentile_approx` — a map-combinable aggregate (GK sketch,
+    *      partial-merge), output `nBuckets−1` longs per stratum
+    *      regardless of corpus size. Quantile (not fixed-width) cuts
+    *      make the bucketing DISTRIBUTION-ROBUST: a constant-quality
+    *      stratum still splits, because the composite key's tie-break
+    *      bits (doc_id) spread the cutpoints — the same reason Spark's
+    *      own RangePartitioner samples rather than divides the domain;
+    *   2. map-only bucket assignment (count of cuts strictly below the
+    *      key) off a ≤ #strata-row broadcast;
+    *   3. per-(stratum, bucket) counts — a real aggregation with
+    *      map-side combine, output ≤ #strata × nBuckets rows;
+    *   4. running bucket offsets — a window over THAT bucket table only
+    *      (the one place a per-stratum order is inherently needed);
+    *   5. per-bucket `row_number` + offset — windows over ≈ n/nBuckets
+    *      rows each, embarrassingly parallel. rank = boff + row_number
+    *      is EXACT: cutpoint-sketch error moves bucket boundaries, never
+    *      ranks (any cut set that respects the key order partitions the
+    *      order, and both levels count every row exactly once).
+    *
+    * Output = input columns + `grp_n` (stratum size, for percent_rank /
+    * ntile denominators) + `rnk` (1-based exact rank). Identical to the
+    * naive per-stratum window at every bucket count (CalibrationSpec
+    * proves equality at arbitrary nBuckets); consumed by q108
+    * (percent_rank = (rnk−1)/(grp_n−1)) and q70 (ntile(10) restated as
+    * its closed-form over rnk). The offsets join is deliberately NOT
+    * broadcast — at the √n dial it is √n-sized and AQE broadcasts it at
+    * runtime, but a small fixed nBuckets on a huge corpus would make a
+    * forced broadcast a driver hazard, and the equi-join rides the
+    * (stratum, bucket) exchange the per-bucket window needs anyway
+    * (the same adjudication as [[tokenBlocks]]). */
+  def exactStratumRank(df: DataFrame, group: Seq[String], keyCol: String,
+                       nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, "need at least 2 range buckets")
+    val gcols = group.map(col)
+    val k = col(keyCol)
+    val ps = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    val cuts = df.groupBy(gcols: _*).agg(
+      percentile_approx(k, array(ps: _*), lit(10000)).as("cuts"),
+      count(lit(1)).as("grp_n"))
+    val bucketed = df.join(broadcast(cuts), group)
+      .withColumn("bkt", size(filter(col("cuts"), c => c < k)))
+      .drop("cuts")
+    val bCounts = bucketed.groupBy((gcols :+ col("bkt")): _*)
+      .agg(count(lit(1)).as("bn"))
+    val byBucket = Window.partitionBy(gcols: _*).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bCounts
+      .withColumn("boff", coalesce(sum("bn").over(byBucket), lit(0L)))
+      .select((gcols :+ col("bkt") :+ col("boff")): _*)
+    val inBucket = Window.partitionBy((gcols :+ col("bkt")): _*).orderBy(keyCol)
+    bucketed.join(offsets, group :+ "bkt")
+      .withColumn("rnk", col("boff") + row_number().over(inBucket))
+      .drop("bkt", "boff")
+  }
+
+  /** √n bucket-count dial for [[exactStratumRank]] — the
+    * [[tokenBlocksAuto]] policy: both levels stay ≈ √n-sized (the
+    * bucket table through the one per-stratum window, each per-bucket
+    * partition through row_number). Capped at 4096 so the cutpoint
+    * probe array stays plan-friendly on any corpus (at 10¹⁰ docs the
+    * cap means ≈ 2.4M-row bucket partitions — still thousands of ways
+    * parallel, and the decomposition composes recursively if a bucket
+    * ever outgrows a task). One parquet count-star (footer metadata)
+    * sets the dial; the width never changes the output, only the
+    * plan's balance. */
+  private def rankBuckets(docs: DataFrame): Int = {
+    val n = docs.count()
+    math.min(4096L, math.max(2L, math.sqrt(n.toDouble).round)).toInt
+  }
+
+  /** Order-isomorphic composite long key for (6-decimal quality,
+    * doc_id): `q6 · 2^40 + doc_id`, with q6 = round(quality·1e6) exact
+    * on the 6-rounded score (strictly monotone: distinct rounded
+    * qualities differ by ≥ 1e-6 → distinct q6). doc_id must stay below
+    * 2^40 (~10¹²) — comfortably above any real corpus's row id — and q6
+    * below 2^20, so the composite fits a long with headroom. `desc`
+    * flips the quality component (1e6 − q6) for descending-quality
+    * orders (q70); doc_id stays ascending as the tie-break either
+    * way. */
+  private def qualityDocKey(desc: Boolean): Column = {
+    val q6 = round(col("quality") * 1e6).cast("long")
+    val qPart = if (desc) lit(1000000L) - q6 else q6
+    qPart * lit(1L << 40) + col("doc_id")
+  }
+
   /** SimHash fingerprint: 60-bit signature where bit b is the sign of the
     * weighted sum of token-hash bits. Emitted with a 16-bit prefix bucket —
     * the banding key a near-dup pass would equi-join on (same pattern as
@@ -1832,6 +1938,17 @@ object DocQueries {
     * positions. */
   def q93ExactSubstrSpans(spark: SparkSession, dir: String): DataFrame =
     exactSubstrSpans(tokenizedDocs(Tables(spark, dir, "documents")), 3)
+      .orderBy("doc_id", "span_start")
+
+  /** q109: [[exactSubstrSpans]] at the PRODUCTION dial — k = 20, the
+    * gram width real ExactSubstr deployments run (Lee et al. use ~50
+    * BPE tokens; 20 whitespace tokens is the same regime). Identical
+    * plan to q93 — only the gram is longer, so the duplicated-position
+    * table is SMALLER (SCALE.md measures the k-dial: volume falls 43×
+    * from k=3 to k=50) — registered so the oracle certifies the
+    * production setting, not just the trigram-universe-sharing one. */
+  def q109ExactSubstrProdK(spark: SparkSession, dir: String): DataFrame =
+    exactSubstrSpans(tokenizedDocs(Tables(spark, dir, "documents")), 20)
       .orderBy("doc_id", "span_start")
 
   /** BIGRAM LM QUALITY SCORE (q95): a KenLM-style fluency proxy — how
@@ -2401,19 +2518,27 @@ object DocQueries {
     * of exact integers, identical in both engines; stored ×1e9 as an
     * integer.
     *
-    * Scale shape: the rank window serializes each source into one task
-    * (the q70 exposure). The documented scale path is q76's: per-source
-    * approx-percentile CUTPOINTS (map-combinable aggregate, broadcast)
-    * + map-only binning — trading exact ranks for boundary-epsilon
-    * bins; this registered form is the exact variant. */
+    * Scale shape: the exact rank runs through [[exactStratumRank]]'s
+    * two-level decomposition — per-source quantile range-buckets on the
+    * composite (quality, doc_id) long key, per-bucket counts → running
+    * offsets over the √n bucket table → per-bucket row_number + offset.
+    * No window ever sees a whole source (PlanPinsSpec pins it): the
+    * per-source window input is the ≤ #sources × √n bucket table, the
+    * corpus-scale windows partition by (source, bucket). rank — and
+    * therefore percent_rank — is bit-identical to the naive per-source
+    * window at every bucket count (CalibrationSpec property). q76
+    * remains the approximate sibling (cutpoint BINNING, no rank at
+    * all) for pipelines that can tolerate boundary-epsilon bins. */
   def q108QualityCalibration(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = scoredDocs(
-      tokenizedDocs(Tables(spark, dir, "documents")), Seq("source"))
-    val w = Window.partitionBy("source").orderBy(asc("quality"), asc("doc_id"))
-    scored
+    val docs = Tables(spark, dir, "documents")
+    val scored = scoredDocs(tokenizedDocs(docs), Seq("source"))
+      .withColumn("k108", qualityDocKey(desc = false))
+    exactStratumRank(scored, Seq("source"), "k108", rankBuckets(docs))
       .withColumn("cal_e9",
-        round(lit(1e9) * percent_rank().over(w)).cast("long"))
+        when(col("grp_n") === 1L, lit(0L))
+          .otherwise(round(lit(1e9) *
+            ((col("rnk") - 1).cast("double") /
+              (col("grp_n") - 1).cast("double"))).cast("long")))
       .withColumn("keep_fair", col("cal_e9") >= lit(500000000L))
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         col("quality"), col("cal_e9"), col("keep_fair"))

@@ -47,4 +47,57 @@ class CalibrationSpec extends AnyFunSuite {
     assert(calKept("generous") == 10L && calKept("strict") == 10L,
       s"calibration must equalize acceptance: $calKept")
   }
+
+  test("exactStratumRank ≡ naive per-stratum window at arbitrary bucket counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Adversarial shape: one dominant stratum (the 100 TB web-crawl
+    // case), one tiny one, and a CLUSTERED key run (what a
+    // constant-quality stratum degenerates to — consecutive composite
+    // keys differing only in the doc_id tie-break bits). Keys are
+    // distinct within each stratum, as the operator requires.
+    val rows =
+      (1 to 400).map(i => ("crawl", 1000000L + i)) ++   // clustered run
+      (1 to 100).map(i => ("crawl", 5000000L + i * 37L)) ++ // spread tail
+      (1 to 3).map(i => ("books", i.toLong))
+    val df = rows.toDF("source", "k")
+    val naive = df.withColumn("rnk_naive",
+      row_number().over(Window.partitionBy("source").orderBy("k")))
+    for (b <- Seq(2, 3, 7, 50)) {
+      val two = graft.queries.DocQueries
+        .exactStratumRank(df, Seq("source"), "k", b)
+      val diff = two.join(naive, Seq("source", "k"))
+        .filter(col("rnk") =!= col("rnk_naive")).count()
+      assert(diff == 0L, s"rank mismatch at nBuckets=$b")
+      // grp_n must be the true stratum size (the percent_rank/ntile
+      // denominator downstream).
+      val ns = two.groupBy("source").agg(max("grp_n").as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(ns("crawl") == 500L && ns("books") == 3L,
+        s"grp_n wrong at nBuckets=$b: $ns")
+    }
+  }
+
+  test("q70's closed-form decile ≡ ntile(10) over the naive window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // n = 25 (not divisible by 10: first 5 buckets get 3, rest get 2)
+    // and n = 7 (< 10: every row its own bucket) in one frame.
+    val df = ((1 to 25).map(i => ("en", i.toLong)) ++
+      (1 to 7).map(i => ("fr", i.toLong))).toDF("lang", "k")
+    val w = Window.partitionBy("lang").orderBy("k")
+    val naive = df.withColumn("nt", ntile(10).over(w))
+    val two = graft.queries.DocQueries
+      .exactStratumRank(df, Seq("lang"), "k", 4)
+      .withColumn("decile", expr(
+        """CASE WHEN rnk <= (grp_n % 10) * (grp_n div 10 + 1)
+          |     THEN (rnk + grp_n div 10) div (grp_n div 10 + 1)
+          |     ELSE (grp_n % 10) +
+          |          (rnk - (grp_n % 10) * (grp_n div 10 + 1)
+          |           + grp_n div 10 - 1) div (grp_n div 10)
+          |END""".stripMargin).cast("int"))
+    val diff = two.join(naive, Seq("lang", "k"))
+      .filter(col("decile") =!= col("nt")).count()
+    assert(diff == 0L, "closed-form decile diverged from ntile")
+  }
 }

@@ -121,19 +121,50 @@ class PlanPinsSpec extends AnyFunSuite {
       s"window must consume the aggregate, not raw rows:\n$plan")
   }
 
-  test("q70: groupBy reuses the ntile window's lang exchange — one shuffle") {
-    // Same cache release as the q57 pin: assert the canonical shape, not
-    // the single-partition degenerate a materialized tiny cache produces.
+  /** The q108/q70 two-level-rank pin: no window in the plan may
+    * partition by the stratum alone over corpus-scale input — every
+    * single-key window must consume a grouped AGGREGATE (the ≤ strata ×
+    * √n bucket table), and the corpus-scale rank windows must carry the
+    * bucket in their partition spec. This is the structural invariant
+    * that kills the q90-class per-stratum funnel (a dominant source
+    * serializing into one task) for the exact-rank family. */
+  private def assertTwoLevelRank(name: String): Unit = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val wins = PlanAudit.collectAll(PlanAudit.physical(df))
+      .collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"$name: expected window operators in the plan")
+    val badStratum = wins.filter { w =>
+      w.partitionSpec.size < 2 &&
+        w.child.collect {
+          case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => a
+        }.isEmpty
+    }
+    assert(badStratum.isEmpty,
+      s"$name: single-key window over non-aggregated (corpus-scale) input:\n" +
+        badStratum.map(_.treeString).mkString("\n"))
+    assert(wins.exists(_.partitionSpec.size >= 2),
+      s"$name: expected a (stratum, bucket)-partitioned rank window")
+  }
+
+  test("q70: two-level exact rank — no per-lang window over the corpus") {
+    assertTwoLevelRank("q70_curriculum_deciles")
     val plan = SparkEntry.queries("q70_curriculum_deciles")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("ntile"), s"no ntile in plan:\n$plan")
-    val hx = hashExchanges(plan)
-    // hashpartitioning(lang) for the window also satisfies the
-    // (lang, decile) groupBy clustering — a second exchange would mean
-    // Spark re-shuffled rows that are already key-local.
-    assert(hx.size == 1 && hx.head.contains("lang"),
-      s"expected exactly one lang exchange, got $hx:\n$plan")
+    // "ntile(" — the window function call; plain "ntile" would also match
+    // the two-level operator's own perce*ntile*_approx cutpoint aggregate.
+    assert(!plan.contains("ntile("),
+      s"ntile must be restated over the exact rank, not windowed:\n$plan")
+  }
+
+  test("q108: two-level exact rank — no per-source window over the corpus") {
+    assertTwoLevelRank("q108_quality_calibration")
+    val plan = SparkEntry.queries("q108_quality_calibration")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percent_rank"),
+      s"percent_rank must be restated over the exact rank:\n$plan")
   }
 
   test("q73: gap-fill scaffold joins keyed and fills over the aggregate — no row blowup") {
