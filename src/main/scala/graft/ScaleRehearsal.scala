@@ -424,6 +424,39 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q101_semdedup","nodes":${row.getLong(0)},"clusters":${row.getLong(1)},"max_size":${row.getLong(2)},"rounds":$rounds}""")
       }
 
+      // q110 structural: perceptual-hash image dedup over the re-export
+      // corpus built from the amplified documents. Amplified copies are
+      // token-suffixed variants ("_c" on every token) — a 1-char-per-
+      // token pixel perturbation, i.e. every copy of a base doc is a
+      // GENUINE pixel-near-dup of its siblings, so each base doc grows a
+      // ~2k-member family (k copies × {base, re-export}) and the pair
+      // graph is family-quadratic BY CONSTRUCTION — q101's adversarial
+      // regime, the workload being quadratic, not the engine. The claims
+      // to pin: (a) CLUSTER count stays ≈ constant as the factor grows
+      // (near-dup variants COLLAPSE into family clusters instead of
+      // minting new ones — the dedup verdict scale-stable), (b)
+      // path-halving rounds stay constant on the denser graph. Factors
+      // ≤ 10 for the same reason as q101 (×30 would re-demonstrate a
+      // known quadratic at ~900× cost).
+      if (on("phash") && deep) {
+        val hashes = graft.functions.Multimodal.ppmDHashes(
+          graft.functions.Multimodal
+            .documentsAsPpmBlobsWithReexports(spark, dir)).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = hashes.count()
+        val cands = graft.queries.EmbedQueries
+          .imagePhashPairs(hashes, maxHamming = 3)
+        val nPairs = cands.count()
+        val (cl, rounds) = graft.queries.DocQueries
+          .dedupClustersWithRounds(cands)
+        val row = cl.agg(
+          count(lit(1)).as("nodes"),
+          countDistinct(col("cluster_id")).as("clusters"),
+          max(col("cluster_size")).as("max_size")).collect()(0)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q110_phash","images":$n,"verified_pairs":$nPairs,"nodes":${row.getLong(0)},"clusters":${row.getLong(1)},"max_size":${row.getLong(2)},"rounds":$rounds}""")
+        hashes.unpersist()
+      }
+
       // Optional per-query filter (csv of names) for targeted timing
       // re-measurement without paying for the whole sweep.
       val queryFilter = sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")

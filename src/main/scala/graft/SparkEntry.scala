@@ -127,6 +127,7 @@ object SparkEntry {
     "q107_wordpiece_train" -> (DocQueries.q107WordpieceTrain _),
     "q108_quality_calibration" -> (DocQueries.q108QualityCalibration _),
     "q109_exact_substr_prod_k" -> (DocQueries.q109ExactSubstrProdK _),
+    "q110_image_phash_dedup" -> (EmbedQueries.q110ImagePhashDedup _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2397,6 +2398,60 @@ object SparkEntry {
     // with k parameterized (list slice instead of the hand-unrolled
     // trigram concat) — certifies the dial real deployments run.
     "q109_exact_substr_prod_k" -> exactSubstrOracleSql(20),
+    // Perceptual-hash image dedup: DuckDB rebuilds the whole image
+    // corpus (canonical luma + re-export luma: R+8 lift, 1-pixel white
+    // stamp) from the text bytes, restates the 60-bit dHash with exact
+    // integer bit packing (1::BIGINT << s — a float 2**s would corrupt
+    // high bits), the 4×15 banding, the Hamming≤3 verify, and the
+    // connected components via the q79 recursive CTE.
+    "q110_image_phash_dedup" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), x -> ord(x)) AS ords
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |         list_transform(ords, b -> 299*b + 587*(255-b) + 114*((7*b)%256)) AS lum
+        |  FROM o
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         [ CASE WHEN i = 1 THEN 255000
+        |                ELSE 299*least(255, ords[i]+8) + 587*(255-ords[i]) + 114*((7*ords[i])%256) END
+        |           for i in range(1, len(ords)+1) ]
+        |  FROM o),
+        |hx AS (
+        |  SELECT doc_id, len(lum) AS n,
+        |         [ {'s': s,
+        |            'ss': list_sum(lum[(s*len(lum))//least(61,len(lum)) + 1 : ((s+1)*len(lum))//least(61,len(lum))]),
+        |            'sl': ((s+1)*len(lum))//least(61,len(lum)) - (s*len(lum))//least(61,len(lum))}
+        |           for s in range(0, least(61, len(lum))) ] AS sp
+        |  FROM v),
+        |ph AS (
+        |  SELECT doc_id,
+        |         list_sum([ CASE WHEN sp[s+1].ss * sp[s+2].sl > sp[s+2].ss * sp[s+1].sl
+        |                         THEN (1::BIGINT << s) ELSE 0 END
+        |                    for s in range(0, len(sp)-1) ])::BIGINT AS dhash
+        |  FROM hx),
+        |bd AS (
+        |  SELECT doc_id, dhash,
+        |         unnest([ concat_ws('|', CAST(b AS VARCHAR),
+        |                    CAST((dhash >> (15*b)) & 32767 AS VARCHAR)) for b in range(0,4) ]) AS bk
+        |  FROM ph),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.dhash AS ha, b.dhash AS hb
+        |  FROM bd a JOIN bd b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        |e AS (SELECT doc_a AS id, doc_b AS nbr FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT id AS u, id AS v FROM (SELECT DISTINCT id FROM e)
+        |  UNION
+        |  SELECT reach.u, e.nbr FROM reach JOIN e ON reach.v = e.id),
+        |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        |SELECT doc_id, cluster_id,
+        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |       doc_id = cluster_id AS is_canonical
+        |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
   )
 
   /** Generates the k-parameterized ExactSubstr oracle (q93's SQL shape

@@ -151,6 +151,92 @@ object Multimodal {
     (w, h, maxval, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3))
   }
 
+  // -------------------------------------------------- perceptual hashing --
+
+  /** Deterministic "re-export" of a P6 image — the pixel-level edit class
+    * perceptual dedup exists to catch (a re-encoded copy with a mild
+    * global adjustment plus a tiny local overlay): uniform brightness
+    * lift (+8 on the R channel, clamped at 255) and a 1-pixel white
+    * stamp at the origin (the watermark / logo-overlay corner). Decode →
+    * perturb → RE-ENCODE through the real codec, so the output is itself
+    * a valid P6 payload, exactly as a thumbnailer's re-export would
+    * store it. */
+  def reexportPpm(bytes: Array[Byte]): Array[Byte] = {
+    val (w, h, _, rgb) = decodePpm(bytes)
+    val out = rgb.clone()
+    var i = 0
+    while (i < out.length) {
+      out(i) = math.min(255, (out(i) & 0xff) + 8).toByte // R channel lift
+      i += 3
+    }
+    if (out.length >= 3) { out(0) = -1; out(1) = -1; out(2) = -1 } // stamp
+    encodePpm(w, h, out)
+  }
+
+  /** 60-bit DIFFERENCE HASH (dHash) of a P6 image: BT.601 integer luma
+    * (299·R + 587·G + 114·B — the ×1000-scaled standard weights, no
+    * division, no floats), the row-major pixel sequence cut into
+    * ≤ 61 flat spans with integer boundaries s·n/ns (the same
+    * integer-mapping idiom as [[wavFramePeaks]]/[[resizePpm]]), and bit
+    * s set iff span s's mean luma strictly exceeds span s+1's — decided
+    * exactly by cross-multiplication (sum_s·len_{s+1} > sum_{s+1}·len_s),
+    * so the hash is a pure integer function of the pixels and a DuckDB
+    * oracle restates it bit-for-bit.
+    *
+    * dHash's LOCAL span-vs-next-span comparison (vs aHash's
+    * span-vs-global-mean) is what buys the invariance class perceptual
+    * dedup wants: a uniform illumination shift adds the same Δ·len_s·
+    * len_{s+1} to both sides of every comparison (bits unchanged,
+    * exactly), and a single-pixel edit can only disturb the ≤ 2
+    * comparisons whose spans touch it. 60 bits keeps the packed hash
+    * clear of the sign bit, the same convention as the 60-bit SimHash
+    * (`graft_simhash`), so both engines band it with plain integer
+    * shifts. Exact up to ~4.7e7 pixels (sum·len stays under 2^63). */
+  def ppmDHash60(bytes: Array[Byte]): Long = {
+    val (w, h, _, rgb) = decodePpm(bytes)
+    val n = w * h
+    require(n >= 2, "dHash needs at least 2 pixels")
+    // luma prefix sums: pre(i) = sum of luma over pixels [0, i)
+    val pre = new Array[Long](n + 1)
+    var i = 0
+    while (i < n) {
+      val r = rgb(3 * i) & 0xff
+      val g = rgb(3 * i + 1) & 0xff
+      val b = rgb(3 * i + 2) & 0xff
+      pre(i + 1) = pre(i) + (299L * r + 587L * g + 114L * b)
+      i += 1
+    }
+    val ns = math.min(61, n)
+    def lo(s: Int): Int = ((s.toLong * n) / ns).toInt
+    var hash = 0L
+    var s = 0
+    while (s < ns - 1) {
+      val (a0, a1, a2) = (lo(s), lo(s + 1), lo(s + 2))
+      val (ssA, slA) = (pre(a1) - pre(a0), (a1 - a0).toLong)
+      val (ssB, slB) = (pre(a2) - pre(a1), (a2 - a1).toLong)
+      if (ssA * slB > ssB * slA) hash |= 1L << s
+      s += 1
+    }
+    hash
+  }
+
+  /** One 60-bit dHash row per asset — same bounded-batch object-codec
+    * shape as [[ppmFeatures]] (no Catalyst expression decodes P6; the
+    * hash itself is integer arithmetic a downstream relational plan
+    * bands and joins on). */
+  final case class PpmHash(doc_id: Long, dhash: Long)
+
+  def ppmDHashes(blobs: Dataset[MediaBlob],
+                 batchSize: Int = DefaultBatchSize): Dataset[PpmHash] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(b => PpmHash(b.doc_id, ppmDHash60(b.payload)))
+      }
+    }
+  }
+
   // ----------------------------------------------------- frame extraction --
 
   /** Decode a payload to its frame vector by mime. WAV frames are per-1024-
@@ -366,6 +452,27 @@ object Multimodal {
         MediaBlob(id, "image/x-portable-pixmap",
           encodePpm(bytes.length, 1, rgb))
       }
+  }
+
+  /** Re-export id offset for [[documentsAsPpmBlobsWithReexports]]: the
+    * perturbed copy of doc i carries id i + this. Far above any fixture
+    * doc_id, far below the 2^40 composite-key bound used elsewhere. */
+  val ReexportIdOffset = 1000000L
+
+  /** The q110 image-dedup corpus: every document's canonical render
+    * ([[documentsAsPpmBlobs]]) PLUS its deterministic re-export
+    * ([[reexportPpm]], id + [[ReexportIdOffset]]) — a corpus where every
+    * image has exactly one pixel-level near-duplicate, the ground truth
+    * the perceptual-hash pipeline must recover. Both variants are pure
+    * functions of the text bytes, so the DuckDB oracle rebuilds the
+    * whole corpus independently. */
+  def documentsAsPpmBlobsWithReexports(spark: SparkSession,
+                                       dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    documentsAsPpmBlobs(spark, dir).flatMap { b =>
+      Seq(b, MediaBlob(b.doc_id + ReexportIdOffset, b.mime,
+        reexportPpm(b.payload)))
+    }
   }
 
   /** Lift the documents table into a MediaBlob dataset (text bytes standing

@@ -721,6 +721,70 @@ object EmbedQueries {
       graft.functions.Multimodal.documentsAsWavBlobs(spark, dir), 32)
       .toDF().orderBy("doc_id", "frame")
 
+  /** PERCEPTUAL-HASH IMAGE DEDUP (q110): the multimodal member of the
+    * dedup family — near-duplicate IMAGES (re-encodes, brightness
+    * tweaks, small overlays) that exact byte-hash dedup (q20) can never
+    * pair, over a corpus where every canonical render has exactly one
+    * deterministic re-export twin
+    * ([[graft.functions.Multimodal.documentsAsPpmBlobsWithReexports]]).
+    * Pipeline, every stage relational after the codec:
+    *
+    *   1. real P6 decode → 60-bit dHash per image
+    *      ([[graft.functions.Multimodal.ppmDHash60]]) — the only
+    *      non-relational step, the same bounded-batch object-codec
+    *      adjudication as q54/q55 (no Catalyst expression decodes P6);
+    *   2. LSH banding: 4 bands × 15 bits of the hash — a (band, key)
+    *      equi-join, NEVER all-pairs (the q25/q26 posture; candidate
+    *      volume is bucket-bounded and measured in SCALE.md);
+    *   3. Hamming verify: `bit_count(xor) ≤ 3` in pure integer
+    *      arithmetic. With 4 bands, recall at t = 3 is EXACT by
+    *      pigeonhole — ≤ 3 differing bits cannot touch all 4 bands, so
+    *      some band matches verbatim (MultimodalSpec proves banded ≡
+    *      exhaustive on the fixture);
+    *   4. [[graft.queries.DocQueries.dedupClusters]] over the verified
+    *      pair graph → (doc_id, cluster_id, cluster_size, is_canonical),
+    *      the q79 output shape.
+    *
+    * The dHash invariance does the semantic work: the re-export's
+    * uniform brightness lift cancels exactly in every span comparison
+    * and its 1-pixel stamp can disturb at most the two origin-span
+    * bits, so every twin pair sits at Hamming ≤ 2 while unrelated
+    * images sit near 30 (fixture min 12) — t = 3 separates with margin
+    * on both sides. */
+  def q110ImagePhashDedup(spark: SparkSession, dir: String): DataFrame =
+    imagePhashClusters(
+      graft.functions.Multimodal.ppmDHashes(
+        graft.functions.Multimodal
+          .documentsAsPpmBlobsWithReexports(spark, dir)).toDF(),
+      maxHamming = 3)
+      .orderBy("cluster_id", "doc_id")
+
+  /** The reusable operator behind q110: any (doc_id, dhash) frame →
+    * banded-LSH Hamming-verified near-dup clusters. Exact recall for
+    * maxHamming ≤ 3 (pigeonhole over the 4 bands); higher thresholds
+    * trade recall for the same bucket-bounded candidate volume. */
+  def imagePhashClusters(hashes: DataFrame, maxHamming: Int): DataFrame =
+    graft.queries.DocQueries.dedupClusters(
+      imagePhashPairs(hashes, maxHamming))
+
+  /** The banded candidate + Hamming-verify stage of [[imagePhashClusters]]
+    * — public so the recall proof (MultimodalSpec) can compare the
+    * banded pair graph against the exhaustive all-pairs one directly. */
+  def imagePhashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashes.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), 15 * b).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band", "bkey")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+      .filter(expr("bit_count(ha ^ hb)") <= lit(maxHamming))
+      .select("doc_a", "doc_b")
+  }
+
   def q29MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val payload = encode(col("text"), "UTF-8")

@@ -227,4 +227,93 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.duration_ms == bytes.length * 1000L / 8000)
     assert(f.peak_amplitude == (128 - bytes.min) * 256)
   }
+
+  // ------------------------------------------------- perceptual hashing --
+
+  private def rgbImage(w: Int, h: Int)(px: Int => (Int, Int, Int)) = {
+    val rgb = new Array[Byte](w * h * 3)
+    (0 until w * h).foreach { i =>
+      val (r, g, b) = px(i)
+      rgb(3 * i) = r.toByte; rgb(3 * i + 1) = g.toByte; rgb(3 * i + 2) = b.toByte
+    }
+    Multimodal.encodePpm(w, h, rgb)
+  }
+
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("ppmDHash60: exactly invariant to a uniform brightness lift") {
+    // 200 pixels of structured content; +40 on EVERY channel (no clamp:
+    // values stay ≤ 215) shifts every span sum by the same per-pixel Δ,
+    // which cancels in each cross-multiplied comparison — zero bits move.
+    val base = rgbImage(200, 1)(i => (i % 170, (i * 7) % 170, (i * 13) % 170))
+    val lifted = rgbImage(200, 1)(i =>
+      (i % 170 + 40, (i * 7) % 170 + 40, (i * 13) % 170 + 40))
+    assert(ham(Multimodal.ppmDHash60(base), Multimodal.ppmDHash60(lifted)) == 0)
+  }
+
+  test("ppmDHash60: a single-pixel edit disturbs at most 2 bits") {
+    val base = rgbImage(200, 1)(i => (i % 200, 255 - i % 200, (i * 3) % 200))
+    val stamped = rgbImage(200, 1)(i =>
+      if (i == 77) (255, 255, 255) else (i % 200, 255 - i % 200, (i * 3) % 200))
+    // pixel 77 lies in one span; only the two comparisons touching that
+    // span (bit s-1 and bit s) can flip.
+    assert(ham(Multimodal.ppmDHash60(base), Multimodal.ppmDHash60(stamped)) <= 2)
+  }
+
+  test("reexportPpm is a valid P6 with the R lift and origin stamp applied") {
+    val base = rgbImage(10, 1)(i => (10 * i, 20, 250))
+    val (w, h, _, rgb) = Multimodal.decodePpm(Multimodal.reexportPpm(base))
+    assert(w == 10 && h == 1)
+    assert((rgb(0) & 0xff, rgb(1) & 0xff, rgb(2) & 0xff) == ((255, 255, 255)))
+    // pixel 3: R = 30+8, G/B unchanged; pixel 9: R = 90+8
+    assert((rgb(9) & 0xff) == 38 && (rgb(10) & 0xff) == 20 && (rgb(11) & 0xff) == 250)
+    assert((rgb(27) & 0xff) == 98)
+  }
+
+  test("q110 banding is recall-exact at Hamming <= 3 (pigeonhole over 4 bands)") {
+    val sf = "/root/testdata/sf0.001"
+    val hashes = Multimodal.ppmDHashes(
+      Multimodal.documentsAsPpmBlobsWithReexports(spark, sf)).toDF()
+    import org.apache.spark.sql.functions._
+    val banded = graft.queries.EmbedQueries.imagePhashPairs(hashes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exhaustive all-pairs ground truth at the same threshold (fixture
+    // scale only): ≤ 3 differing bits cannot touch all 4 bands, so the
+    // banded equi-join must find the identical pair set.
+    val h2 = hashes.select(col("doc_id").as("doc_b"), col("dhash").as("hb"))
+    val exhaustive = hashes.select(col("doc_id").as("doc_a"), col("dhash").as("ha"))
+      .crossJoin(h2)
+      .filter(col("doc_a") < col("doc_b") &&
+        expr("bit_count(ha ^ hb)") <= 3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exhaustive,
+      s"banded != exhaustive: missing=${exhaustive -- banded} extra=${banded -- exhaustive}")
+    assert(exhaustive.nonEmpty, "fixture produced no pairs — test is vacuous")
+  }
+
+  test("q110: every re-export twin co-clusters with its base image") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.EmbedQueries
+      .q110ImagePhashDedup(spark, "/root/testdata/sf0.001")
+    val labels = out.select("doc_id", "cluster_id")
+    val base = labels.filter(col("doc_id") < Multimodal.ReexportIdOffset)
+      .select(col("doc_id"), col("cluster_id").as("cb"))
+    val reex = labels.filter(col("doc_id") >= Multimodal.ReexportIdOffset)
+      .select((col("doc_id") - Multimodal.ReexportIdOffset).as("doc_id"),
+        col("cluster_id").as("cr"))
+    // Full outer: a twin missing from the cluster table entirely (its
+    // pair was never found) must fail, not vanish from an inner join.
+    val joined = base.join(reex, Seq("doc_id"), "full_outer")
+    assert(joined.filter(col("cb").isNull || col("cr").isNull ||
+      col("cb") =!= col("cr")).count() == 0,
+      "some re-export twin is missing or split from its base")
+    // The twins dominate the graph: cross-document merges (genuine
+    // pixel-near-dup texts — sf0.001 has exactly one such pair) may
+    // fuse a few, so cluster count sits just below the doc count.
+    val nClusters = out.select("cluster_id").distinct().count()
+    val nDocs = base.count()
+    assert(nClusters >= nDocs - 5 && nClusters <= nDocs,
+      s"unexpected cluster structure: $nClusters clusters for $nDocs docs")
+  }
 }
