@@ -128,6 +128,7 @@ object SparkEntry {
     "q108_quality_calibration" -> (DocQueries.q108QualityCalibration _),
     "q109_exact_substr_prod_k" -> (DocQueries.q109ExactSubstrProdK _),
     "q110_image_phash_dedup" -> (EmbedQueries.q110ImagePhashDedup _),
+    "q111_embed_binary_topk" -> (EmbedQueries.q111EmbedBinaryTopk _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2452,6 +2453,35 @@ object SparkEntry {
         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
         |       doc_id = cluster_id AS is_canonical
         |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    // Binary-quantization ladder: sign codes packed as two 32-bit words,
+    // Hamming shortlist (integer-only), exact-cosine rerank of the
+    // shortlist — the full q111 ladder restated stage for stage.
+    "q111_embed_binary_topk" ->
+      """WITH cb AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm,
+        |         list_sum([CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0 THEN (1::BIGINT << (i-1)) ELSE 0 END for i in range(1, 33)]) AS c_lo,
+        |         list_sum([CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0 THEN (1::BIGINT << (i-33)) ELSE 0 END for i in range(33, 65)]) AS c_hi
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qnrm,
+        |             c_lo AS ql, c_hi AS qh
+        |      FROM cb WHERE vec_id < 5),
+        |ham AS (
+        |  SELECT q.q_id, c.vec_id, c.embedding, c.nrm, q.qe, q.qnrm,
+        |         CAST(bit_count(xor(c.c_lo, q.ql)) + bit_count(xor(c.c_hi, q.qh)) AS BIGINT) AS hamming
+        |  FROM cb c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+        |sl AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrank
+        |    FROM ham) WHERE hrank <= 50),
+        |rr AS (
+        |  SELECT q_id, vec_id, hamming,
+        |         round(list_sum([CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])
+        |               / (qnrm * nrm), 6) AS cosine
+        |  FROM sl)
+        |SELECT q_id, vec_id, hamming, cosine, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn FROM rr)
+        |WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin,
   )
 
   /** Generates the k-parameterized ExactSubstr oracle (q93's SQL shape

@@ -577,6 +577,73 @@ object EmbedQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** 1-BIT BINARY QUANTIZATION + HAMMING SHORTLIST + EXACT RERANK (q111):
+    * the memory floor of the quantization ladder, below SQ8 (q60, 4×)
+    * and PQ (q98, 16×) — 64 dims collapse to 64 SIGN BITS = 8 bytes per
+    * vector, 32× smaller than float32, the standard first-pass filter at
+    * billion-vector scale (sign codes fit in RAM when nothing else does,
+    * and Hamming distance between sign patterns tracks angular
+    * distance). The ladder:
+    *
+    *   1. sign codes (bit = component > 0), map-only, packed as TWO
+    *      32-bit words (`c_lo` dims 1–32, `c_hi` dims 33–64) so both
+    *      engines manipulate them with plain BIGINT arithmetic — a
+    *      64-bit pack would need the sign bit, which DuckDB's checked
+    *      shift refuses (1 << 63 overflows);
+    *   2. Hamming candidate scan against the broadcast queries:
+    *      bit_count(xor) + bit_count(xor) — integer-only over the
+    *      8-byte codes (at 100 TB this is the scan that dominates
+    *      bytes, and it moves 32× less than the float plan); shortlist
+    *      = top-50 per query by (hamming, vec_id), planned as a
+    *      WindowGroupLimit partial top-k, never a full per-query sort;
+    *   3. exact cosine RERANK of the shortlist only — full-precision
+    *      work is O(queries × shortlist), the q65 posture.
+    *
+    * Deterministic end to end (integer Hamming, vec_id tie-breaks,
+    * round-6 cosine over the established graft_dot/list_sum parity), so
+    * DuckDB restates the whole ladder and the hash must match. Recall
+    * vs the exact baseline is MEASURED in AnnRecallSpec on both the
+    * near-uniform and clustered regimes — the binary code is the
+    * coarsest rung, and its trade is pinned, not implied. */
+  def q111EmbedBinaryTopk(spark: SparkSession, dir: String): DataFrame =
+    binaryHammingAnn(spark, dir, shortlist = 50, k = 10)
+
+  def binaryHammingAnn(spark: SparkSession, dir: String, shortlist: Int,
+                       k: Int): DataFrame = {
+    withDot(spark)
+    val bitsOf = (lo: Int) => expr(
+      s"""aggregate(
+         |  zip_with(slice(embedding, $lo, 32), sequence(0, 31),
+         |           (x, i) -> IF(CAST(x AS DOUBLE) > 0.0d,
+         |                        shiftleft(CAST(1 AS BIGINT), i),
+         |                        CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, y) -> a + y)""".stripMargin)
+    val codes = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"),
+        bitsOf(1).as("c_lo"), bitsOf(33).as("c_hi"))
+    val queries = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"), col("c_lo").as("ql"), col("c_hi").as("qh"))
+    val ham = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("nrm"),
+        col("qe"), col("qnrm"),
+        (expr("bit_count(c_lo ^ ql)") + expr("bit_count(c_hi ^ qh)"))
+          .cast("long").as("hamming"))
+    val wh = Window.partitionBy(col("q_id")).orderBy(asc("hamming"), asc("vec_id"))
+    val sl = ham
+      .withColumn("hrank", row_number().over(wh))
+      .filter(col("hrank") <= shortlist)
+    val reranked = sl.select(col("q_id"), col("vec_id"), col("hamming"),
+      round(dot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm")), 6)
+        .as("cosine"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    reranked
+      .withColumn("rank", row_number().over(wc).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
   /** Symmetric int8 quantization of the `embedding` column: per-vector
     * scale 127/max|component|, explicit sign·floor(|x|·s + 0.5) rounding
     * (engine-unambiguous — the q60/q65 oracle parity hinges on it), codes

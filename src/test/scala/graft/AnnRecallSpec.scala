@@ -123,6 +123,23 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(ivf >= 0.95, f"clustered IVF recall collapsed: $ivf%.3f")
   }
 
+  test("binary-code recall@3 vs brute force stays above the documented floors") {
+    // q111's 1-bit ladder: recall here IS shortlist recall (the rerank
+    // above the cut is exact cosine), so the pin measures how well
+    // 64 sign bits rank true neighbors into the top-50 of 500.
+    val truth = topk(graft.queries.EmbedQueries.q27EmbedCosineTopk(spark, sf))
+    val bin = recall(topk(graft.queries.EmbedQueries.q111EmbedBinaryTopk(spark, sf)), truth)
+    val dir = ClusteredEmbeddings.ensure(spark)
+    val truthC = topk(graft.queries.EmbedQueries.q27EmbedCosineTopk(spark, dir))
+    val binC = recall(topk(graft.queries.EmbedQueries.q111EmbedBinaryTopk(spark, dir)), truthC)
+    info(f"binary recall@3: near-uniform=$bin%.3f clustered=$binC%.3f")
+    // deterministic pins: measured 0.867 near-uniform (top-50 of 500 by
+    // 64-bit Hamming — sign codes preserve most angular order even
+    // without structure) and 1.000 clustered.
+    assert(bin >= 0.80, f"binary recall collapsed (near-uniform): $bin%.3f")
+    assert(binC >= 0.95, f"binary recall collapsed (clustered): $binC%.3f")
+  }
+
   private def pairRecall(dir: String): (Double, Int, Int) = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorExpressions.register(spark)

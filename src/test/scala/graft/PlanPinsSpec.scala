@@ -167,6 +167,22 @@ class PlanPinsSpec extends AnyFunSuite {
       s"percent_rank must be restated over the exact rank:\n$plan")
   }
 
+  test("q111: Hamming shortlist cuts map-side — Partial WindowGroupLimit below the q_id exchange") {
+    val plan = SparkEntry.queries("q111_embed_binary_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The 50-row shortlist must be taken per input partition BEFORE the
+    // per-query exchange (partial top-k), so the shuffle carries
+    // ≤ 50 × partitions × queries rows, never the corpus × queries scan.
+    assert(plan.contains("row_number(), 50, Partial"),
+      s"shortlist is not a partial (map-side) WindowGroupLimit:\n$plan")
+    assert(plan.contains("row_number(), 10, Final"),
+      s"final top-k cut missing:\n$plan")
+    // The only corpus-side join is the bounded ×5 broadcast of queries.
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"query fan-out must be broadcast:\n$plan")
+  }
+
   test("q73: gap-fill scaffold joins keyed and fills over the aggregate — no row blowup") {
     val plan = SparkEntry.queries("q73_gap_fill")(spark, sfDir)
       .queryExecution.executedPlan.toString
