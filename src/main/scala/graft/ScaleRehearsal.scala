@@ -457,6 +457,120 @@ object ScaleRehearsal {
         hashes.unpersist()
       }
 
+      // BPE at production merge counts (round 14): the sequential
+      // trainer pays one Spark job per merge, so the dial that matters
+      // at 30k–50k production merges is PER-MERGE cost and its
+      // flatness. Measured here: sequential per-merge cost at 50/100
+      // merges (the job-latency floor), batched per-merge cost at
+      // 250/500 (the amortized floor + its flatness across the run),
+      // and the realized mean batch width. Factor 1 only — the trainer
+      // input is the vocab-sized word table, so corpus amplification
+      // changes it little; merge count is the axis under test.
+      // Factor 10, not 1: the base fixture's ~30-word vocabulary
+      // EXHAUSTS the trainer at ~89 merges (measured — every word
+      // becomes one symbol), while amplification token-salts copies, so
+      // the ×10 corpus carries ~10× the vocabulary and supports the
+      // production-shaped merge counts under test.
+      if (on("bpeprod") && k == 10) {
+        val docs = graft.sources.Tables(spark, dir, "documents")
+        def run(n: Int, batched: Boolean): (Double, Int) = {
+          graft.queries.DocQueries.unpersistAllShared(spark)
+          val t0 = System.nanoTime()
+          val rows =
+            if (batched)
+              graft.queries.DocQueries.bpeMergesBatched(docs, n).count()
+            else graft.queries.DocQueries.bpeMerges(docs, n).count()
+          ((System.nanoTime() - t0) / 1e9, rows.toInt)
+        }
+        val (s100, m100) = run(100, batched = false)
+        val (s200, m200) = run(200, batched = false)
+        val (b500, n500) = run(500, batched = true)
+        val (_, rSalt) = graft.queries.DocQueries.bpeBatchedRounds(docs, 500)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"bpe_prod_merges","seq100_s":$s100,"seq100_merges":$m100,"seq200_s":$s200,"seq200_merges":$m200,"bat500_s":$b500,"bat500_merges":$n500,"bat500_rounds":$rSalt,"loadavg":${loadavg1m()}}""")
+
+        // The salted corpus is the batching WORST case: every copy
+        // repeats the base counts, so the rank list is wall-to-wall
+        // ties and rule (3) trims nearly every batch to one merge. A
+        // Zipf-count corpus (the natural-language regime: strict drops
+        // everywhere in the head) is where batching pays — measured
+        // here on a deterministic 1,500-word base-7 vocabulary with
+        // freq(i) ≈ 3000/i.
+        val zipf = spark.range(1, 1501).toDF("id")
+          .select(col("id"),
+            explode(expr("sequence(1, greatest(1, cast(3000 / id as int)))"))
+              .as("rep"))
+          .select((col("id") * 100000 + col("rep")).as("doc_id"),
+            expr("translate(conv(CAST(id * 17 AS STRING), 10, 7), '0123456', 'abcdefg')")
+              .as("text"),
+            lit("en").as("lang"), lit("zipf").as("source"),
+            lit(8L).as("n_chars"))
+        def runZipf(n: Int, batched: Boolean): (Double, Int) = {
+          graft.queries.DocQueries.unpersistAllShared(spark)
+          val t0 = System.nanoTime()
+          val rows =
+            if (batched)
+              graft.queries.DocQueries.bpeMergesBatched(zipf, n).count()
+            else graft.queries.DocQueries.bpeMerges(zipf, n).count()
+          ((System.nanoTime() - t0) / 1e9, rows.toInt)
+        }
+        val (zs200, zm200) = runZipf(200, batched = false)
+        val (zb1000, zn1000) = runZipf(1000, batched = true)
+        val (_, rZipf) = graft.queries.DocQueries.bpeBatchedRounds(zipf, 1000)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"bpe_prod_merges_zipf","seq200_s":$zs200,"seq200_merges":$zm200,"bat1000_s":$zb1000,"bat1000_merges":$zn1000,"bat1000_rounds":$rZipf,"loadavg":${loadavg1m()}}""")
+      }
+
+      // STREAMING STATE AT SCALE (round 14): the streaming rows in the
+      // timing table measure OUTPUT; this measures the STATE STORE —
+      // rows and bytes held per operator as KEY CARDINALITY grows — on
+      // RocksDB, the provider a 100 TB deployment runs. Key cardinality
+      // rides the amplification: user_ids shift per copy (q45's join
+      // keys, ×k), and q32/q71's event_type keys are salted here with
+      // the copy index (event_id div 1e9 recovers it) so keyed state
+      // grows ×k too. The pin (SCALE.md): numRowsTotal tracks key
+      // cardinality ~linearly — state FLAT PER KEY — and bytes/row
+      // stays bounded; super-linear state per key would mean watermark
+      // eviction stopped bounding the buffers.
+      if (on("streamstate")) {
+        import org.apache.spark.sql.streaming.{StreamingQueryProgress, Trigger}
+        val ss = graft.streaming.EventStreams
+          .streamSession(spark, statePartitions = 4, rocksDbState = true)
+        def maxState(streamed: DataFrame, name: String): (Long, Long) = {
+          val q = streamed.writeStream.format("memory")
+            .queryName(s"state_rehearsal_${name}_x$k")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val perBatch: Seq[(Long, Long)] = q.recentProgress.toSeq.map { p =>
+            (p.stateOperators.map(_.numRowsTotal).sum,
+              p.stateOperators.map(_.memoryUsedBytes).sum)
+          }
+          if (perBatch.isEmpty) (0L, 0L)
+          else (perBatch.map(_._1).max, perBatch.map(_._2).max)
+        }
+        val salted = graft.streaming.EventStreams.fileReplaySource(ss, dir)
+          .withColumn("event_type", concat_ws("_", col("event_type"),
+            expr("event_id div 1000000000").cast("string")))
+        val (r32, m32) = maxState(graft.streaming.EventStreams
+          .windowedDistinct(salted, col("event_type"), "event_type"), "q32")
+        val (r71, m71) = maxState(
+          graft.streaming.EventStreams.slidingCounts(salted), "q71")
+        def side(t: String, idc: String, uc: String, tc: String) =
+          graft.streaming.EventStreams.fileReplaySource(ss, dir)
+            .filter(col("event_type") === t)
+            .select(col("event_id").as(idc), col("user_id").as(uc),
+              col("ts").as(tc))
+            .withWatermark(tc, "0 seconds")
+        val joined = side("view", "view_id", "user_id", "view_ts")
+          .join(side("purchase", "purchase_id", "p_user_id", "purchase_ts"),
+            col("user_id") === col("p_user_id") &&
+              col("purchase_ts") > col("view_ts") &&
+              col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"))
+          .select(col("view_id"), col("purchase_id"), col("user_id"))
+        val (r45, m45) = maxState(joined, "q45")
+        val keys = spark.read.parquet(s"$dir/events.parquet")
+          .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"stream_state_rocksdb","user_keys":$keys,"q32_rows":$r32,"q32_bytes":$m32,"q71_rows":$r71,"q71_bytes":$m71,"q45_rows":$r45,"q45_bytes":$m45}""")
+      }
+
       // Optional per-query filter (csv of names) for targeted timing
       // re-measurement without paying for the whole sweep.
       val queryFilter = sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")

@@ -129,6 +129,7 @@ object SparkEntry {
     "q109_exact_substr_prod_k" -> (DocQueries.q109ExactSubstrProdK _),
     "q110_image_phash_dedup" -> (EmbedQueries.q110ImagePhashDedup _),
     "q111_embed_binary_topk" -> (EmbedQueries.q111EmbedBinaryTopk _),
+    "q112_bpe_train_batched" -> (DocQueries.q112BpeTrainBatched _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2363,6 +2364,10 @@ object SparkEntry {
     // same left-to-right non-overlapping semantics in both engines, which
     // IS the BPE greedy merge rule.
     "q104_bpe_train" -> bpeOracleSql(10),
+    // Batched trainer at the production-shaped dial: the SAME unrolled
+    // sequential chain, 50 stages — DuckDB certifies per-round argmaxes,
+    // so any batched deviation from the sequential order hash-fails.
+    "q112_bpe_train_batched" -> bpeOracleSql(50),
     // BPE encode: same unrolled chain, then a 10-deep literal-replace
     // fold applied to every corpus word -- the map-only projection the
     // Spark side plans, restated.

@@ -2343,6 +2343,150 @@ object DocQueries {
       .toDF("step", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** BATCHED BPE TRAINER — [[bpeMerges]]'s production form: the
+    * sequential trainer pays ONE Spark job per merge (a vocab-sized
+    * pair-count aggregate + a 1-row argmax collect), so a production
+    * 30k–50k-merge run is 30k sequential round trips whose cost is
+    * dominated by job latency, not data. This variant folds a PROVABLY
+    * EQUIVALENT batch of merges into each job: take the ranked pair
+    * list's maximal prefix p_1..p_m (rank order, NO skipping) such that
+    *
+    *   (1) the pairs are pairwise symbol-disjoint ({a_i,b_i} ∩
+    *       {a_j,b_j} = ∅), so their string rewrites commute and none
+    *       consumes another's occurrences;
+    *   (2) no self-pair (a = b) after the first position — a self-merge
+    *       leaves odd-run residue adjacent to its own merged symbol
+    *       (aaa → aa·a mints the (aa, a) pair bounded only by the
+    *       self-pair's OWN count), which escapes bound (3);
+    *   (3) cnt(p_m) strictly exceeds cnt(p_{m+1}) — the batch ends on a
+    *       strict count drop.
+    *
+    * Equality argument (spec'd empirically by BpeSpec on fixture and
+    * adversarial corpora): at sequential step j ≤ m, every pair counted
+    * ABOVE p_j in the original table is p_1..p_{j-1} (prefix, no skips)
+    * — applied, hence count 0; disjointness leaves cnt(p_j..p_m)
+    * unchanged; and every pair CREATED by earlier batch merges maps
+    * through its junction (b_i, y) / (x, a_i) to an OLD pair sharing a
+    * symbol with the batch — which, by disjointness, is not in the
+    * prefix, so its count ≤ cnt(p_{m+1}) < cnt(p_j) by (3). The argmax
+    * at step j is therefore exactly p_j, ties and all. WordPiece is NOT
+    * batchable this way: its likelihood score's denominators shrink
+    * under merging, so created pairs can outscore old bounds.
+    *
+    * One job now advances `m` merges (fixture-measured batch widths in
+    * SCALE.md); the collect grows from 1 row to `batchCap + 1` rows of
+    * a vocab-bounded table — the same driver-scalar class as the
+    * sequential argmax. */
+  def bpeMergesBatched(docs: DataFrame, nMerges: Int,
+                       batchCap: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    sharedBpe.getOrElseUpdate(
+      (docs.sparkSession.sparkContext.applicationId,
+        docs.queryExecution.analyzed.canonicalized, nMerges, s"batched$batchCap"),
+      trainBpeBatched(docs, nMerges, batchCap)._1)
+      .map { case (st, a, b, m, c, _) => (st, a, b, m, c) }
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** [[trainBpeBatched]]'s realized JOB count for nMerges merges — the
+    * amortization the batching buys (merges/rounds = mean batch width;
+    * measured in the scale rehearsal on tie-free and all-ties
+    * corpora). */
+  private[graft] def bpeBatchedRounds(docs: DataFrame, nMerges: Int,
+                                      batchCap: Int = 64): (Int, Int) = {
+    val (m, r) = trainBpeBatched(docs, nMerges, batchCap)
+    (m.length, r)
+  }
+
+  private def trainBpeBatched(docs: DataFrame, nMerges: Int, batchCap: Int)
+      : (Seq[(Long, String, String, String, Long, Long)], Int) = {
+    require(batchCap >= 1)
+    val S = bpeS; val E = bpeE
+    val words = tokenizedDocs(docs)
+      .select(explode(col("toks")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val enc = array_join(
+      transform(filter(split(col("word"), ""), ch => ch =!= ""),
+        ch => concat(lit(S), ch, lit(E))), "")
+    // Lineage cut per round: each rewrite LAZILY localCheckpoints, so
+    // the round's one argmax action materializes it (rounds stay one job
+    // each) and the logical plan stays constant-size — without the cut
+    // the plan gains a projection per round and Spark's own plan-string
+    // rendering OOMs near ~40 rounds, far short of a production
+    // 30k-merge run. Old round blocks are reclaimed by the
+    // ContextCleaner once unreferenced (the dedupClusters precedent).
+    var vocab = words.select(enc.as("s"), col("freq")).localCheckpoint(false)
+    val merges =
+      scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long, Long)]
+    var step = 1
+    var rounds = 0
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val syms = split(
+        regexp_replace(col("s"), "^\u0001|\u0002$", ""), "\u0002\u0001")
+      val top = vocab.select(col("freq"), syms.as("y"))
+        .select(col("freq"), explode(zip_with(
+          slice(col("y"), lit(1), size(col("y")) - 1),
+          slice(col("y"), lit(2), size(col("y")) - 1),
+          (x, z) => struct(x.as("a"), z.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(batchCap + 1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // Maximal no-skip prefix under rules (1) and (2).
+        val used = scala.collection.mutable.Set.empty[String]
+        var m = 0
+        var stop = false
+        val roomLeft = nMerges - step + 1
+        while (!stop && m < top.length && m < batchCap && m < roomLeft) {
+          val (a, b) = (top(m).getString(0), top(m).getString(1))
+          if (used.contains(a) || used.contains(b)) stop = true
+          else {
+            used += a; used += b; m += 1
+            // Rule (2): a self-pair CLOSES its batch — whether it opens
+            // it or not — because its odd-run residue can adjoin its own
+            // merged symbol (aaa → aa·a mints (aa, a) bounded only by
+            // the self-pair's own count, not by cnt(p_{m+1})).
+            if (a == b) stop = true
+          }
+        }
+        // Rule (3): walk back to the last strict count drop. A tie at
+        // the boundary would let a created pair tie-break past a batch
+        // member; m = 1 is always safe (it IS the sequential step).
+        while (m > 1 && m < top.length &&
+          top(m - 1).getLong(2) == top(m).getLong(2)) m -= 1
+        val batch = top.take(m)
+        batch.zipWithIndex.foreach { case (r, i) =>
+          merges += (((step + i).toLong, r.getString(0), r.getString(1),
+            r.getString(0) + r.getString(1), r.getLong(2), 0L))
+        }
+        val newS = batch.foldLeft(col("s")) { (c, r) =>
+          replace(c,
+            lit(S + r.getString(0) + E + S + r.getString(1) + E),
+            lit(S + r.getString(0) + r.getString(1) + E))
+        }
+        vocab = vocab.withColumn("s", newS).localCheckpoint(false)
+        step += m
+      }
+      rounds += 1
+    }
+    (merges.toSeq, rounds)
+  }
+
+  /** q112: the batched trainer at a PRODUCTION-shaped dial — 50 merges
+    * (the q104 registration stays at 10 so the two oracles certify both
+    * the sequential and the batched machinery; BpeSpec proves the two
+    * trainers emit identical merge tables). The unrolled 50-stage DuckDB
+    * oracle certifies every round's argmax independently — including
+    * every batch boundary the width heuristic chose. */
+  def q112BpeTrainBatched(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesBatched(Tables(spark, dir, "documents"), 50).orderBy("step")
+
   /** WORDPIECE-scored trainer — the same machinery as [[bpeMerges]] with
     * the argmax criterion swapped: merge the pair maximizing the
     * likelihood ratio c(ab) / (c(a)·c(b)) instead of the raw count
@@ -2373,7 +2517,7 @@ object DocQueries {
     * the INPUT plan, so a changed corpus trains fresh regardless). q104
     * (train) and q105 (encode) share one training run through this. */
   private val sharedBpe = scala.collection.concurrent.TrieMap
-    .empty[(String, Any, Int, Boolean), Seq[(Long, String, String, String, Long, Long)]]
+    .empty[(String, Any, Int, Any), Seq[(Long, String, String, String, Long, Long)]]
 
   private def trainBpe(docs: DataFrame, nMerges: Int, wordpiece: Boolean)
       : Seq[(Long, String, String, String, Long, Long)] =
@@ -2394,15 +2538,14 @@ object DocQueries {
     val enc = array_join(
       transform(filter(split(col("word"), ""), ch => ch =!= ""),
         ch => concat(lit(S), ch, lit(E))), "")
-    var vocab = words.select(enc.as("s"), col("freq")).persist()
-    // Deferred-unpersist discipline: the argmax action on round i
-    // materializes vocab_i's cache as a side effect, so the PREVIOUS
-    // round's relation can only be released after that action has run
-    // (releasing earlier would re-derive round i from the corpus).
-    // This keeps each round at exactly ONE job — no eager count() to
-    // force materialization — at the cost of two tiny cached relations
-    // live at a time.
-    var prevVocab: Option[DataFrame] = None
+    // Lineage cut per round (same as the batched trainer): a LAZY
+    // localCheckpoint is materialized by the round's one argmax action
+    // (rounds stay one job each) and keeps the logical plan
+    // constant-size — chained persists let the plan grow a projection
+    // per round until Spark's own plan rendering OOMs near ~40 rounds.
+    // Old round blocks are reclaimed by the ContextCleaner once
+    // unreferenced (the dedupClusters precedent).
+    var vocab = words.select(enc.as("s"), col("freq")).localCheckpoint(false)
     val merges =
       scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long, Long)]
     var step = 1
@@ -2439,22 +2582,16 @@ object DocQueries {
       val top = ranked
         .select(col("a"), col("b"), col("cnt"), col("score_e9"))
         .limit(1).collect()
-      // The collect above just materialized `vocab`; the round before it
-      // is now safe to release.
-      prevVocab.foreach(_.unpersist())
-      prevVocab = Some(vocab)
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step.toLong, a, b, a + b, c, top(0).getLong(3)))
         vocab = vocab.withColumn("s",
           replace(col("s"), lit(S + a + E + S + b + E), lit(S + a + b + E)))
-          .persist()
+          .localCheckpoint(false)
         step += 1
       }
     }
-    prevVocab.foreach(_.unpersist())
-    vocab.unpersist()
     merges.toSeq
   }
 

@@ -198,4 +198,66 @@ class BpeSpec extends AnyFunSuite {
     // One merge exhausts the corpus (every word becomes one symbol).
     assert(got == Seq((1L, "a", "b", "ab", 2L)), s"got $got")
   }
+
+  private def mergeList(df: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    df.as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("batched trainer equals the sequential trainer merge-for-merge (fixture, 50 rounds)") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val seqM = mergeList(graft.queries.DocQueries.bpeMerges(docs, 50))
+    val batM = mergeList(graft.queries.DocQueries.bpeMergesBatched(docs, 50))
+    assert(batM == seqM, s"diverged at ${
+      batM.zip(seqM).indexWhere { case (a, b) => a != b }}:\n$batM\nvs\n$seqM")
+    // At several batch caps too — the cap changes only the job count,
+    // never the merge sequence.
+    for (cap <- Seq(2, 7)) {
+      val capped = mergeList(
+        graft.queries.DocQueries.bpeMergesBatched(docs, 20, batchCap = cap))
+      assert(capped == seqM.take(20), s"cap=$cap diverged")
+    }
+  }
+
+  test("batched trainer survives the created-pair trap (rule 3: strict drop)") {
+    import spark.implicits._
+    // "xab" xN + "cd" x(N-1): ranked round-1 pairs (a,b)=N, (x,a)=N,
+    // (c,d)=N-1. (x,a) overlaps (a,b) -> prefix stops at m=1, so the
+    // batch never pairs (a,b) with (c,d) — which would be WRONG, because
+    // sequentially the created (x,ab)=N outranks (c,d)=N-1.
+    val docs = ((1 to 10).map(i => (i.toLong, "xab", "en", "s0", 3L)) ++
+      (11 to 19).map(i => (i.toLong, "cd", "en", "s0", 2L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val seqM = mergeList(graft.queries.DocQueries.bpeMerges(docs, 4))
+    val batM = mergeList(graft.queries.DocQueries.bpeMergesBatched(docs, 4))
+    assert(batM == seqM, s"$batM\nvs\n$seqM")
+    assert(seqM(1)._4 == "xab", "fixture lost its created-pair structure")
+  }
+
+  test("batched trainer survives the self-pair trap (rule 2)") {
+    import spark.implicits._
+    // "aaa" xN + "cd" xK, K < 2N: round-1 ranked (a,a)=2N, (c,d)=K.
+    // Sequential: after (a,a), "aa a" mints (aa,a)=N which outranks
+    // (c,d) when N > K — a batch {(a,a),(c,d)} would reorder history.
+    val docs = ((1 to 8).map(i => (i.toLong, "aaa", "en", "s0", 3L)) ++
+      (9 to 14).map(i => (i.toLong, "cd", "en", "s0", 2L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val seqM = mergeList(graft.queries.DocQueries.bpeMerges(docs, 4))
+    val batM = mergeList(graft.queries.DocQueries.bpeMergesBatched(docs, 4))
+    assert(batM == seqM, s"$batM\nvs\n$seqM")
+    assert(seqM(1)._2 == "aa" && seqM(1)._3 == "a",
+      "fixture lost its self-pair structure")
+  }
+
+  test("batched trainer survives the tie-at-boundary trap (rule 3)") {
+    import spark.implicits._
+    // Pairs (a,b) and (c,d) tie at N; created pairs from (a,b) could
+    // tie-break ahead lexicographically if the batch crossed the tie.
+    val docs = ((1 to 6).map(i => (i.toLong, "ab", "en", "s0", 2L)) ++
+      (7 to 12).map(i => (i.toLong, "cd", "en", "s0", 2L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val seqM = mergeList(graft.queries.DocQueries.bpeMerges(docs, 3))
+    val batM = mergeList(graft.queries.DocQueries.bpeMergesBatched(docs, 3))
+    assert(batM == seqM, s"$batM\nvs\n$seqM")
+  }
 }
