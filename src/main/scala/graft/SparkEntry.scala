@@ -130,6 +130,8 @@ object SparkEntry {
     "q110_image_phash_dedup" -> (EmbedQueries.q110ImagePhashDedup _),
     "q111_embed_binary_topk" -> (EmbedQueries.q111EmbedBinaryTopk _),
     "q112_bpe_train_batched" -> (DocQueries.q112BpeTrainBatched _),
+    "q113_semantic_decontaminate" -> (EmbedQueries.q113SemanticDecontaminate _),
+    "q114_hard_negatives" -> (EmbedQueries.q114HardNegatives _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2458,6 +2460,66 @@ object SparkEntry {
         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
         |       doc_id = cluster_id AS is_canonical
         |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    // Semantic decontamination: q36's probed-bucket pair condition
+    // (Hamming<=1 on the sign-LSH bucket) restricted to train×eval
+    // pairs, aggregated per contaminated train vector.
+    "q113_semantic_decontaminate" ->
+      """WITH wb AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_sum(
+        |           [CASE WHEN list_sum([(CAST(((p * 131071 + i * 524287) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+        |                                * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]) > 0
+        |                 THEN CAST(round(pow(2, p)) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |            for p in range(0, 4)]) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |p2 AS (
+        |  SELECT t.vec_id AS vec_id, h.vec_id AS eval_id,
+        |         round(
+        |           list_sum([CAST(t.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
+        |           (sqrt(list_sum([CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE) for i in range(1, 65)])) *
+        |            sqrt(list_sum([CAST(h.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE) for i in range(1, 65)]))), 6) AS cosine
+        |  FROM wb t JOIN wb h
+        |    ON bit_count(xor(t.bucket, h.bucket)) <= 1
+        |   AND t.vec_id % 10 <> 7 AND h.vec_id % 10 = 7)
+        |SELECT vec_id, count(*) AS n_eval_matches, max(cosine) AS max_cosine,
+        |       min(eval_id) AS first_eval
+        |FROM p2 WHERE cosine >= 0.4
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // Hard-negative mining: q46's IVF probe ladder with a label
+    // anti-filter between candidate and query, top-5 per query.
+    "q114_hard_negatives" ->
+      """WITH emb AS (
+        |  SELECT vec_id, label, embedding,
+        |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM emb WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, e.embedding, e.nrm, c.cid,
+        |         list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) for i in range(1, 65)])
+        |           / (e.nrm * c.cnrm) AS score
+        |  FROM emb e CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS q_id, label AS q_label, embedding AS qv, nrm AS qnrm, cid FROM (
+        |    SELECT vec_id, label, embedding, nrm, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT q.q_id, q.q_label, e.vec_id, e.label AS n_label,
+        |         round(
+        |           list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)])
+        |             / (q.qnrm * e.nrm), 6) AS cosine
+        |  FROM emb e JOIN assign a ON e.vec_id = a.vec_id
+        |             JOIN qprobe q ON a.cid = q.cid
+        |  WHERE e.vec_id <> q.q_id AND e.label <> q.q_label)
+        |SELECT q_id, q_label, vec_id, n_label, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // Binary-quantization ladder: sign codes packed as two 32-bit words,
     // Hamming shortlist (integer-only), exact-cosine rerank of the
     // shortlist — the full q111 ladder restated stage for stage.

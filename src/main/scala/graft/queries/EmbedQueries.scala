@@ -481,6 +481,74 @@ object EmbedQueries {
       .distinct()
   }
 
+  /** SEMANTIC DECONTAMINATION (q113): flag TRAIN vectors whose embedding
+    * sits within cosine ≥ t of ANY held-out/eval vector — the
+    * embedding-space sibling of q51's shingle decontamination, the audit
+    * run before trusting a benchmark number when paraphrases defeat
+    * lexical overlap (an eval question rephrased shares no shingles but
+    * lands next to its source in embedding space). Held-out membership
+    * is a predicate over the corpus (here the q106 split convention,
+    * vec_id % 10 = 7), so the split never leaves the scan.
+    *
+    * Scale shape: reuses [[deltaCosinePairs]] with the EVAL side as the
+    * probed delta — the corpus is bucket-scanned but never self-joined;
+    * join work is |eval| × bucket-occupancy (eval sets are tiny next to
+    * the corpus, exactly the q74 posture). The probed-LSH candidate set
+    * equals the Hamming≤1 bucket condition (q36's pinned equivalence),
+    * and its recall/threshold trade is the measured one
+    * (AnnRecallSpec's pair-recall pins). Output: one row per
+    * contaminated train vector with its match count, worst (max)
+    * cosine, and first matching eval id — deterministic aggregates, no
+    * float ordering ambiguity (cosine is the round-6 value both engines
+    * compute bit-identically). */
+  def q113SemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = deltaCosinePairs(spark, dir, col("vec_id") % 10 === 7, 0.4)
+    val evalA = col("vec_a") % 10 === 7
+    val evalB = col("vec_b") % 10 === 7
+    pairs
+      .filter(evalA =!= evalB) // exactly one held-out endpoint
+      .select(
+        when(evalA, col("vec_b")).otherwise(col("vec_a")).as("vec_id"),
+        when(evalA, col("vec_a")).otherwise(col("vec_b")).as("eval_id"),
+        col("cosine"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max("cosine").as("max_cosine"),
+        min("eval_id").as("first_eval"))
+      .orderBy("vec_id")
+  }
+
+  /** HARD-NEGATIVE MINING (q114): for each query vector, the k nearest
+    * neighbors carrying a DIFFERENT label — the contrastive-training
+    * data step (embedding models train on (anchor, positive, hard
+    * negative) triples, and mined hard negatives beat in-batch randoms
+    * precisely because they are the nearest wrong answers).
+    *
+    * Composes the IVF machinery (q46's [[ivfCandidates]]: probed-list
+    * candidates, never all-pairs) with a label anti-filter and the
+    * usual exact top-k cut — at full-corpus mining (every vector a
+    * query) the same plan becomes a per-list self-join, still bounded
+    * by list occupancy. Label lookups ride keyed joins against the
+    * existing scan (the query side is queries-sized and broadcast). */
+  def q114HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(spark, dir, nlist = 16, nProbe = 2, k = 5)
+
+  def hardNegatives(spark: SparkSession, dir: String, nlist: Int,
+                    nProbe: Int, k: Int): DataFrame = {
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    ivfCandidates(spark, dir, nlist, nProbe)
+      .join(broadcast(labels.select(col("vec_id").as("q_id"),
+        col("label").as("q_label")).filter(col("q_id") < 5)), "q_id")
+      .join(labels.select(col("vec_id"), col("label").as("n_label")), "vec_id")
+      .filter(col("n_label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "q_label", "vec_id", "n_label", "cosine", "rank")
+      .orderBy("q_id", "rank")
+  }
+
   /** INCREMENTAL CLUSTER MAINTENANCE — fold an arrival batch into an
     * existing cluster assignment WITHOUT re-clustering the corpus: the
     * stored labels become star edges (member → canonical), exactly

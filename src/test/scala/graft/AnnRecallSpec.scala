@@ -140,6 +140,50 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(binC >= 0.95, f"binary recall collapsed (clustered): $binC%.3f")
   }
 
+  test("q113 semantic decontamination: flags only true train×eval near-dups; recall measured") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(call_function("graft_dot", col("embedding"), col("embedding"))).as("nrm"))
+    // Exhaustive train×eval ground truth at the same threshold.
+    val train = emb.filter(col("vec_id") % 10 =!= 7)
+    val eval_ = emb.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("e_id"), col("embedding").as("ee"), col("nrm").as("enrm"))
+    val truth = train.crossJoin(eval_)
+      .select(col("vec_id"),
+        round(call_function("graft_dot", col("embedding"), col("ee")) /
+          (col("nrm") * col("enrm")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val got = graft.queries.EmbedQueries.q113SemanticDecontaminate(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(truth), s"flagged a non-contaminated vector: ${got -- truth}")
+    val recall = if (truth.isEmpty) 1.0 else (got intersect truth).size.toDouble / truth.size
+    info(f"q113 contamination recall=$recall%.3f (${got.size}/${truth.size})")
+    assert(truth.nonEmpty, "fixture has no contamination — test vacuous")
+    // deterministic pin: measured 0.444 (4/9) on the near-uniform fixture
+    // — the same sign-LSH regime as q36's 0.576 pair recall (little
+    // angular structure to exploit; clustered real embeddings do far
+    // better at the same probe budget, per the q36/q28 clustered pins).
+    assert(recall >= 0.40, f"probed-LSH contamination recall collapsed: $recall%.3f")
+  }
+
+  test("q114 hard negatives: every mined negative has a different label, ranked by cosine") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.EmbedQueries.q114HardNegatives(spark, sf)
+    assert(out.filter(col("n_label") === col("q_label")).count() == 0,
+      "a same-label vector leaked into the negatives")
+    val perQ = out.groupBy("q_id").count().collect().map(_.getLong(1)).toSet
+    assert(perQ == Set(5L), s"expected 5 negatives per query, got $perQ")
+    // rank order must follow cosine descending within each query
+    val bad = out.selectExpr("q_id", "rank", "cosine",
+      "lag(cosine) over (partition by q_id order by rank) as prev")
+      .filter(col("prev").isNotNull && col("prev") < col("cosine")).count()
+    assert(bad == 0, "rank order does not follow cosine")
+  }
+
   private def pairRecall(dir: String): (Double, Int, Int) = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorExpressions.register(spark)
