@@ -657,6 +657,75 @@ object ScaleRehearsal {
         }
       }
 
+      // 1-bit binary quantization (q111, round 14): the Hamming scan is
+      // corpus × queries map-side work cut to `shortlist` rows per query
+      // by the WindowGroupLimit partial top-k, so wall time must track
+      // the corpus ~linearly while the rerank stays O(queries ×
+      // shortlist) at every factor. Recall@10 vs the exact brute-force
+      // baseline is re-measured at each factor — amplified copies are
+      // bit-identical vectors, so the sign codes collapse to the same
+      // code words and the verdict must not degrade as the corpus grows.
+      if (on("binquant")) {
+        import graft.queries.EmbedQueries
+        val nVec = graft.sources.Tables(spark, dir, "embeddings").count()
+        val brute = EmbedQueries.q27EmbedCosineTopk(spark, dir)
+          .filter(col("rank") <= 10).select("q_id", "vec_id")
+        val bruteN = brute.count()
+        val ann = EmbedQueries.binaryHammingAnn(spark, dir, shortlist = 50, k = 10)
+        val hits = ann.select("q_id", "vec_id")
+          .join(brute, Seq("q_id", "vec_id")).count()
+        val sec = if (deep) bench(materialize(
+          EmbedQueries.binaryHammingAnn(spark, dir, 50, 10)))
+          else timed(materialize(
+            EmbedQueries.binaryHammingAnn(spark, dir, 50, 10)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q111_binary_ann","n_vectors":$nVec,"recall_at10":${hits.toDouble / bruteN},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Semantic decontamination (q113, round 14): the production
+      // posture holds the EVAL side FIXED while the train corpus grows
+      // (a benchmark doesn't get bigger because the crawl did), so the
+      // probe side here is only the BASE-copy eval ids — join work is
+      // |eval| × bucket-occupancy and candidate pairs + flagged rows
+      // must grow ~linearly with the corpus. The registered q113 predicate
+      // (eval grows with the corpus) is the q101 adversarial regime —
+      // its pair count is family-quadratic BY CONSTRUCTION on amplified
+      // identical copies and is recorded alongside for contrast, not as
+      // the scale claim.
+      if (on("semdecon")) {
+        import graft.queries.EmbedQueries
+        val fixedEval = col("vec_id") % 10 === 7 && col("vec_id") < 10000000L
+        val eA = col("vec_a") % 10 === 7 && col("vec_a") < 10000000L
+        val eB = col("vec_b") % 10 === 7 && col("vec_b") < 10000000L
+        val pairs = EmbedQueries.deltaCosinePairs(spark, dir, fixedEval, 0.4)
+        val nPairs = pairs.count()
+        val flagged = pairs.filter(eA =!= eB)
+          .select(when(eA, col("vec_b")).otherwise(col("vec_a")).as("vec_id"))
+          .distinct().count()
+        val grownPairs = if (deep)
+          EmbedQueries.deltaCosinePairs(spark, dir,
+            col("vec_id") % 10 === 7, 0.4).count() else -1L
+        val sec = timed(materialize(
+          EmbedQueries.deltaCosinePairs(spark, dir, fixedEval, 0.4)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q113_semdecon_fixed_eval","cand_pairs":$nPairs,"flagged":$flagged,"grown_eval_pairs":$grownPairs,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Hard-negative mining (q114, round 14): candidates are probed-list
+      // occupancy (never all-pairs), so volume must grow ~linearly at
+      // fixed nlist and stay an ~nProbe/nlist corpus fraction at the
+      // production sqrt(n) nlist; output is queries × k at every factor.
+      if (on("hardneg")) {
+        import graft.queries.EmbedQueries
+        val nVec = graft.sources.Tables(spark, dir, "embeddings").count()
+        val nlistBig = math.max(16, math.round(math.sqrt(nVec.toDouble)).toInt)
+        Seq(16, nlistBig).distinct.foreach { nl =>
+          val cands = EmbedQueries.ivfCandidates(spark, dir, nl, 2).count()
+          val nOut = EmbedQueries.hardNegatives(spark, dir, nl, 2, 5).count()
+          val sec = timed(materialize(
+            EmbedQueries.hardNegatives(spark, dir, nl, 2, 5)))
+          println(s"""{"rehearsal":true,"factor":$k,"metric":"q114_hard_negatives","n_vectors":$nVec,"nlist":$nl,"candidates":$cands,"out_rows":$nOut,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+        }
+      }
+
       // Release the per-dir caches before the next factor — both the
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every
