@@ -132,6 +132,8 @@ object SparkEntry {
     "q112_bpe_train_batched" -> (DocQueries.q112BpeTrainBatched _),
     "q113_semantic_decontaminate" -> (EmbedQueries.q113SemanticDecontaminate _),
     "q114_hard_negatives" -> (EmbedQueries.q114HardNegatives _),
+    "q115_paragraph_dedup" -> (DocQueries.q115ParagraphDedup _),
+    "q116_weighted_sample" -> (DocQueries.q116WeightedSample _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2549,6 +2551,53 @@ object SparkEntry {
         |SELECT q_id, vec_id, hamming, cosine, CAST(rn AS BIGINT) AS rank
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn FROM rr)
         |WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin,
+    // Paragraph-level boilerplate removal: 32-token disjoint windows,
+    // drop any paragraph text occurring in > 1 distinct doc, reassemble
+    // surviving paragraphs in order; docs losing everything stay as
+    // empty rows via the left join.
+    "q115_paragraph_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, CAST(floor((len(toks) - 1) / 32.0) AS BIGINT) + 1)) AS pid,
+        |         toks
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, pid,
+        |         array_to_string(toks[pid * 32 + 1 : least((pid + 1) * 32, len(toks))], ' ') AS para
+        |  FROM p),
+        |h AS (SELECT doc_id, pid, para, md5(para) AS ph FROM s),
+        |b AS (SELECT ph FROM h GROUP BY ph HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (SELECT * FROM h WHERE ph NOT IN (SELECT ph FROM b)),
+        |r AS (
+        |  SELECT doc_id, count(*) AS kept_paras,
+        |         string_agg(para, ' ' ORDER BY pid) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       CAST(floor((len(t.toks) - 1) / 32.0) + 1 AS BIGINT) AS n_paras,
+        |       COALESCE(r.kept_paras, 0) AS kept_paras,
+        |       COALESCE(r.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // Priority sampling: u = (first 8 md5 nibbles of the doc_id string)
+    // + 1, priority = w * 2^32 / u — one IEEE division of exact-integer
+    // doubles, so selection and output agree bit-for-bit cross-engine.
+    "q116_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS weight
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, weight,
+        |         CAST(weight AS DOUBLE) * 4294967296.0 /
+        |           CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS DOUBLE)
+        |           AS pr
+        |  FROM t),
+        |s AS (SELECT * FROM p ORDER BY pr DESC, doc_id LIMIT 100)
+        |SELECT doc_id, weight, round(pr, 6) AS priority
+        |FROM s ORDER BY priority DESC, doc_id""".stripMargin,
   )
 
   /** Generates the k-parameterized ExactSubstr oracle (q93's SQL shape

@@ -2722,4 +2722,91 @@ object DocQueries {
       "low_quality" -> (col("quality") < 0.62)))
       .orderBy("lang", "rule_idx")
   }
+
+  /** PARAGRAPH-LEVEL BOILERPLATE REMOVAL + DOC RECONSTRUCTION (q115):
+    * the CCNet/RefinedWeb curation stage the dedup family still lacked —
+    * drop every PARAGRAPH that appears verbatim in more than one
+    * document (navigation chrome, license blocks, cookie banners — the
+    * shared-across-docs text that survives doc-level dedup because its
+    * carrier documents differ), then REBUILD each document from its
+    * surviving paragraphs in order. Sits between q20 (whole-doc exact)
+    * and q93/q96 (arbitrary-substring): the unit is a fixed segmentation,
+    * so one corpus-wide hash aggregate decides every cut — no
+    * position-level island merge needed.
+    *
+    * Scale shape: paragraphs are the q77 chunk idiom at stride = width
+    * (disjoint, so concatenation reconstructs); the only corpus-scale
+    * exchanges are the 32-byte paragraph-hash groupBy and its left-anti
+    * back-join; reassembly is a per-doc aggregate whose groups are
+    * bounded by document length (collect_list + array_sort over ≤
+    * len/32 structs — the q96 per-doc-array posture). Docs that lose
+    * every paragraph (exact dups of another doc) survive as empty rows —
+    * the verdict a downstream length filter acts on, kept explicit via
+    * the left join from the full corpus. */
+  def q115ParagraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedup(tokenizedDocs(Tables(spark, dir, "documents")),
+      para = 32, maxDocs = 1).orderBy("doc_id")
+
+  /** The reusable operator behind q115: any (doc_id, ..., toks) frame →
+    * (doc_id, n_paras, kept_paras, clean_text). A paragraph is a
+    * `para`-token disjoint window; a paragraph text is boilerplate when
+    * its exact content occurs in more than `maxDocs` distinct docs. */
+  def paragraphDedup(tok: DataFrame, para: Int, maxDocs: Int): DataFrame = {
+    val t = col("toks")
+    val paras = tok
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(t) - 1) / para).cast("int"))).as("pid"), t)
+      .select(col("doc_id"), col("pid").cast("long").as("pid"),
+        concat_ws(" ", slice(t, col("pid") * para + 1, lit(para))).as("para"))
+      .withColumn("ph", md5(col("para")))
+    val boiler = paras.groupBy("ph")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > maxDocs)
+      .select("ph")
+    val rebuilt = paras.join(boiler, Seq("ph"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_paras"),
+        expr("array_join(transform(array_sort(collect_list(struct(pid, para))), x -> x.para), ' ')")
+          .as("clean_text"))
+    tok.select(col("doc_id"),
+        (floor((size(t) - 1) / para) + 1).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("kept_paras"), lit(0L)).as("kept_paras"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT via PRIORITY SAMPLING (q116):
+    * draw a 100-doc sample with inclusion probability proportional to
+    * token count — the curation move behind "sample 10 B tokens from
+    * this 10 T-token source" when doc-proportional sampling would bias
+    * toward short documents. Priority sampling (Duffield–Lund–Thorup,
+    * JACM 2007): each item gets priority w/u for u uniform in (0,1], the
+    * top-k priorities are the sample. One corpus pass, ZERO shuffles:
+    * the priority is map-only arithmetic and the top-k plans as
+    * TakeOrderedAndProject (per-partition partial top-100, driver merges
+    * partitions×100 rows — at 1000 executors that is 100k rows on the
+    * driver, not the corpus).
+    *
+    * Determinism/oracle parity: u is hash-derived (first 8 md5 nibbles
+    * of the doc_id string, +1 to dodge zero → exact integer in
+    * [1, 2^32]), and the priority w·2^32/u is a single IEEE division of
+    * exact-integer-valued doubles — bit-identical cross-engine, so the
+    * selected SET and the rounded output column both hash-match. */
+  def q116WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenizedDocs(Tables(spark, dir, "documents"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(1L)
+    tok.select(col("doc_id"), size(col("toks")).cast("long").as("weight"),
+        u.as("u"))
+      .select(col("doc_id"), col("weight"),
+        (col("weight").cast("double") * lit(4294967296.0) /
+          col("u").cast("double")).as("priority"))
+      .orderBy(desc("priority"), asc("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("weight"),
+        round(col("priority"), 6).as("priority"))
+      .orderBy(desc("priority"), asc("doc_id"))
+  }
 }
