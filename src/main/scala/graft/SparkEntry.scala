@@ -134,6 +134,7 @@ object SparkEntry {
     "q114_hard_negatives" -> (EmbedQueries.q114HardNegatives _),
     "q115_paragraph_dedup" -> (DocQueries.q115ParagraphDedup _),
     "q116_weighted_sample" -> (DocQueries.q116WeightedSample _),
+    "q117_mmr_topk" -> (EmbedQueries.q117MmrTopk _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2584,6 +2585,7 @@ object SparkEntry {
     // Priority sampling: u = (first 8 md5 nibbles of the doc_id string)
     // + 1, priority = w * 2^32 / u — one IEEE division of exact-integer
     // doubles, so selection and output agree bit-for-bit cross-engine.
+    "q117_mmr_topk" -> mmrOracleSql(20, 10),
     "q116_weighted_sample" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2605,6 +2607,73 @@ object SparkEntry {
     * string is the same "w1 w2 … wk" join the Spark side hashes; islands
     * fuse when [pos, pos+k-1] overlaps or touches the running-max
     * previous end (pos <= prev_max_pos + k). */
+  /** The q117 MMR oracle: exact-cosine shortlist + pairwise sims (both
+    * converted once to exact e6 integers), then the greedy unrolled as k
+    * CTE stages (a1..ak accumulate the selected set; each stage computes
+    * max-sim-to-selected for the remaining candidates and picks argmax of
+    * the exact BIGINT 7·rel_e6 − 3·ms_e6 with a vec_id tie-break — the
+    * rational-λ form that keeps the greedy float-free; a double λ-mix
+    * landed on a round-6 half-point boundary where the engines' rounding
+    * disagrees). MATERIALIZED on each accumulator stops the doubly-
+    * referenced CTE chain from re-evaluating exponentially (the BPE
+    * oracle lesson). */
+  private def mmrOracleSql(shortlist: Int, k: Int): String = {
+    val dotQ = "list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)])"
+    val dotP = "list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) for i in range(1, 65)])"
+    val stages = (2 to k).map { r =>
+      val p = r - 1
+      s"""p$r AS (
+         |  SELECT c.q_id, c.vec_id, c.rel, c.rel_e6, max(p.sim_e6) AS ms_e6
+         |  FROM cand c
+         |  JOIN pair p ON p.q_id = c.q_id AND p.a = c.vec_id
+         |  JOIN a$p s ON s.q_id = p.q_id AND s.vec_id = p.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM a$p x
+         |                    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.q_id, c.vec_id, c.rel, c.rel_e6),
+         |s$r AS (
+         |  SELECT q_id, vec_id, rel, rel_e6, score_num,
+         |         CAST($r AS BIGINT) AS mmr_rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                    ORDER BY score_num DESC, vec_id) AS rn
+         |        FROM (SELECT q_id, vec_id, rel, rel_e6,
+         |                     7 * rel_e6 - 3 * ms_e6 AS score_num FROM p$r))
+         |  WHERE rn = 1),
+         |a$r AS MATERIALIZED (SELECT * FROM a$p UNION ALL SELECT * FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm FROM emb WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, e.embedding, e.nrm,
+       |         round($dotQ / (q.qnrm * e.nrm), 6) AS rel
+       |  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |sl AS MATERIALIZED (
+       |  SELECT q_id, vec_id, embedding, nrm, rel
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                    ORDER BY rel DESC, vec_id) AS rn FROM scored)
+       |  WHERE rn <= $shortlist),
+       |pair AS MATERIALIZED (
+       |  SELECT x.q_id, x.vec_id AS a, y.vec_id AS b,
+       |         CAST(round(round($dotP / (x.nrm * y.nrm), 6) * 1000000.0) AS BIGINT) AS sim_e6
+       |  FROM sl x JOIN sl y ON x.q_id = y.q_id AND x.vec_id <> y.vec_id),
+       |cand AS (SELECT q_id, vec_id, rel,
+       |                CAST(round(rel * 1000000.0) AS BIGINT) AS rel_e6 FROM sl),
+       |s1 AS (
+       |  SELECT q_id, vec_id, rel, rel_e6, score_num,
+       |         CAST(1 AS BIGINT) AS mmr_rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                    ORDER BY score_num DESC, vec_id) AS rn
+       |        FROM (SELECT q_id, vec_id, rel, rel_e6,
+       |                     7 * rel_e6 AS score_num FROM cand))
+       |  WHERE rn = 1),
+       |a1 AS MATERIALIZED (SELECT * FROM s1),
+       |$stages
+       |SELECT q_id, vec_id, rel, score_num, mmr_rank
+       |FROM a$k ORDER BY q_id, mmr_rank""".stripMargin
+  }
+
   private def exactSubstrOracleSql(k: Int): String =
     s"""WITH t AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks

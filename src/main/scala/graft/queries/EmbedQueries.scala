@@ -1182,4 +1182,103 @@ object EmbedQueries {
       .filter(col("rank") <= 3)
       .orderBy("q_id", "rank")
   }
+
+  /** MMR DIVERSIFIED TOP-K (q117): retrieval that trades pure relevance
+    * for coverage — RAG context assembly and dedup-aware retrieval both
+    * want the k most relevant documents that are NOT near-copies of each
+    * other (retrieving ten paraphrases of one answer wastes nine context
+    * slots). Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick argmax over remaining candidates of
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), λ = 0.7.
+    *
+    * Scale shape: the greedy is INHERENTLY sequential in k, so the design
+    * cost-bounds each round instead of pretending otherwise — rounds
+    * operate on the SHORTLIST (exact top-`shortlist` per query, the q27
+    * broadcast scan being the only corpus-sized work), every per-round
+    * frame is ≤ queries × shortlist rows, all queries advance in the SAME
+    * round (one tiny job per round for the whole query batch, not per
+    * query), and the candidate–candidate sim table is queries × shortlist²
+    * rows built once up front. localCheckpoint per round keeps the
+    * selected-set lineage constant-size (the BPE-loop lesson). Swap the
+    * shortlist source for q28/q46/q111 when the corpus outgrows the exact
+    * scan — the greedy is shortlist-agnostic.
+    *
+    * Determinism/oracle parity: rel and sim are round-6 cosines (the
+    * established graft_dot parity) converted ONCE to exact e6 integers,
+    * λ is the rational 7/10, and each round's score is the exact BIGINT
+    * 7·rel_e6 − 3·ms_e6 with a vec_id tie-break — zero float arithmetic
+    * in the greedy (a double λ-mix landed scores on round-6 half-point
+    * boundaries where Spark's BigDecimal-string rounding and DuckDB's
+    * binary rounding disagree; the q80/q95 rational-arithmetic recipe
+    * removes the class). DuckDB's 10-stage unrolled CTE chain must land
+    * on the identical selection sequence and hash. */
+  def q117MmrTopk(spark: SparkSession, dir: String): DataFrame =
+    mmrDiversifiedTopk(spark, dir, shortlist = 20, k = 10,
+      lamNum = 7, lamDen = 10)
+
+  def mmrDiversifiedTopk(spark: SparkSession, dir: String, shortlist: Int,
+                         k: Int, lamNum: Int, lamDen: Int): DataFrame = {
+    withDot(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val wRel = Window.partitionBy(col("q_id"))
+      .orderBy(desc("rel"), asc("vec_id"))
+    val sl = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("nrm"),
+        round(dot(col("qv"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("rel"))
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") <= shortlist)
+      .select("q_id", "vec_id", "embedding", "nrm", "rel")
+      .localCheckpoint(false)
+    // Candidate–candidate sims within each query's shortlist, built once:
+    // queries × shortlist² rows, broadcast-sized by construction.
+    val pair = sl.as("x")
+      .join(sl.as("y"), col("x.q_id") === col("y.q_id") &&
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.q_id").as("q_id"), col("x.vec_id").as("a"),
+        col("y.vec_id").as("b"),
+        round(round(dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")), 6) * lit(1000000.0))
+          .cast("long").as("sim_e6"))
+      .localCheckpoint(false)
+    val cand0 = sl.select(col("q_id"), col("vec_id"), col("rel"),
+      round(col("rel") * lit(1000000.0)).cast("long").as("rel_e6"))
+    val wPick = Window.partitionBy(col("q_id"))
+      .orderBy(desc("score_num"), asc("vec_id"))
+    // Round 1: redundancy is empty — the score is λ·rel alone.
+    var sel = cand0
+      .withColumn("score_num", lit(lamNum.toLong) * col("rel_e6"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id"), col("rel"), col("rel_e6"),
+        col("score_num"), lit(1L).as("mmr_rank"))
+      .localCheckpoint(false)
+    for (r <- 2 to k) {
+      val remaining = cand0.join(sel.select("q_id", "vec_id"),
+        Seq("q_id", "vec_id"), "left_anti")
+      // max sim of each remaining candidate to the selected set — the
+      // pair table is complete within the shortlist, so the inner join
+      // covers every (candidate, selected) combination.
+      val red = pair
+        .join(sel.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
+        .groupBy(col("q_id"), col("a").as("vec_id"))
+        .agg(max("sim_e6").as("ms_e6"))
+      sel = sel.unionByName(remaining
+        .join(red, Seq("q_id", "vec_id"))
+        .withColumn("score_num", lit(lamNum.toLong) * col("rel_e6") -
+          lit((lamDen - lamNum).toLong) * col("ms_e6"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel"), col("rel_e6"),
+          col("score_num"), lit(r.toLong).as("mmr_rank")))
+        .localCheckpoint(false)
+    }
+    sel.select("q_id", "vec_id", "rel", "score_num", "mmr_rank")
+      .orderBy("q_id", "mmr_rank")
+  }
 }
