@@ -135,6 +135,7 @@ object SparkEntry {
     "q115_paragraph_dedup" -> (DocQueries.q115ParagraphDedup _),
     "q116_weighted_sample" -> (DocQueries.q116WeightedSample _),
     "q117_mmr_topk" -> (EmbedQueries.q117MmrTopk _),
+    "q118_trigram_lm_score" -> (DocQueries.q118TrigramLmScore _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2586,6 +2587,57 @@ object SparkEntry {
     // + 1, priority = w * 2^32 / u — one IEEE division of exact-integer
     // doubles, so selection and output agree bit-for-bit cross-engine.
     "q117_mmr_topk" -> mmrOracleSql(20, 10),
+    // Trigram stupid-backoff under the lang='en'-trained model: each
+    // position scores at the deepest order with evidence; tier constants
+    // fold into the ppm scale (1e6 / 4e5 / 1.6e5), all integer
+    // floor-division like q95.
+    "q118_trigram_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |tp AS (
+        |  SELECT doc_id, lang, unnest(range(1, len(toks) - 1)) AS i, toks
+        |  FROM t WHERE len(toks) >= 3),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 14)) AS BIGINT) AS h123,
+        |         CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1]), 1, 14)) AS BIGINT) AS h12,
+        |         CAST(concat('0x', substr(md5(toks[i+1] || ' ' || toks[i+2]), 1, 14)) AS BIGINT) AS h23,
+        |         CAST(concat('0x', substr(md5(toks[i+1]), 1, 14)) AS BIGINT) AS h2,
+        |         CAST(concat('0x', substr(md5(toks[i+2]), 1, 14)) AS BIGINT) AS h3
+        |  FROM tp),
+        |tcnt AS (SELECT h123, count(*) AS c123 FROM g WHERE lang = 'en' GROUP BY 1),
+        |bp AS (
+        |  SELECT unnest(range(1, len(toks))) AS i, toks
+        |  FROM t WHERE lang = 'en' AND len(toks) >= 2),
+        |bcnt AS (
+        |  SELECT CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1]), 1, 14)) AS BIGINT) AS h12,
+        |         count(*) AS cb
+        |  FROM bp GROUP BY 1),
+        |up AS (SELECT unnest(toks) AS w FROM t WHERE lang = 'en'),
+        |ucnt AS (
+        |  SELECT CAST(concat('0x', substr(md5(w), 1, 14)) AS BIGINT) AS h, count(*) AS cu
+        |  FROM up GROUP BY 1),
+        |nn AS (SELECT count(*) AS n_train FROM up),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CASE WHEN tc.c123 IS NOT NULL THEN 3
+        |              WHEN b23.cb IS NOT NULL THEN 2 ELSE 1 END AS tier,
+        |         CASE WHEN tc.c123 IS NOT NULL THEN (tc.c123 * 1000000) // b12.cb
+        |              WHEN b23.cb IS NOT NULL THEN (b23.cb * 400000) // u2.cu
+        |              ELSE (COALESCE(u3.cu, 0) * 160000) // (SELECT n_train FROM nn) END AS p_ppm
+        |  FROM g
+        |  LEFT JOIN tcnt tc USING (h123)
+        |  LEFT JOIN bcnt b12 ON g.h12 = b12.h12
+        |  LEFT JOIN bcnt b23 ON g.h23 = b23.h12
+        |  LEFT JOIN ucnt u2 ON g.h2 = u2.h
+        |  LEFT JOIN ucnt u3 ON g.h3 = u3.h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |       CAST(sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+        |       CAST(sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+        |       CAST(sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+        |       CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q116_weighted_sample" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -2723,6 +2723,102 @@ object DocQueries {
       .orderBy("lang", "rule_idx")
   }
 
+  /** TRIGRAM STUPID-BACKOFF LM SCORE (q118): the production form of the
+    * q95 fluency signal — CCNet-style pipelines score a crawl under an
+    * n-gram model trained on a REFERENCE corpus (KenLM on Wikipedia), so
+    * unseen n-grams are the norm and the model needs a backoff story.
+    * Stupid backoff (Brants et al., EMNLP 2007 — "Large Language Models
+    * in Machine Translation"): score a trigram at the deepest order that
+    * has evidence,
+    *
+    *   S(w3|w1 w2) = c123/c12        when the trigram is in the model,
+    *               = 0.4 · c23/c2    else when the (w2 w3) bigram is,
+    *               = 0.4² · c3/N     else (0 for OOV w3),
+    *
+    * here trained on the `lang = 'en'` slice and scoring EVERY document —
+    * the cross-lingual docs exercise all three tiers on the fixture.
+    *
+    * Arithmetic: q95's integer-ppm recipe extended per tier — tier
+    * constants fold into the ppm scale (1 000 000 / 400 000 / 160 000),
+    * every per-position score is one integer floor-division, and the doc
+    * score is the integer mean, so partial-aggregate merge order cannot
+    * perturb the result and DuckDB must land on the identical hash.
+    *
+    * Scale shape: each n-gram order crosses the train slice once into a
+    * model-sized count table (56-bit keys, never text); the scoring
+    * stream crosses the corpus once and left-joins the three model
+    * tables (tcnt on h123, bcnt on h12 AND h23, ucnt on h2 AND h3) —
+    * stream × aggregated-model joins, broadcastable at production model
+    * sizes; the corpus never self-joins. N rides a 1-row broadcast. */
+  def q118TrigramLmScore(spark: SparkSession, dir: String): DataFrame =
+    trigramBackoffScore(tokenizedDocs(Tables(spark, dir, "documents")),
+      col("lang") === "en").orderBy("doc_id")
+
+  /** The reusable operator behind q118: any (doc_id, ..., toks) frame +
+    * a train-slice predicate. */
+  def trigramBackoffScore(tok: DataFrame, isTrain: Column): DataFrame = {
+    val train = tok.filter(isTrain)
+    def triStream(df: DataFrame): DataFrame = {
+      val t = col("toks")
+      val n = size(t)
+      df.filter(n >= 3)
+        .select(col("doc_id"), explode(zip_with(
+          slice(t, lit(1), n - 2),
+          zip_with(slice(t, lit(2), n - 2), slice(t, lit(3), n - 2),
+            (b, c) => struct(b.as("b"), c.as("c"))),
+          (a, bc) => {
+            val b = bc.getField("b"); val c = bc.getField("c")
+            struct(
+              md5Long(concat_ws(" ", a, b, c), 14).as("h123"),
+              md5Long(concat_ws(" ", a, b), 14).as("h12"),
+              md5Long(concat_ws(" ", b, c), 14).as("h23"),
+              md5Long(b, 14).as("h2"),
+              md5Long(c, 14).as("h3"))
+          })).as("g"))
+        .select(col("doc_id"), col("g.*"))
+    }
+    val tcnt = triStream(train).groupBy("h123")
+      .agg(count(lit(1)).as("c123"))
+    val bcnt = bigramModelKeys(train)
+    val uni = train.select(explode(col("toks")).as("w"))
+      .select(md5Long(col("w"), 14).as("h"))
+    val ucnt = uni.groupBy("h").agg(count(lit(1)).as("cu"))
+    val nTotal = uni.agg(count(lit(1)).as("n_train")).limit(1)
+    val scoredPos = triStream(tok)
+      .join(tcnt, Seq("h123"), "left")
+      .join(bcnt.select(col("h12"), col("cb").as("c12")), Seq("h12"), "left")
+      .join(bcnt.select(col("h12").as("h23"), col("cb").as("c23")),
+        Seq("h23"), "left")
+      .join(ucnt.select(col("h").as("h2"), col("cu").as("c2")), Seq("h2"), "left")
+      .join(ucnt.select(col("h").as("h3"), col("cu").as("c3")), Seq("h3"), "left")
+      .crossJoin(broadcast(nTotal))
+      .select(col("doc_id"),
+        when(col("c123").isNotNull, lit(3L))
+          .when(col("c23").isNotNull, lit(2L)).otherwise(lit(1L)).as("tier"),
+        when(col("c123").isNotNull, expr("(c123 * 1000000) div c12"))
+          .when(col("c23").isNotNull, expr("(c23 * 400000) div c2"))
+          .otherwise(expr("(coalesce(c3, 0) * 160000) div n_train"))
+          .as("p_ppm"))
+    scoredPos.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("tier") === 3, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("tier") === 2, 1L).otherwise(0L)).as("n_hit2"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_hit1"),
+        expr("sum(p_ppm) div count(1)").as("score_ppm"))
+  }
+
+  /** Bigram occurrence counts keyed h12 only (q118's backoff tables —
+    * [[bigramPairs]] carries the (h12, h1) pair for q95's conditional). */
+  private def bigramModelKeys(df: DataFrame): DataFrame = {
+    val t = col("toks")
+    val n = size(t)
+    df.filter(n >= 2)
+      .select(explode(zip_with(
+        slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+        (a, b) => md5Long(concat_ws(" ", a, b), 14))).as("h12"))
+      .groupBy("h12").agg(count(lit(1)).as("cb"))
+  }
+
   /** PARAGRAPH-LEVEL BOILERPLATE REMOVAL + DOC RECONSTRUCTION (q115):
     * the CCNet/RefinedWeb curation stage the dedup family still lacked —
     * drop every PARAGRAPH that appears verbatim in more than one

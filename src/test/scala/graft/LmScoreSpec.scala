@@ -46,4 +46,49 @@ class LmScoreSpec extends AnyFunSuite {
       assert(repart == base, s"score moved under repartition($p)")
     }
   }
+
+  // ---- q118 trigram stupid-backoff ----
+
+  import org.apache.spark.sql.functions.{col, split, lower, trim}
+
+  private def triScores(docs: Seq[(Long, String, String)]) =
+    DocQueries.trigramBackoffScore(
+      docs.toDF("doc_id", "lang", "text")
+        .select(col("doc_id"), col("lang"),
+          split(lower(trim(col("text"))), "\\s+").as("toks")),
+      col("lang") === "en")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("q118 tiers fire exactly where evidence stops, with the exact integer scores") {
+    // Train: one en doc "a b c a b c" — trigrams {abc:2(via a b c a? no:
+    // positions: (a,b,c),(b,c,a),(c,a,b),(a,b,c)}; bigrams ab:2, bc:2,
+    // ca:1, cb:0...; unigrams a:2,b:2,c:2, N=6.
+    val out = triScores(Seq(
+      (1L, "en", "a b c a b c"),
+      (2L, "fr", "a b c"),   // trigram in model → tier 3: c123=2, c12=2 → 1e6
+      (3L, "fr", "x b c"),   // (x,b,c) unseen; bigram bc seen → tier 2: 4e5*2/2 = 4e5
+      (4L, "fr", "x y c"),   // trigram+bigram(yc) unseen; c unigram: 1.6e5*2/6 = 53333
+      (5L, "fr", "x y z"))) // all unseen, z OOV → 0
+    assert(out(2L) == ((1L, 1L, 0L, 0L, 1000000L)), s"tier-3 doc: ${out(2L)}")
+    assert(out(3L) == ((1L, 0L, 1L, 0L, 400000L)), s"tier-2 doc: ${out(3L)}")
+    assert(out(4L) == ((1L, 0L, 0L, 1L, 53333L)), s"tier-1 doc: ${out(4L)}")
+    assert(out(5L) == ((1L, 0L, 0L, 1L, 0L)), s"OOV doc: ${out(5L)}")
+  }
+
+  test("q118 self-scored train docs never back off") {
+    val out = DocQueries.q118TrigramLmScore(spark, "/root/testdata/sf0.01")
+    val en = graft.sources.Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "lang")
+    val broken = out.join(en, "doc_id")
+      .filter(col("lang") === "en" &&
+        (col("n_hit2") > 0 || col("n_hit1") > 0)).count()
+    assert(broken == 0, "an en doc backed off under the en-trained model")
+    // The fixture must exercise every tier, or the oracle certifies
+    // nothing about backoff.
+    val agg = out.selectExpr("sum(n_hit3)", "sum(n_hit2)", "sum(n_hit1)")
+      .collect()(0)
+    assert(agg.getLong(0) > 0 && agg.getLong(1) > 0 && agg.getLong(2) > 0,
+      s"all three tiers must fire on the fixture: $agg")
+  }
 }
