@@ -136,6 +136,7 @@ object SparkEntry {
     "q116_weighted_sample" -> (DocQueries.q116WeightedSample _),
     "q117_mmr_topk" -> (EmbedQueries.q117MmrTopk _),
     "q118_trigram_lm_score" -> (DocQueries.q118TrigramLmScore _),
+    "q119_unigram_train" -> (DocQueries.q119UnigramTrain _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2587,6 +2588,7 @@ object SparkEntry {
     // + 1, priority = w * 2^32 / u — one IEEE division of exact-integer
     // doubles, so selection and output agree bit-for-bit cross-engine.
     "q117_mmr_topk" -> mmrOracleSql(20, 10),
+    "q119_unigram_train" -> unigramOracleSql(6, 120, 2, 40, 16),
     // Trigram stupid-backoff under the lang='en'-trained model: each
     // position scores at the deepest order with evidence; tier constants
     // fold into the ppm scale (1e6 / 4e5 / 1.6e5), all integer
@@ -2659,6 +2661,99 @@ object SparkEntry {
     * string is the same "w1 w2 … wk" join the Spark side hashes; islands
     * fuse when [pos, pos+k-1] overlaps or touches the running-max
     * previous end (pos <= prev_max_pos + k). */
+  /** The q119 unigram-trainer oracle: seed substring counts, then each
+    * EM round restated stage for stage — piece probabilities cnt/T, the
+    * Viterbi DP unrolled as one CTE per end position (argmax ties break
+    * on start position ascending, matching the engine), the backtrace
+    * unrolled as one CTE per segment, usage recount, char re-protection
+    * — and the final char-protected prune. Counts are exact integer
+    * sums; the DP products are same-order IEEE doubles in both engines.
+    * MATERIALIZED throughout (every stage is referenced twice — the BPE
+    * oracle's exponential-re-evaluation lesson). */
+  private def unigramOracleSql(maxPieceLen: Int, seedTop: Int,
+                               emRounds: Int, vocabSize: Int,
+                               maxWordLen: Int): String = {
+    def emRound(r: Int): String = {
+      val dpStages = (1 to maxWordLen).map { j =>
+        val p = j - 1
+        s"""d${r}_$j AS MATERIALIZED (
+           |  SELECT * FROM d${r}_$p
+           |  UNION ALL
+           |  SELECT w, $j AS j, sc, back FROM (
+           |    SELECT c.w AS w, d.sc * c.p AS sc, c.i AS back,
+           |           row_number() OVER (PARTITION BY c.w
+           |             ORDER BY d.sc * c.p DESC, c.i) AS rn
+           |    FROM piw$r c JOIN d${r}_$p d ON d.w = c.w AND d.j = c.i
+           |    WHERE c.j = $j) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val btStages = (1 to maxWordLen).map { k =>
+        val p = k - 1
+        s"""bt${r}_$k AS MATERIALIZED (
+           |  SELECT b.w AS w, b.freq AS freq,
+           |         substr(b.w, d.back + 1, b.pos - d.back) AS piece,
+           |         d.back AS pos
+           |  FROM bt${r}_$p b JOIN d${r}_$maxWordLen d
+           |    ON d.w = b.w AND d.j = b.pos
+           |  WHERE b.pos > 0)""".stripMargin
+      }.mkString(",\n")
+      val usedUnion = (1 to maxWordLen)
+        .map(k => s"SELECT piece, freq FROM bt${r}_$k").mkString(" UNION ALL ")
+      s"""tt$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM v$r),
+         |p$r AS MATERIALIZED (
+         |  SELECT piece, cnt / (SELECT tt FROM tt$r) AS p FROM v$r),
+         |piw$r AS MATERIALIZED (
+         |  SELECT s.w, s.freq, s.i, s.j, p.p FROM wsub s JOIN p$r p USING (piece)),
+         |d${r}_0 AS (SELECT w, 0 AS j, CAST(1.0 AS DOUBLE) AS sc, -1 AS back FROM words),
+         |$dpStages,
+         |bt${r}_0 AS (SELECT w, freq, len(w) AS pos FROM words),
+         |$btStages,
+         |usage$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM ($usedUnion) GROUP BY piece),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT piece, cnt FROM usage$r
+         |  UNION ALL
+         |  SELECT c.piece, CAST(0 AS BIGINT) AS cnt FROM chars c
+         |  WHERE c.piece NOT IN (SELECT piece FROM usage$r))""".stripMargin
+    }
+    val rounds = (1 to emRounds).map(emRound).mkString(",\n")
+    val vf = s"v${emRounds + 1}"
+    s"""WITH t AS (
+       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |w0 AS (SELECT unnest(toks) AS w FROM t),
+       |words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w0
+       |  WHERE len(w) >= 1 AND len(w) <= $maxWordLen GROUP BY w),
+       |wpos AS (SELECT w, freq, unnest(range(0, len(w))) AS i FROM words),
+       |wsub AS MATERIALIZED (
+       |  SELECT w, freq, i, i + l AS j, substr(w, i + 1, CAST(l AS INTEGER)) AS piece
+       |  FROM (SELECT w, freq, i,
+       |               unnest(range(1, 1 + least($maxPieceLen, len(w) - i))) AS l
+       |        FROM wpos)),
+       |seeds AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM wsub GROUP BY piece),
+       |chars AS MATERIALIZED (SELECT piece, cnt FROM seeds WHERE len(piece) = 1),
+       |v1 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM seeds) WHERE rn <= $seedTop
+       |  UNION
+       |  SELECT piece, cnt FROM chars),
+       |$rounds,
+       |vrank AS MATERIALIZED (
+       |  SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |  FROM $vf),
+       |top AS MATERIALIZED (SELECT piece, cnt FROM vrank WHERE rn <= $vocabSize),
+       |fin AS (
+       |  SELECT piece, cnt FROM top
+       |  UNION ALL
+       |  SELECT v.piece, v.cnt FROM $vf v JOIN chars c ON v.piece = c.piece
+       |  WHERE v.piece NOT IN (SELECT piece FROM top))
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank,
+       |       piece, cnt
+       |FROM fin ORDER BY rank""".stripMargin
+  }
+
   /** The q117 MMR oracle: exact-cosine shortlist + pairwise sims (both
     * converted once to exact e6 integers), then the greedy unrolled as k
     * CTE stages (a1..ak accumulate the selected set; each stage computes

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -2721,6 +2722,125 @@ object DocQueries {
       "high_repetition" -> (col("ttr") < 0.32),
       "low_quality" -> (col("quality") < 0.62)))
       .orderBy("lang", "rule_idx")
+  }
+
+  /** UNIGRAM-LM TOKENIZER TRAINER (q119): the third member of the
+    * trainer family — SentencePiece's default algorithm (Kudo, ACL 2018
+    * "Subword Regularization"), alongside BPE (q104/q112) and WordPiece
+    * (q107). Where BPE grows a vocabulary bottom-up by merging, unigram
+    * starts from an over-complete SEED vocabulary (all frequent
+    * substrings) and shrinks it: EM rounds re-estimate piece
+    * probabilities from each word's VITERBI-best segmentation, then the
+    * vocabulary is pruned to size (single characters protected — every
+    * word must stay segmentable).
+    *
+    * Scale shape: the ONLY corpus-scale operation is the word-frequency
+    * aggregate (identical to the BPE trainers); everything after —
+    * substring explosion, seed ranking, every DP stage, the backtrace,
+    * the usage recount — runs on vocabulary-sized tables (distinct
+    * words × ≤ maxWordLen² substring rows). The Viterbi DP is unrolled
+    * position-by-position as `maxWordLen` joins per EM round, each a
+    * tiny vocab-sized frame; lazy localCheckpoints keep the chained
+    * lineage constant-size (the BPE-loop lesson).
+    *
+    * Determinism/oracle parity: seed and usage counts are exact integer
+    * sums; the DP's piece probabilities cnt/T and products dp·p are
+    * IEEE doubles computed in the SAME staged order in both engines
+    * (max over a set is order-free; argmax ties break on start position
+    * ascending), so DuckDB's unrolled restatement must land on the
+    * identical segmentations, counts, and hash. Words longer than
+    * `maxWordLen` are dropped from training (documented truncation
+    * policy; none exist in the fixture). */
+  def q119UnigramTrain(spark: SparkSession, dir: String): DataFrame =
+    unigramTrain(Tables(spark, dir, "documents"),
+      maxPieceLen = 6, seedTop = 120, emRounds = 2, vocabSize = 40,
+      maxWordLen = 16)
+
+  def unigramTrain(docs: DataFrame, maxPieceLen: Int, seedTop: Int,
+                   emRounds: Int, vocabSize: Int, maxWordLen: Int)
+      : DataFrame = {
+    val words = tokenizedDocs(docs)
+      .select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(false)
+    // All (word, start, end, piece) substring rows up to maxPieceLen —
+    // vocab-sized × L², the E-step's candidate lattice.
+    val wsub = words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(0), length(col("w")) - 1)).as("i"))
+      .select(col("w"), col("freq"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("i")))).as("l"))
+      .select(col("w"), col("freq"), col("i"), (col("i") + col("l")).as("j"),
+        expr("substr(w, i + 1, l)").as("piece"))
+      .localCheckpoint(false)
+    val seeds = wsub.groupBy("piece").agg(sum("freq").as("cnt"))
+    val chars = seeds.filter(length(col("piece")) === 1)
+    val wSeed = Window.orderBy(desc("cnt"), asc("piece"))
+    val seedVocab = seeds
+      .withColumn("rn", row_number().over(wSeed)).filter(col("rn") <= seedTop)
+      .select("piece", "cnt")
+      .union(chars.select("piece", "cnt")).distinct()
+    var vocab = seedVocab.localCheckpoint(false)
+    for (_ <- 1 to emRounds) {
+      val tot = vocab.agg(sum("cnt").as("t")).limit(1)
+      val pTab = vocab.crossJoin(broadcast(tot))
+        .select(col("piece"),
+          (col("cnt").cast("double") / col("t").cast("double")).as("p"))
+      val piw = wsub.join(pTab, "piece")
+        .select("w", "freq", "i", "j", "p").localCheckpoint(false)
+      // Forward Viterbi, one stage per end position.
+      var dp = words.select(col("w"), lit(0).as("j"),
+        lit(1.0).as("sc"), lit(-1).as("back")).localCheckpoint(false)
+      for (j <- 1 to maxWordLen) {
+        val stage = piw.filter(col("j") === j).as("c")
+          .join(dp.as("d"), col("d.w") === col("c.w") && col("d.j") === col("c.i"))
+          .select(col("c.w").as("w"), (col("d.sc") * col("c.p")).as("sc"),
+            col("c.i").as("back"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("w").orderBy(desc("sc"), asc("back"))))
+          .filter(col("rn") === 1)
+          .select(col("w"), lit(j).as("j"), col("sc"), col("back"))
+        dp = dp.unionByName(stage).localCheckpoint(false)
+      }
+      // Backtrace from each word's end position, one segment per stage.
+      var cur = words.select(col("w"), col("freq"),
+        length(col("w")).as("pos")).localCheckpoint(false)
+      var used = Seq.empty[DataFrame]
+      for (_ <- 1 to maxWordLen) {
+        val step = cur.filter(col("pos") > 0).as("b")
+          .join(dp.as("d"), col("d.w") === col("b.w") && col("d.j") === col("b.pos"))
+          .select(col("b.w").as("w"), col("b.freq").as("freq"),
+            expr("substr(b.w, d.back + 1, b.pos - d.back)").as("piece"),
+            col("d.back").as("pos"))
+          .localCheckpoint(false)
+        used :+= step.select("piece", "freq")
+        cur = step.select("w", "freq", "pos")
+      }
+      val usage = used.reduce(_ unionByName _)
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+      // Unused single chars stay at count 0 — reachability is never
+      // sacrificed to the EM (a zero-probability char still segments an
+      // otherwise-uncoverable word, ties broken deterministically).
+      vocab = usage
+        .unionByName(chars.select(col("piece"), lit(0L).as("cnt"))
+          .join(usage.select(col("piece")), Seq("piece"), "left_anti"))
+        .localCheckpoint(false)
+    }
+    val pruned = vocab
+      .withColumn("rn", row_number().over(wSeed)).filter(col("rn") <= vocabSize)
+      .select("piece", "cnt")
+      .unionByName(chars.select(col("piece"), lit(0L).as("cnt"))
+        .join(vocab.withColumn("rn", row_number().over(wSeed))
+          .filter(col("rn") <= vocabSize).select("piece"),
+          Seq("piece"), "left_anti")
+        .join(vocab.select(col("piece"), col("cnt").as("vc")), "piece")
+        .select(col("piece"), col("vc").as("cnt")))
+    pruned
+      .withColumn("rank", row_number().over(wSeed).cast("long"))
+      .select(col("rank"), col("piece"), col("cnt"))
+      .orderBy("rank")
   }
 
   /** TRIGRAM STUPID-BACKOFF LM SCORE (q118): the production form of the
