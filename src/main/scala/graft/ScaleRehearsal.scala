@@ -726,6 +726,68 @@ object ScaleRehearsal {
         }
       }
 
+      // Paragraph boilerplate removal (q115, round 14): the structural
+      // quantities that decide survival are the boilerplate-hash table
+      // (bounded by ACTUAL cross-doc duplication, like q93's dup-hash
+      // table) and the cut paragraph volume. Amplified copies are
+      // token-salted, so copy c's paragraphs collide only within copy c
+      // — boilerplate hashes grow ~linearly (k salted families), never
+      // quadratically, and wall time must track the corpus.
+      if (on("para")) {
+        val out = graft.queries.DocQueries.q115ParagraphDedup(spark, dir)
+          .agg(count(lit(1)).as("docs"),
+            sum(col("n_paras")).as("paras"),
+            sum(col("n_paras") - col("kept_paras")).as("cut"),
+            sum(when(col("kept_paras") === 0, 1L).otherwise(0L)).as("emptied"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q115ParagraphDedup(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q115_para_dedup","docs":${out.getLong(0)},"paras":${out.getLong(1)},"cut":${out.getLong(2)},"emptied":${out.getLong(3)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Trigram backoff LM (q118, round 14): the q95 claim extended —
+      // the model (trigram + bigram + unigram count tables) is the only
+      // non-stream relation the scoring joins carry. Token-salted
+      // amplification is the model's WORST case (every copy mints fresh
+      // vocabulary, so the model grows ~linearly; real corpora
+      // saturate), and the tier mix shifts toward backoff as salted
+      // grams miss the en-trained model — both recorded.
+      if (on("trilm")) {
+        import graft.queries.DocQueries
+        val docs = graft.sources.Tables(spark, dir, "documents")
+        val tok = docs.select(col("doc_id"), col("lang"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        val out = DocQueries.trigramBackoffScore(tok, col("lang") === "en")
+          .agg(count(lit(1)).as("docs"), sum("n_trigrams").as("pos"),
+            sum("n_hit3").as("h3"), sum("n_hit2").as("h2"),
+            sum("n_hit1").as("h1")).collect()(0)
+        val sec = timed(materialize(
+          DocQueries.trigramBackoffScore(tok, col("lang") === "en")))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q118_trigram_lm","docs":${out.getLong(0)},"positions":${out.getLong(1)},"hit3":${out.getLong(2)},"hit2":${out.getLong(3)},"hit1":${out.getLong(4)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Unigram trainer (q119, round 14): the trainer-family claim —
+      // after the one corpus pass into the word table, every EM stage is
+      // vocabulary-sized. Salted amplification grows the vocabulary ×k
+      // (the q104 worst case), so the axis measured is wall time vs a
+      // ×k WORD table, with the corpus pass amortized out by the shared
+      // tokenized cache. Factors ≤ 10 (the ×30 vocab is 30× the base's
+      // with zero new structure).
+      if (on("unigram") && deep) {
+        val docs = graft.sources.Tables(spark, dir, "documents")
+        val nWords = docs
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0).distinct().count()
+        val out = graft.queries.DocQueries.unigramTrain(docs,
+          maxPieceLen = 6, seedTop = 120, emRounds = 2, vocabSize = 40,
+          maxWordLen = 16)
+        val rows = out.count()
+        val sec = timed(materialize(graft.queries.DocQueries.unigramTrain(docs,
+          maxPieceLen = 6, seedTop = 120, emRounds = 2, vocabSize = 40,
+          maxWordLen = 16)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q119_unigram","distinct_words":$nWords,"vocab_rows":$rows,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Release the per-dir caches before the next factor — both the
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every
