@@ -137,6 +137,8 @@ object SparkEntry {
     "q117_mmr_topk" -> (EmbedQueries.q117MmrTopk _),
     "q118_trigram_lm_score" -> (DocQueries.q118TrigramLmScore _),
     "q119_unigram_train" -> (DocQueries.q119UnigramTrain _),
+    "q120_importance_select" -> (DocQueries.q120ImportanceSelect _),
+    "q121_kmv_distinct" -> (DocQueries.q121KmvDistinct _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2589,6 +2591,47 @@ object SparkEntry {
     // doubles, so selection and output agree bit-for-bit cross-engine.
     "q117_mmr_topk" -> mmrOracleSql(20, 10),
     "q119_unigram_train" -> unigramOracleSql(6, 120, 2, 40, 16),
+    "q120_importance_select" -> importanceOracleSql,
+    // KMV distinct sketch vs exact: the relational restatement of the
+    // mergeable k-min aggregate — distinct (source, hash), per-source
+    // rank, k-th min, the (k-1)*2^56/h_k estimator (255*2^56 is an
+    // 8-significant-bit double, exactly representable), exact when a
+    // source holds < k distinct hashes.
+    "q121_kmv_distinct" ->
+      """WITH t AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT source,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |dh AS (
+        |  SELECT DISTINCT source,
+        |         CAST(concat('0x', substr(md5(sh2), 1, 14)) AS BIGINT) AS h
+        |  FROM (SELECT source, unnest(sh) AS sh2 FROM s)),
+        |d AS (
+        |  SELECT source, h,
+        |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS nd
+        |  FROM dh),
+        |a AS (
+        |  SELECT source,
+        |         CAST(least(max(nd), 256) AS BIGINT) AS k_held,
+        |         max(CASE WHEN rn <= 256 THEN h END) AS kth_min,
+        |         CAST(max(nd) AS BIGINT) AS exact_distinct
+        |  FROM d GROUP BY source),
+        |e AS (
+        |  SELECT source, k_held, kth_min,
+        |         CASE WHEN k_held < 256 THEN k_held
+        |              ELSE CAST(round(CAST(255 AS DOUBLE) * CAST(72057594037927936 AS DOUBLE) /
+        |                              CAST(kth_min AS DOUBLE)) AS BIGINT) END
+        |           AS est_distinct,
+        |         exact_distinct
+        |  FROM a)
+        |SELECT source, k_held, kth_min, est_distinct, exact_distinct,
+        |       abs((est_distinct - exact_distinct) * 1000000) // exact_distinct AS err_ppm
+        |FROM e ORDER BY source""".stripMargin,
     // Trigram stupid-backoff under the lang='en'-trained model: each
     // position scores at the deepest order with evidence; tier constants
     // fold into the ppm scale (1e6 / 4e5 / 1.6e5), all integer
@@ -2661,6 +2704,66 @@ object SparkEntry {
     * string is the same "w1 w2 … wk" join the Spark side hashes; islands
     * fuse when [pos, pos+k-1] overlaps or touches the running-max
     * previous end (pos <= prev_max_pos + k). */
+  /** The q120 importance-selection oracle: the q118 stupid-backoff chain
+    * instantiated twice over one shared trigram stream — chain `a`
+    * trained on the en slice (the target model), chain `b` on the full
+    * corpus (the raw model, every trigram tier 3) — joined on doc_id,
+    * importance = target − raw, deterministic top-100. */
+  private def importanceOracleSql: String = {
+    def chain(tag: String, where: String): String =
+      s"""tcnt$tag AS (SELECT h123, count(*) AS c123 FROM g WHERE $where GROUP BY 1),
+         |bp$tag AS (
+         |  SELECT unnest(range(1, len(toks))) AS i, toks
+         |  FROM t WHERE ($where) AND len(toks) >= 2),
+         |bcnt$tag AS (
+         |  SELECT CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1]), 1, 14)) AS BIGINT) AS h12,
+         |         count(*) AS cb
+         |  FROM bp$tag GROUP BY 1),
+         |up$tag AS (SELECT unnest(toks) AS w FROM t WHERE $where),
+         |ucnt$tag AS (
+         |  SELECT CAST(concat('0x', substr(md5(w), 1, 14)) AS BIGINT) AS h, count(*) AS cu
+         |  FROM up$tag GROUP BY 1),
+         |nn$tag AS (SELECT count(*) AS n_train FROM up$tag),
+         |sc$tag AS (
+         |  SELECT doc_id,
+         |         CASE WHEN tc.c123 IS NOT NULL THEN (tc.c123 * 1000000) // b12.cb
+         |              WHEN b23.cb IS NOT NULL THEN (b23.cb * 400000) // u2.cu
+         |              ELSE (COALESCE(u3.cu, 0) * 160000) // (SELECT n_train FROM nn$tag) END AS p_ppm
+         |  FROM g
+         |  LEFT JOIN tcnt$tag tc USING (h123)
+         |  LEFT JOIN bcnt$tag b12 ON g.h12 = b12.h12
+         |  LEFT JOIN bcnt$tag b23 ON g.h23 = b23.h12
+         |  LEFT JOIN ucnt$tag u2 ON g.h2 = u2.h
+         |  LEFT JOIN ucnt$tag u3 ON g.h3 = u3.h),
+         |ds$tag AS (
+         |  SELECT doc_id, CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm
+         |  FROM sc$tag GROUP BY doc_id)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |tp AS (
+       |  SELECT doc_id, lang, unnest(range(1, len(toks) - 1)) AS i, toks
+       |  FROM t WHERE len(toks) >= 3),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |         CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 14)) AS BIGINT) AS h123,
+       |         CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1]), 1, 14)) AS BIGINT) AS h12,
+       |         CAST(concat('0x', substr(md5(toks[i+1] || ' ' || toks[i+2]), 1, 14)) AS BIGINT) AS h23,
+       |         CAST(concat('0x', substr(md5(toks[i+1]), 1, 14)) AS BIGINT) AS h2,
+       |         CAST(concat('0x', substr(md5(toks[i+2]), 1, 14)) AS BIGINT) AS h3
+       |  FROM tp),
+       |${chain("a", "lang = 'en'")},
+       |${chain("b", "TRUE")},
+       |j AS (
+       |  SELECT doc_id, a.score_ppm AS target_ppm, b.score_ppm AS raw_ppm,
+       |         a.score_ppm - b.score_ppm AS importance_ppm
+       |  FROM dsa a JOIN dsb b USING (doc_id)),
+       |sel AS (SELECT * FROM j ORDER BY importance_ppm DESC, doc_id LIMIT 100)
+       |SELECT CAST(row_number() OVER (ORDER BY importance_ppm DESC, doc_id) AS BIGINT) AS rank,
+       |       doc_id, target_ppm, raw_ppm, importance_ppm
+       |FROM sel ORDER BY rank""".stripMargin
+  }
+
   /** The q119 unigram-trainer oracle: seed substring counts, then each
     * EM round restated stage for stage — piece probabilities cnt/T, the
     * Viterbi DP unrolled as one CTE per end position (argmax ties break

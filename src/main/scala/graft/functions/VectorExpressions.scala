@@ -399,6 +399,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     VectorExpressions.inject(extensions)
     TextExpressions.inject(extensions)
     FreqSketch.inject(extensions)
+    KmvSketch.inject(extensions)
     extensions.injectOptimizerRule(_ => graft.plans.GeoGridJoinRule)
   }
 }

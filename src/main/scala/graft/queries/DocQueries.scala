@@ -2964,6 +2964,90 @@ object DocQueries {
       .groupBy("h12").agg(count(lit(1)).as("cb"))
   }
 
+  /** DSIR-STYLE IMPORTANCE SELECTION (q120): domain-targeted data
+    * selection — rank the corpus by how much MORE a document resembles
+    * the target domain than its own source typicality, and keep the
+    * top-n. The shape of DSIR (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed n-gram LM
+    * features, a target-vs-raw model contrast, selection by importance.
+    * Two documented deviations keep it bit-exact cross-engine: the
+    * importance score is the DIFFERENCE of the two models' integer-ppm
+    * per-position means (a linear-space surrogate for the log-likelihood
+    * ratio — same machinery, no cross-engine `ln`), and selection is the
+    * deterministic top-n rather than Gumbel resampling (the sampling
+    * variant is this query + q116's hash-uniform priority draw over
+    * `exp(importance)` weights).
+    *
+    * Composition: BOTH scores are [[trigramBackoffScore]] — the target
+    * model trained on the `lang = 'en'` reference slice (q118's model),
+    * the raw model on the full corpus (where every trigram hits tier 3,
+    * the q95 self-scoring regime). The corpus streams are shared; model
+    * tables are vocabulary-bounded; the final cut is a TakeOrdered
+    * top-n, never a global sort. */
+  def q120ImportanceSelect(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenizedDocs(Tables(spark, dir, "documents"))
+    val target = trigramBackoffScore(tok, col("lang") === "en")
+      .select(col("doc_id"), col("score_ppm").as("target_ppm"))
+    val raw = trigramBackoffScore(tok, lit(true))
+      .select(col("doc_id"), col("score_ppm").as("raw_ppm"))
+    val joined = target.join(raw, "doc_id")
+      .select(col("doc_id"), col("target_ppm"), col("raw_ppm"),
+        (col("target_ppm") - col("raw_ppm")).as("importance_ppm"))
+      .orderBy(desc("importance_ppm"), asc("doc_id"))
+      .limit(100)
+    joined
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("importance_ppm"), asc("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "target_ppm", "raw_ppm", "importance_ppm")
+      .orderBy("rank")
+  }
+
+  /** KMV DISTINCT SKETCH vs EXACT (q121): per-source distinct-shingle
+    * cardinality through a K-MINIMUM-VALUES sketch (Bar-Yossef et al.
+    * 2002; the mergeable-summaries form) next to the exact count — the
+    * q57 two-pass discipline applied to approximate counting. Unlike
+    * HLL (q18, engine-specific and rows-only-checked), KMV is
+    * DETERMINISTIC given the hash: the k smallest distinct 56-bit
+    * hashes are an order-free set, so the sketch output, the estimator
+    * (k−1)·2^56/h_k, and its error are all oracle-checkable exactly.
+    *
+    * 100 TB shape: `graft_kmv_mins` is a native TypedImperativeAggregate
+    * — each map task holds ≤ k longs whatever its input size, partials
+    * merge associatively (KmvSpec pins sketch ≡ relational k-min under
+    * every partitioning), so the sketch pass shuffles #partitions × k
+    * longs instead of the distinct-hash universe the exact count must
+    * move. The exact arm here is the certification, not the production
+    * path. Estimator arithmetic: 255·2^56 is an 8-significant-bit
+    * double (exactly representable), one IEEE division, one round —
+    * bit-identical cross-engine; sources holding fewer than k distinct
+    * hashes report exactly (est = held count). */
+  def q121KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    graft.functions.KmvSketch.register(spark0)
+    val k = 256
+    val sh = tokenizedDocs(Tables(spark, dir, "documents"))
+      .select(col("source"), explode(shingles(col("toks"))).as("sh"))
+      .select(col("source"), md5Long(col("sh"), 14).as("h"))
+    val sk = sh.groupBy("source")
+      .agg(expr(s"graft_kmv_mins(h, $k)").as("mins"))
+    val exact = sh.groupBy("source")
+      .agg(countDistinct("h").as("exact_distinct"))
+    sk.join(exact, "source")
+      .select(col("source"),
+        size(col("mins")).cast("long").as("k_held"),
+        element_at(col("mins"), -1).as("kth_min"),
+        col("exact_distinct"))
+      .select(col("source"), col("k_held"), col("kth_min"),
+        when(col("k_held") < k, col("k_held"))
+          .otherwise(round(lit(255.0) * lit(72057594037927936.0) /
+            col("kth_min").cast("double")).cast("long"))
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("err_ppm",
+        expr("abs((est_distinct - exact_distinct) * 1000000) div exact_distinct"))
+      .orderBy("source")
+  }
+
   /** PARAGRAPH-LEVEL BOILERPLATE REMOVAL + DOC RECONSTRUCTION (q115):
     * the CCNet/RefinedWeb curation stage the dedup family still lacked —
     * drop every PARAGRAPH that appears verbatim in more than one

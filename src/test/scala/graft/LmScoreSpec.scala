@@ -76,6 +76,30 @@ class LmScoreSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 0L, 0L, 1L, 0L)), s"OOV doc: ${out(5L)}")
   }
 
+  test("q120 selection is a maximal top-100 by importance and internally consistent") {
+    val sel = graft.queries.DocQueries
+      .q120ImportanceSelect(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(sel.length == 100)
+    sel.foreach { case (_, _, t, r, imp) =>
+      assert(imp == t - r, "importance must be exactly target - raw")
+    }
+    // Maximality against the independently recomputed full table.
+    val tok = graft.sources.Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("lang"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val full = DocQueries.trigramBackoffScore(tok, col("lang") === "en")
+      .select(col("doc_id"), col("score_ppm").as("t"))
+      .join(DocQueries.trigramBackoffScore(tok, org.apache.spark.sql.functions.lit(true))
+        .select(col("doc_id"), col("score_ppm").as("r")), "doc_id")
+      .select(col("doc_id"), (col("t") - col("r")).as("imp"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1))
+    val selIds = sel.map(_._2).toSet
+    val minSel = full.filter(p => selIds(p._1)).map(_._2).min
+    val maxExcl = full.filterNot(p => selIds(p._1)).map(_._2).max
+    assert(minSel >= maxExcl, s"non-maximal selection: $minSel < $maxExcl")
+  }
+
   test("q118 self-scored train docs never back off") {
     val out = DocQueries.q118TrigramLmScore(spark, "/root/testdata/sf0.01")
     val en = graft.sources.Tables(spark, "/root/testdata/sf0.01", "documents")
