@@ -139,6 +139,7 @@ object SparkEntry {
     "q119_unigram_train" -> (DocQueries.q119UnigramTrain _),
     "q120_importance_select" -> (DocQueries.q120ImportanceSelect _),
     "q121_kmv_distinct" -> (DocQueries.q121KmvDistinct _),
+    "q122_unigram_encode" -> (DocQueries.q122UnigramEncode _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2591,6 +2592,7 @@ object SparkEntry {
     // doubles, so selection and output agree bit-for-bit cross-engine.
     "q117_mmr_topk" -> mmrOracleSql(20, 10),
     "q119_unigram_train" -> unigramOracleSql(6, 120, 2, 40, 16),
+    "q122_unigram_encode" -> unigramOracleSql(6, 120, 2, 40, 16, encode = true),
     "q120_importance_select" -> importanceOracleSql,
     // KMV distinct sketch vs exact: the relational restatement of the
     // mergeable k-min aggregate — distinct (source, hash), per-source
@@ -2775,7 +2777,8 @@ object SparkEntry {
     * oracle's exponential-re-evaluation lesson). */
   private def unigramOracleSql(maxPieceLen: Int, seedTop: Int,
                                emRounds: Int, vocabSize: Int,
-                               maxWordLen: Int): String = {
+                               maxWordLen: Int,
+                               encode: Boolean = false): String = {
     def emRound(r: Int): String = {
       val dpStages = (1 to maxWordLen).map { j =>
         val p = j - 1
@@ -2821,8 +2824,59 @@ object SparkEntry {
     }
     val rounds = (1 to emRounds).map(emRound).mkString(",\n")
     val vf = s"v${emRounds + 1}"
+    // Encode tail (q122): one more Viterbi pass under the PRUNED vocab's
+    // probabilities (`fin`), per-word piece counts from the backtrace,
+    // then the corpus token stream joins the vocab-sized count table and
+    // aggregates per doc.
+    val encodeDp = (1 to maxWordLen).map { j =>
+      val p = j - 1
+      s"""de_$j AS MATERIALIZED (
+         |  SELECT * FROM de_$p
+         |  UNION ALL
+         |  SELECT w, $j AS j, sc, back FROM (
+         |    SELECT c.w AS w, d.sc * c.p AS sc, c.i AS back,
+         |           row_number() OVER (PARTITION BY c.w
+         |             ORDER BY d.sc * c.p DESC, c.i) AS rn
+         |    FROM piwe c JOIN de_$p d ON d.w = c.w AND d.j = c.i
+         |    WHERE c.j = $j) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val encodeBt = (1 to maxWordLen).map { k =>
+      val p = k - 1
+      s"""bte_$k AS MATERIALIZED (
+         |  SELECT b.w AS w, d.back AS pos
+         |  FROM bte_$p b JOIN de_$maxWordLen d ON d.w = b.w AND d.j = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    val encodeUnion = (1 to maxWordLen)
+      .map(k => s"SELECT w FROM bte_$k").mkString(" UNION ALL ")
+    val encodeTail =
+      s""",
+         |tte AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM fin),
+         |pe AS MATERIALIZED (
+         |  SELECT piece, cnt / (SELECT tt FROM tte) AS p FROM fin),
+         |piwe AS MATERIALIZED (
+         |  SELECT s.w, s.i, s.j, p.p FROM wsub s JOIN pe p USING (piece)),
+         |de_0 AS (SELECT w, 0 AS j, CAST(1.0 AS DOUBLE) AS sc, -1 AS back FROM words),
+         |$encodeDp,
+         |bte_0 AS (SELECT w, len(w) AS pos FROM words),
+         |$encodeBt,
+         |np AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+         |  FROM ($encodeUnion) GROUP BY w),
+         |wd AS (SELECT doc_id, unnest(toks) AS w FROM t)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces,
+         |       CAST(sum(len(d.w)) AS BIGINT) AS n_chars
+         |FROM wd d JOIN np USING (w)
+         |WHERE len(d.w) >= 1 AND len(d.w) <= $maxWordLen
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    val vocabTail =
+      s"""
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank,
+         |       piece, cnt
+         |FROM fin ORDER BY rank""".stripMargin
     s"""WITH t AS (
-       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
        |w0 AS (SELECT unnest(toks) AS w FROM t),
        |words AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w0
@@ -2847,14 +2901,11 @@ object SparkEntry {
        |  SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
        |  FROM $vf),
        |top AS MATERIALIZED (SELECT piece, cnt FROM vrank WHERE rn <= $vocabSize),
-       |fin AS (
+       |fin AS MATERIALIZED (
        |  SELECT piece, cnt FROM top
        |  UNION ALL
        |  SELECT v.piece, v.cnt FROM $vf v JOIN chars c ON v.piece = c.piece
-       |  WHERE v.piece NOT IN (SELECT piece FROM top))
-       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank,
-       |       piece, cnt
-       |FROM fin ORDER BY rank""".stripMargin
+       |  WHERE v.piece NOT IN (SELECT piece FROM top))${if (encode) encodeTail else vocabTail}""".stripMargin
   }
 
   /** The q117 MMR oracle: exact-cosine shortlist + pairwise sims (both

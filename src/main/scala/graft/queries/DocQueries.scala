@@ -2779,10 +2779,53 @@ object DocQueries {
   private val sharedUnigram = scala.collection.concurrent.TrieMap
     .empty[(String, Any, Any), Seq[(Long, String, Long)]]
 
-  private def unigramTrainUncached(docs: DataFrame, maxPieceLen: Int,
-                                   seedTop: Int, emRounds: Int,
-                                   vocabSize: Int, maxWordLen: Int)
-      : Seq[(Long, String, Long)] = {
+  /** UNIGRAM ENCODER (q122): q119's serving side — the train/serve pair
+    * the BPE family already has (q104/q105). The trained, pruned vocab
+    * is the shipped artifact (here the session-memoized q119 result, so
+    * train + encode share one training run); encoding is one Viterbi
+    * pass per DISTINCT word under the artifact's piece probabilities
+    * (zero-count protected chars carry p = 0 — any segmentation forced
+    * through them scores 0.0 and resolves by the deterministic
+    * start-position tie-break, so every word still segments), then the
+    * corpus is crossed ONCE: exploded tokens join the vocab-sized
+    * per-word piece-count table and aggregate per doc.
+    *
+    * Scale shape: the DP runs on the distinct-word lattice (vocabulary-
+    * sized, the q119 posture); the only corpus-scale operations are the
+    * token explode and the per-doc aggregate, with the word → piece
+    * count map riding a broadcast-sized join. Same maxWordLen domain as
+    * training (overlong words are outside the tokenizer's contract). */
+  def q122UnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val vocabRows = sharedUnigram.getOrElseUpdate(
+      (spark.sparkContext.applicationId,
+        docs.queryExecution.analyzed.canonicalized, (6, 120, 2, 40, 16)),
+      unigramTrainUncached(docs, 6, 120, 2, 40, 16))
+    val tTotal = vocabRows.map(_._3).sum
+    val pTab = vocabRows.map { case (_, piece, cnt) =>
+      (piece, cnt.toDouble / tTotal.toDouble)
+    }.toDF("piece", "p")
+    val (words, wsub) = wordLattice(docs, 6, 16)
+    val piw = wsub.join(broadcast(pTab), "piece")
+      .select("w", "freq", "i", "j", "p").localCheckpoint(false)
+    val nPieces = viterbiSteps(words, piw, 16)
+      .groupBy("w").agg(count(lit(1)).as("n_pieces"))
+    tokenizedDocs(docs)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= 16)
+      .join(nPieces, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_pieces"),
+        sum(length(col("w"))).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** The word-frequency table + its substring lattice — the shared
+    * front half of the unigram trainer (q119) and encoder (q122). */
+  private def wordLattice(docs: DataFrame, maxPieceLen: Int,
+                          maxWordLen: Int): (DataFrame, DataFrame) = {
     val words = tokenizedDocs(docs)
       .select(explode(col("toks")).as("w"))
       .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
@@ -2799,6 +2842,51 @@ object DocQueries {
       .select(col("w"), col("freq"), col("i"), (col("i") + col("l")).as("j"),
         expr("substr(w, i + 1, l)").as("piece"))
       .localCheckpoint(false)
+    (words, wsub)
+  }
+
+  /** One Viterbi pass over every word under the given `piw` lattice
+    * ((w, freq, i, j, p) rows): forward DP unrolled one stage per end
+    * position, then a backtrace emitting one (w, freq, piece) row per
+    * segment — the shared E-step of q119 and the whole of q122's
+    * encode. Argmax ties break on start position ascending; the DP's
+    * doubles are same-order IEEE in the DuckDB restatement. */
+  private def viterbiSteps(words: DataFrame, piw: DataFrame,
+                           maxWordLen: Int): DataFrame = {
+    var dp = words.select(col("w"), lit(0).as("j"),
+      lit(1.0).as("sc"), lit(-1).as("back")).localCheckpoint(false)
+    for (j <- 1 to maxWordLen) {
+      val stage = piw.filter(col("j") === j).as("c")
+        .join(dp.as("d"), col("d.w") === col("c.w") && col("d.j") === col("c.i"))
+        .select(col("c.w").as("w"), (col("d.sc") * col("c.p")).as("sc"),
+          col("c.i").as("back"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("w").orderBy(desc("sc"), asc("back"))))
+        .filter(col("rn") === 1)
+        .select(col("w"), lit(j).as("j"), col("sc"), col("back"))
+      dp = dp.unionByName(stage).localCheckpoint(false)
+    }
+    var cur = words.select(col("w"), col("freq"),
+      length(col("w")).as("pos")).localCheckpoint(false)
+    var used = Seq.empty[DataFrame]
+    for (_ <- 1 to maxWordLen) {
+      val step = cur.filter(col("pos") > 0).as("b")
+        .join(dp.as("d"), col("d.w") === col("b.w") && col("d.j") === col("b.pos"))
+        .select(col("b.w").as("w"), col("b.freq").as("freq"),
+          expr("substr(b.w, d.back + 1, b.pos - d.back)").as("piece"),
+          col("d.back").as("pos"))
+        .localCheckpoint(false)
+      used :+= step.select("w", "freq", "piece")
+      cur = step.select("w", "freq", "pos")
+    }
+    used.reduce(_ unionByName _)
+  }
+
+  private def unigramTrainUncached(docs: DataFrame, maxPieceLen: Int,
+                                   seedTop: Int, emRounds: Int,
+                                   vocabSize: Int, maxWordLen: Int)
+      : Seq[(Long, String, Long)] = {
+    val (words, wsub) = wordLattice(docs, maxPieceLen, maxWordLen)
     val seeds = wsub.groupBy("piece").agg(sum("freq").as("cnt"))
     val chars = seeds.filter(length(col("piece")) === 1)
     val wSeed = Window.orderBy(desc("cnt"), asc("piece"))
@@ -2814,35 +2902,7 @@ object DocQueries {
           (col("cnt").cast("double") / col("t").cast("double")).as("p"))
       val piw = wsub.join(pTab, "piece")
         .select("w", "freq", "i", "j", "p").localCheckpoint(false)
-      // Forward Viterbi, one stage per end position.
-      var dp = words.select(col("w"), lit(0).as("j"),
-        lit(1.0).as("sc"), lit(-1).as("back")).localCheckpoint(false)
-      for (j <- 1 to maxWordLen) {
-        val stage = piw.filter(col("j") === j).as("c")
-          .join(dp.as("d"), col("d.w") === col("c.w") && col("d.j") === col("c.i"))
-          .select(col("c.w").as("w"), (col("d.sc") * col("c.p")).as("sc"),
-            col("c.i").as("back"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("w").orderBy(desc("sc"), asc("back"))))
-          .filter(col("rn") === 1)
-          .select(col("w"), lit(j).as("j"), col("sc"), col("back"))
-        dp = dp.unionByName(stage).localCheckpoint(false)
-      }
-      // Backtrace from each word's end position, one segment per stage.
-      var cur = words.select(col("w"), col("freq"),
-        length(col("w")).as("pos")).localCheckpoint(false)
-      var used = Seq.empty[DataFrame]
-      for (_ <- 1 to maxWordLen) {
-        val step = cur.filter(col("pos") > 0).as("b")
-          .join(dp.as("d"), col("d.w") === col("b.w") && col("d.j") === col("b.pos"))
-          .select(col("b.w").as("w"), col("b.freq").as("freq"),
-            expr("substr(b.w, d.back + 1, b.pos - d.back)").as("piece"),
-            col("d.back").as("pos"))
-          .localCheckpoint(false)
-        used :+= step.select("piece", "freq")
-        cur = step.select("w", "freq", "pos")
-      }
-      val usage = used.reduce(_ unionByName _)
+      val usage = viterbiSteps(words, piw, maxWordLen)
         .groupBy("piece").agg(sum("freq").as("cnt"))
       // Unused single chars stay at count 0 — reachability is never
       // sacrificed to the EM (a zero-probability char still segments an

@@ -60,6 +60,25 @@ class UnigramSpec extends AnyFunSuite {
       s"missing chars: ${corpusChars.diff(kept)}")
   }
 
+  test("q122 encode: bounds and whole-word collapse on the fixture") {
+    val out = DocQueries.q122UnigramEncode(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 500)
+    out.foreach { case (id, nw, np, nc) =>
+      assert(np >= nw && np <= nc,
+        s"doc $id: pieces $np outside [words $nw, chars $nc]")
+    }
+    // The pruned 40-piece vocab holds the frequent whole words and
+    // multigraphs, so corpus-wide pieces-per-word must sit well under
+    // the char-fallback ceiling (measured 2.65 vs 4.51 on the fixture —
+    // the 0.65 band flags a collapse to near-char segmentation, not
+    // ordinary drift).
+    val (pieces, words, chars) =
+      (out.map(_._3).sum.toDouble, out.map(_._2).sum.toDouble, out.map(_._4).sum.toDouble)
+    assert(pieces / words < 0.65 * (chars / words),
+      f"encoder barely compresses: ${pieces / words}%.2f pieces/word vs ${chars / words}%.2f chars/word")
+  }
+
   test("result is identical under any input partitioning") {
     val docs = (0L until 30L).map(i => (i, s"w${i % 7} common w${(i + 2) % 5}"))
     val base = train(docs)
