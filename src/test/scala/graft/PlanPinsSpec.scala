@@ -630,4 +630,42 @@ class PlanPinsSpec extends AnyFunSuite {
       k.contains("vec_id") || k.contains("q_id")),
       s"exchanges must be keyed on vec/query ids, got $hx:\n$plan")
   }
+
+  test("q118: scoring stream joins aggregated models only — every exchange keyed on gram hashes or doc_id") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q118_trigram_lm_score")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the corpus must never self-join:\n$plan")
+    // The one BNLJ is the 1-row train-token-total broadcast attach (the
+    // q84 bounded-narrow-expansion class) — anything more is a scan pair.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"only the 1-row N attach may nest-loop:\n$plan")
+    val hx = hashExchanges(plan)
+    // Gram-hash keys plan as h123/h12/h23/h2/h3 on the stream side and
+    // as the pre-rename `h` on the unigram count table.
+    assert(hx.forall(k => k.contains("h123") || k.contains("h12") ||
+      k.contains("h23") || k.contains("h2") || k.contains("h3") ||
+      k.contains("h#") || k.contains("doc_id")),
+      s"exchanges must carry 56-bit gram hashes or doc_id, got $hx:\n$plan")
+  }
+
+  test("q120: importance selection cuts with TakeOrderedAndProject, never a global sort") {
+    val plan = SparkEntry.queries("q120_importance_select")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-100 must be a partial top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q121: the sketch folds map-side — a partial graft_kmv_mins below the source exchange") {
+    val plan = SparkEntry.queries("q121_kmv_distinct")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("partial_graft_kmv_mins".r.findAllIn(plan).nonEmpty,
+      s"the KMV aggregate must plan a map-side partial (O(k) per task " +
+        s"crossing the exchange):\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.forall(_.contains("source")),
+      s"only source-keyed exchanges expected, got $hx:\n$plan")
+  }
 }
