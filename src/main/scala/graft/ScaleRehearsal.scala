@@ -806,6 +806,20 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q121_kmv","sources":${out.getLong(0)},"exact_total":${out.getLong(1)},"est_total":${out.getLong(2)},"worst_err_ppm":${out.getLong(3)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // MMR diversified retrieval (q117, round 14): the greedy's only
+      // corpus-proportional work is the q27 shortlist scan — every
+      // round thereafter runs on queries × shortlist rows whatever the
+      // corpus. Claim measured: wall time tracks the scan (~linear at
+      // large factors), NOT rounds × corpus; the selected sets stay
+      // k-sized by construction.
+      if (on("mmr")) {
+        import graft.queries.EmbedQueries
+        val nVec = graft.sources.Tables(spark, dir, "embeddings").count()
+        val rows = EmbedQueries.q117MmrTopk(spark, dir).count()
+        val sec = timed(materialize(EmbedQueries.q117MmrTopk(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q117_mmr","n_vectors":$nVec,"out_rows":$rows,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Release the per-dir caches before the next factor — both the
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every
