@@ -140,6 +140,7 @@ object SparkEntry {
     "q120_importance_select" -> (DocQueries.q120ImportanceSelect _),
     "q121_kmv_distinct" -> (DocQueries.q121KmvDistinct _),
     "q122_unigram_encode" -> (DocQueries.q122UnigramEncode _),
+    "q123_split_assign" -> (DocQueries.q123SplitAssign _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2594,6 +2595,18 @@ object SparkEntry {
     "q119_unigram_train" -> unigramOracleSql(6, 120, 2, 40, 16),
     "q122_unigram_encode" -> unigramOracleSql(6, 120, 2, 40, 16, encode = true),
     "q120_importance_select" -> importanceOracleSql,
+    // Deterministic split assignment: salted hash bucket mod 100,
+    // 90/5/5 train/val/test.
+    "q123_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     // KMV distinct sketch vs exact: the relational restatement of the
     // mergeable k-min aggregate — distinct (source, hash), per-source
     // rank, k-th min, the (k-1)*2^56/h_k estimator (255*2^56 is an

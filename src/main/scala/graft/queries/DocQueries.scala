@@ -3039,6 +3039,32 @@ object DocQueries {
       .groupBy("h12").agg(count(lit(1)).as("cb"))
   }
 
+  /** DETERMINISTIC SPLIT ASSIGNMENT (q123): the train/val/test split as
+    * a FUNCTION OF THE DOCUMENT ID, not a random draw — the property
+    * every training pipeline leans on: re-running the pipeline, adding
+    * documents, or re-partitioning the corpus never moves an existing
+    * document across splits (a doc that silently migrates from test to
+    * train contaminates every downstream eval number). Assignment:
+    * hash bucket = first 8 md5 nibbles of "split:<doc_id>" mod 100 —
+    * salted so the bucket is independent of q49/q116's draws over the
+    * same ids — with 90/5/5 train/val/test. Map-only, zero shuffles
+    * before the contract ORDER BY; the realized per-split fractions are
+    * the spec'd audit (hash uniformity makes them concentrate at the
+    * targets), and q51/q113 decontamination runs WITHIN this frame:
+    * split first, then scrub train against the held-out text. */
+  def q123SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables(spark, dir, "documents"), 90, 95)
+
+  def splitAssign(docs: DataFrame, trainPct: Int, valPct: Int): DataFrame =
+    docs.select(col("doc_id"),
+        (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 100L).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < valPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+
   /** DSIR-STYLE IMPORTANCE SELECTION (q120): domain-targeted data
     * selection — rank the corpus by how much MORE a document resembles
     * the target domain than its own source typicality, and keep the

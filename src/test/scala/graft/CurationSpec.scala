@@ -199,4 +199,42 @@ class CurationSpec extends AnyFunSuite {
           s"element q76's oracle hardcodes — got $got, want $want")
     }
   }
+
+  test("q123: split assignment is a pure function of doc_id — corpus growth never moves a doc") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val full = graft.queries.DocQueries.splitAssign(docs, 90, 95)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // The SAME docs assigned on a 20%-subset "earlier corpus": every
+    // shared id must carry the identical split.
+    val sub = graft.queries.DocQueries
+      .splitAssign(docs.filter(col("doc_id") % 5 === 0), 90, 95)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    sub.foreach { case (id, s) =>
+      assert(full(id) == s, s"doc $id moved from ${full(id)} to $s as the corpus grew")
+    }
+    // Totality + disjointness: one split per doc, every doc covered.
+    assert(full.size == docs.count())
+    assert(full.values.toSet.subsetOf(Set("train", "val", "test")))
+    // Realized fractions concentrate at 90/5/5 (md5 buckets are uniform;
+    // a ±6-point absolute band at n=500 is >4 sigma for the 5% splits).
+    val n = full.size.toDouble
+    val frac = full.values.groupBy(identity).map { case (k, v) => k -> v.size / n }
+    assert(math.abs(frac.getOrElse("train", 0.0) - 0.90) < 0.06, s"train: $frac")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.05) < 0.06, s"val: $frac")
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.05) < 0.06, s"test: $frac")
+    // Independence from q49/q116's draws over the same ids: the salt
+    // means the split is NOT the stratified-sample hash — at least one
+    // doc differs in bucket parity from the unsalted hash stream.
+    val unsalted = docs.select(col("doc_id"),
+      (org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % lit(100L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = graft.queries.DocQueries.splitAssign(docs, 90, 95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unsalted.exists { case (id, b) => salted(id) != b },
+      "salted split buckets must differ from the unsalted id-hash stream")
+  }
 }
