@@ -141,6 +141,7 @@ object SparkEntry {
     "q121_kmv_distinct" -> (DocQueries.q121KmvDistinct _),
     "q122_unigram_encode" -> (DocQueries.q122UnigramEncode _),
     "q123_split_assign" -> (DocQueries.q123SplitAssign _),
+    "q124_stream_quality_gate" -> (StreamQueries.q124StreamQualityGate _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2595,6 +2596,37 @@ object SparkEntry {
     "q119_unigram_train" -> unigramOracleSql(6, 120, 2, 40, 16),
     "q122_unigram_encode" -> unigramOracleSql(6, 120, 2, 40, 16, encode = true),
     "q120_importance_select" -> importanceOracleSql,
+    // Streaming quality gate: the q103 cascade's first-fail verdict per
+    // doc, censused per (source, verdict) — the replay is one
+    // micro-batch and complete mode emits the final census, so the
+    // batch restatement is exact.
+    "q124_stream_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |  FROM t),
+        |q AS (
+        |  SELECT *, round(0.4 * ttr + 0.3 * (1.0 - stop_ratio)
+        |            + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        |  FROM b),
+        |v AS (
+        |  SELECT source,
+        |         CASE WHEN n_tokens < 16 THEN 'too_short'
+        |              WHEN stop_ratio < 0.015 THEN 'low_stopword'
+        |              WHEN ttr < 0.32 THEN 'high_repetition'
+        |              WHEN quality < 0.62 THEN 'low_quality'
+        |              ELSE 'kept' END AS verdict,
+        |         n_tokens
+        |  FROM q)
+        |SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |FROM v GROUP BY source, verdict
+        |ORDER BY source, verdict""".stripMargin,
     // Deterministic split assignment: salted hash bucket mod 100,
     // 90/5/5 train/val/test.
     "q123_split_assign" ->

@@ -230,4 +230,53 @@ object StreamQueries {
         "target/upsert-store/q35")
       .orderBy("event_type")
   }
+
+  /** STREAMING QUALITY-GATED INGEST (q124): the q103 filter cascade run
+    * AT THE FRONT DOOR — documents replayed as a file stream, every rule
+    * evaluated map-only in the micro-batch, and a running (source,
+    * verdict) census maintained as a streaming aggregate in COMPLETE
+    * mode. This is the continuous-crawl ingest shape: snapshots land as
+    * files, the gate stamps each doc's first-fail verdict in-stream, and
+    * the monitor state the aggregate carries is bounded by sources ×
+    * rules — a few dozen rows whatever the corpus, which is the whole
+    * point of gating at ingest rather than re-censusing the corpus.
+    *
+    * Rule metrics recompute the token split per reference (no cache
+    * exists in a stream and projection collapse would re-inline one
+    * anyway) — a constant per-row factor on a map-only path, the
+    * documented trade. The verdict logic is byte-identical to q103's
+    * chained first-fail `when`, so the oracle is the same batch
+    * restatement grouped by (source, verdict) — the replay is one
+    * micro-batch and complete mode emits the final census, arrival
+    * order free. */
+  def q124StreamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ss = EventStreams.streamSession(spark)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = ss.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val t = split(lower(trim(col("text"))), "\\s+")
+    val base = docs.select(col("doc_id"), col("source"),
+      size(t).cast("long").as("n_tokens"),
+      (size(filter(t, x => x === "the" || x === "a")).cast("double") /
+        size(t)).as("stop_ratio"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+    val scored = base.withColumn("quality", round(
+      lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+        lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)),
+      6))
+    val verdict = when(col("n_tokens") < 16, lit("too_short"))
+      .when(col("stop_ratio") < 0.015, lit("low_stopword"))
+      .when(col("ttr") < 0.32, lit("high_repetition"))
+      .when(col("quality") < 0.62, lit("low_quality"))
+      .otherwise(lit("kept"))
+    val census = scored.withColumn("verdict", verdict)
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+    EventStreams.runToMemory(spark, census, mode = "complete")
+      .orderBy("source", "verdict")
+  }
 }

@@ -335,12 +335,13 @@ object EventStreams {
     * upstream is identical. The sink table registers in the catalog of the
     * session that OWNS the streaming plan (which may be a [[streamSession]]
     * child), so it is read back from there. */
-  def runToMemory(spark: SparkSession, streamed: DataFrame): DataFrame = {
+  def runToMemory(spark: SparkSession, streamed: DataFrame,
+                  mode: String = "append"): DataFrame = {
     val name = s"graft_stream_${sinkCounter.incrementAndGet()}"
     val q = streamed.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("append") // final-only emission (suppress parity)
+      .outputMode(mode) // append = final-only emission (suppress parity)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -388,4 +388,40 @@ class StreamingReplaySpec extends AnyFunSuite {
       assert(json.contains(""""reg_name":"REG3"""") && json.contains(""""k":7""")) // P10
     } finally q.stop()
   }
+
+  test("q124: the quality-gate census accumulates across micro-batches (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val docs = ms.toDF().toDF("doc_id", "source", "text")
+    val t = split(lower(trim(col("text"))), "\\s+")
+    val census = docs.select(col("source"),
+        size(t).cast("long").as("n_tokens"))
+      .withColumn("verdict",
+        when(col("n_tokens") < 16, lit("too_short")).otherwise(lit("kept")))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+    val q = census.writeStream
+      .format("memory").queryName("gate_census_sink").outputMode("complete")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val long = (1 to 20).map(i => s"w$i").mkString(" ")
+      // Batch 1: one short doc in src0, one long in src1.
+      ms.addData((1L, "src0", "a b c"), (2L, "src1", long))
+      q.processAllAvailable()
+      // Batch 2: another short doc in src0 — its census row must UPDATE
+      // (state is sources × verdicts, not per doc), plus a long doc in a
+      // brand-new source.
+      ms.addData((3L, "src0", "d e"), (4L, "src2", long))
+      q.processAllAvailable()
+      val out = spark.table("gate_census_sink")
+        .select("source", "verdict", "n_docs", "tokens")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(out == Set(
+        ("src0", "too_short", 2L, 5L),
+        ("src1", "kept", 1L, 20L),
+        ("src2", "kept", 1L, 20L)), s"census diverged: $out")
+    } finally q.stop()
+  }
 }
