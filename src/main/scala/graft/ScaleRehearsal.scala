@@ -463,9 +463,8 @@ object ScaleRehearsal {
       // flatness. Measured here: sequential per-merge cost at 50/100
       // merges (the job-latency floor), batched per-merge cost at
       // 250/500 (the amortized floor + its flatness across the run),
-      // and the realized mean batch width. Factor 1 only — the trainer
-      // input is the vocab-sized word table, so corpus amplification
-      // changes it little; merge count is the axis under test.
+      // and the realized mean batch width; merge count is the axis
+      // under test.
       // Factor 10, not 1: the base fixture's ~30-word vocabulary
       // EXHAUSTS the trainer at ~89 merges (measured — every word
       // becomes one symbol), while amplification token-salts copies, so

@@ -195,7 +195,14 @@ object Multimodal {
   def ppmDHash60(bytes: Array[Byte]): Long = {
     val (w, h, _, rgb) = decodePpm(bytes)
     val n = w * h
-    require(n >= 2, "dHash needs at least 2 pixels")
+    // Degenerate images (0 or 1 pixel) carry no adjacent-span signal;
+    // define their hash as the fixed 0L instead of failing the job, so
+    // a corpus with thumbnail junk degrades (they all collide into one
+    // Hamming-0 family the verify step still has to confirm) rather
+    // than aborting. The q110 oracle's range arithmetic only ever sees
+    // fixture images (≥ 2 px), so the choice is mirrored by the span
+    // loop below yielding no iterations — hash stays 0.
+    if (n < 2) return 0L
     // luma prefix sums: pre(i) = sum of luma over pixels [0, i)
     val pre = new Array[Long](n + 1)
     var i = 0

@@ -1845,10 +1845,23 @@ object DocQueries {
     val gcols = group.map(col)
     val k = col(keyCol)
     val ps = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    // Both back-joins are NULL-SAFE on the stratum keys: groupBy (and
+    // the Window.partitionBy this decomposition replaces) treat a NULL
+    // stratum as its own group, so a plain equi-join would silently
+    // drop those rows from the output. `<=>` keeps the semantics
+    // identical to the naive per-stratum window on any corpus
+    // (CalibrationSpec pins a NULL-stratum case).
+    def nullSafeJoin(l: DataFrame, r: DataFrame, keys: Seq[String],
+                     bcast: Boolean): DataFrame = {
+      val rr = keys.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+      val cond = keys.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+      l.join(if (bcast) broadcast(rr) else rr, cond)
+        .drop(keys.map(c => s"__r_$c"): _*)
+    }
     val cuts = df.groupBy(gcols: _*).agg(
       percentile_approx(k, array(ps: _*), lit(10000)).as("cuts"),
       count(lit(1)).as("grp_n"))
-    val bucketed = df.join(broadcast(cuts), group)
+    val bucketed = nullSafeJoin(df, cuts, group, bcast = true)
       .withColumn("bkt", size(filter(col("cuts"), c => c < k)))
       .drop("cuts")
     val bCounts = bucketed.groupBy((gcols :+ col("bkt")): _*)
@@ -1859,7 +1872,7 @@ object DocQueries {
       .withColumn("boff", coalesce(sum("bn").over(byBucket), lit(0L)))
       .select((gcols :+ col("bkt") :+ col("boff")): _*)
     val inBucket = Window.partitionBy((gcols :+ col("bkt")): _*).orderBy(keyCol)
-    bucketed.join(offsets, group :+ "bkt")
+    nullSafeJoin(bucketed, offsets, group :+ "bkt", bcast = false)
       .withColumn("rnk", col("boff") + row_number().over(inBucket))
       .drop("bkt", "boff")
   }
@@ -3179,7 +3192,12 @@ object DocQueries {
     * its exact content occurs in more than `maxDocs` distinct docs. */
   def paragraphDedup(tok: DataFrame, para: Int, maxDocs: Int): DataFrame = {
     val t = col("toks")
-    val paras = tok
+    // Guard: size(t)=0 would make sequence(0, -1) auto-step DESCENDING
+    // ([0,-1]) and mint a bogus pid. Unreachable via tokenizedDocs
+    // (split never yields an empty array) but this is a reusable
+    // operator — empty docs contribute no paragraphs and fall out of
+    // the final left join as (n_paras=0, kept=0, "").
+    val paras = tok.filter(size(t) > 0)
       .select(col("doc_id"),
         explode(sequence(lit(0),
           floor((size(t) - 1) / para).cast("int"))).as("pid"), t)

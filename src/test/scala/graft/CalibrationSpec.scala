@@ -78,6 +78,30 @@ class CalibrationSpec extends AnyFunSuite {
     }
   }
 
+  test("exactStratumRank ranks a NULL stratum like Window.partitionBy does") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Window.partitionBy treats NULL as its own partition; the
+    // decomposition's back-joins must be null-safe or NULL-stratum rows
+    // silently vanish (the r14 ADVICE finding). Fixture: a normal
+    // stratum plus a NULL one.
+    val df = ((1 to 20).map(i => (Some("web"), i.toLong * 3)) ++
+      (1 to 9).map(i => (None: Option[String], i.toLong * 5)))
+      .toDF("source", "k")
+    val naive = df.withColumn("rnk_naive",
+      row_number().over(Window.partitionBy("source").orderBy("k")))
+    val two = graft.queries.DocQueries
+      .exactStratumRank(df, Seq("source"), "k", 3)
+    assert(two.count() == 29L, "NULL-stratum rows were dropped")
+    val diff = two.join(naive, two("k") === naive("k") &&
+        (two("source") <=> naive("source")))
+      .filter(col("rnk") =!= col("rnk_naive")).count()
+    assert(diff == 0L, "NULL-stratum ranks diverged from the naive window")
+    val nulls = two.filter(col("source").isNull)
+      .agg(max("grp_n"), max("rnk")).as[(Long, Long)].collect()(0)
+    assert(nulls == ((9L, 9L)), s"NULL stratum mis-sized: $nulls")
+  }
+
   test("q70's closed-form decile ≡ ntile(10) over the naive window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
