@@ -142,6 +142,7 @@ object SparkEntry {
     "q122_unigram_encode" -> (DocQueries.q122UnigramEncode _),
     "q123_split_assign" -> (DocQueries.q123SplitAssign _),
     "q124_stream_quality_gate" -> (StreamQueries.q124StreamQualityGate _),
+    "q125_quality_classifier" -> (DocQueries.q125QualityClassifier _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2744,7 +2745,61 @@ object SparkEntry {
         |s AS (SELECT * FROM p ORDER BY pr DESC, doc_id LIMIT 100)
         |SELECT doc_id, weight, round(pr, 6) AS priority
         |FROM s ORDER BY priority DESC, doc_id""".stripMargin,
+    "q125_quality_classifier" -> perceptronOracleSql(256, 3),
   )
+
+  /** The q125 averaged-perceptron oracle: hashed-token feature rows + a
+    * per-doc bias row, then each unrolled epoch as two MATERIALIZED CTEs
+    * (scores under the previous weights → gradient over the
+    * misclassified set → next weight table; epoch 1's all-zero weights
+    * collapse to "every doc misclassified", i.e. w1 = Σ y·x). Shipped
+    * model = the integer SUM of the epoch snapshots; all arithmetic is
+    * exact BIGINT, so the final per-doc scores hash-match the Spark
+    * side bit for bit. */
+  private def perceptronOracleSql(dims: Int, epochs: Int): String = {
+    val head =
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |         string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |f AS MATERIALIZED (
+         |  SELECT doc_id, y, fid, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT doc_id, y,
+         |           CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % $dims AS fid
+         |    FROM (SELECT doc_id, y, unnest(toks) AS w FROM t) WHERE len(w) > 0)
+         |  GROUP BY doc_id, y, fid
+         |  UNION ALL
+         |  SELECT doc_id, y, $dims AS fid, CAST(1 AS BIGINT) FROM t),
+         |w1 AS MATERIALIZED (
+         |  SELECT fid, CAST(sum(y * cnt) AS BIGINT) AS wt FROM f GROUP BY fid)""".stripMargin
+    val rounds = (2 to epochs).map { e =>
+      s"""s$e AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y, CAST(sum(f.cnt * COALESCE(w.wt, 0)) AS BIGINT) AS score
+         |  FROM f LEFT JOIN w${e - 1} w ON f.fid = w.fid GROUP BY f.doc_id, f.y),
+         |g$e AS MATERIALIZED (
+         |  SELECT fid, CAST(sum(y * cnt) AS BIGINT) AS g FROM f
+         |  WHERE doc_id IN (SELECT doc_id FROM s$e WHERE y * score <= 0)
+         |  GROUP BY fid),
+         |w$e AS MATERIALIZED (
+         |  SELECT COALESCE(w.fid, g.fid) AS fid,
+         |         CAST(COALESCE(w.wt, 0) + COALESCE(g.g, 0) AS BIGINT) AS wt
+         |  FROM w${e - 1} w FULL JOIN g$e g ON w.fid = g.fid)""".stripMargin
+    }
+    val unionAll = (1 to epochs).map(e => s"SELECT * FROM w$e")
+      .mkString(" UNION ALL ")
+    val tail =
+      s"""wavg AS MATERIALIZED (
+         |  SELECT fid, CAST(sum(wt) AS BIGINT) AS wt
+         |  FROM ($unionAll) GROUP BY fid),
+         |sf AS (
+         |  SELECT f.doc_id, f.y, CAST(sum(f.cnt * COALESCE(w.wt, 0)) AS BIGINT) AS score
+         |  FROM f LEFT JOIN wavg w ON f.fid = w.fid GROUP BY f.doc_id, f.y)
+         |SELECT doc_id, CAST(y AS BIGINT) AS y, score,
+         |       CASE WHEN score > 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred,
+         |       (CASE WHEN score > 0 THEN 1 ELSE -1 END) = y AS correct
+         |FROM sf ORDER BY doc_id""".stripMargin
+    (Seq(head) ++ rounds :+ tail).mkString(",\n")
+  }
 
   /** Generates the k-parameterized ExactSubstr oracle (q93's SQL shape
     * with the gram width as a dial — q109 registers k = 20). The gram
