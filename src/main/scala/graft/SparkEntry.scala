@@ -143,6 +143,7 @@ object SparkEntry {
     "q123_split_assign" -> (DocQueries.q123SplitAssign _),
     "q124_stream_quality_gate" -> (StreamQueries.q124StreamQualityGate _),
     "q125_quality_classifier" -> (DocQueries.q125QualityClassifier _),
+    "q126_audio_fp_dedup" -> (EmbedQueries.q126AudioFpDedup _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2746,6 +2747,57 @@ object SparkEntry {
         |SELECT doc_id, weight, round(pr, 6) AS priority
         |FROM s ORDER BY priority DESC, doc_id""".stripMargin,
     "q125_quality_classifier" -> perceptronOracleSql(256, 3),
+    // Audio perceptual dedup: the q110 restatement with the codec math
+    // swapped — WAV samples are (byte − 128)·256, the re-export scales
+    // magnitudes by exactly 7/8 (·224, integral) and clicks sample 1,
+    // span energies are exact integer sums, fingerprint bits compare
+    // adjacent spans, then the identical band/verify/reach chain.
+    "q126_audio_fp_dedup" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), x -> ord(x)) AS ords
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, list_transform(ords, b -> abs(b - 128) * 256) AS mag
+        |  FROM o
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         [ CASE WHEN i = 1 THEN 32000
+        |                ELSE abs(ords[i] - 128) * 224 END
+        |           for i in range(1, len(ords)+1) ]
+        |  FROM o),
+        |hx AS (
+        |  SELECT doc_id, len(mag) AS n,
+        |         [ {'f': f,
+        |            'e': list_sum(mag[(f*len(mag))//least(32,len(mag)) + 1 : ((f+1)*len(mag))//least(32,len(mag))])}
+        |           for f in range(0, least(32, len(mag))) ] AS sp
+        |  FROM v),
+        |ph AS (
+        |  SELECT doc_id,
+        |         COALESCE(list_sum([ CASE WHEN sp[f+2].e > sp[f+1].e
+        |                                  THEN (1::BIGINT << f) ELSE 0 END
+        |                             for f in range(0, len(sp)-1) ]), 0)::BIGINT AS afp
+        |  FROM hx),
+        |bd AS (
+        |  SELECT doc_id, afp,
+        |         unnest([ concat_ws('|', CAST(b AS VARCHAR),
+        |                    CAST((afp >> (8*b)) & 255 AS VARCHAR)) for b in range(0,4) ]) AS bk
+        |  FROM ph),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.afp AS ha, b.afp AS hb
+        |  FROM bd a JOIN bd b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        |e AS (SELECT doc_a AS id, doc_b AS nbr FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT id AS u, id AS v FROM (SELECT DISTINCT id FROM e)
+        |  UNION
+        |  SELECT reach.u, e.nbr FROM reach JOIN e ON reach.v = e.id),
+        |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        |SELECT doc_id, cluster_id,
+        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |       doc_id = cluster_id AS is_canonical
+        |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
   )
 
   /** The q125 averaged-perceptron oracle: hashed-token feature rows + a

@@ -244,6 +244,78 @@ object Multimodal {
     }
   }
 
+  /** Deterministic "re-export" of a WAV payload — the audio analogue of
+    * [[reexportPpm]]: the edit class perceptual audio dedup exists to
+    * catch is a re-encoded copy at a different GAIN plus a tiny local
+    * artifact (a click). Decode → scale every sample to 7/8 gain on its
+    * magnitude (|s| is always a multiple of 256 here — text-byte
+    * synthesis — so ·7/8 is EXACT integer arithmetic, no rounding) →
+    * overwrite sample 0 with a fixed 32000 click → re-encode through
+    * the real RIFF codec, so the output is itself a valid WAV. */
+  def reexportWav(bytes: Array[Byte]): Array[Byte] = {
+    val (rate, samples) = decodeWavPcm16(bytes)
+    val out = new Array[Short](samples.length)
+    var i = 0
+    while (i < samples.length) {
+      val m = math.abs(samples(i).toInt) * 7 / 8
+      out(i) = (if (samples(i) < 0) -m else m).toShort
+      i += 1
+    }
+    if (out.length >= 1) out(0) = 32000 // the click
+    encodeWavPcm16(out, rate)
+  }
+
+  /** 31-bit ENERGY-DELTA fingerprint of a WAV payload — the dHash
+    * argument transposed to audio: the sample stream cut into ≤ 32
+    * flat spans with the same integer boundaries as [[wavFramePeaks]],
+    * per-span energy E_f = Σ |s_i| (exact longs), and bit f set iff
+    * E_{f+1} strictly exceeds E_f.
+    *
+    * The LOCAL span-vs-next-span comparison buys gain invariance: a
+    * uniform gain g > 0 scales every span energy by the same factor
+    * (exactly, when the scaled samples stay integral — the [[reexportWav]]
+    * construction guarantees it), so every strict inequality and every
+    * tie is preserved bit-for-bit, and a single-sample edit (the click)
+    * can only disturb the one span containing it — here span 0, hence
+    * bit 0 — putting every re-export at Hamming ≤ 1 from its canonical.
+    * 31 bits = 32 spans − 1 comparisons; degenerate streams (< 2
+    * samples) hash to the fixed 0L like [[ppmDHash60]]'s n < 2 rule.
+    * Exact up to 2⁶³/32767 ≈ 2.8e14 samples per span. */
+  def wavEnergyFingerprint31(bytes: Array[Byte]): Long = {
+    val (_, samples) = decodeWavPcm16(bytes)
+    val n = samples.length
+    if (n < 2) return 0L
+    val nf = math.min(32, n)
+    def lo(f: Int): Int = ((f.toLong * n) / nf).toInt
+    var hash = 0L
+    var prev = -1L
+    var f = 0
+    while (f < nf) {
+      var e = 0L; var i = lo(f); val hi = lo(f + 1)
+      while (i < hi) { e += math.abs(samples(i).toInt); i += 1 }
+      if (f > 0 && e > prev) hash |= 1L << (f - 1)
+      prev = e
+      f += 1
+    }
+    hash
+  }
+
+  /** One 31-bit fingerprint row per asset — the [[ppmDHashes]] shape for
+    * audio (bounded-batch object codec; the hash is banded and joined by
+    * a downstream relational plan). */
+  final case class WavFp(doc_id: Long, afp: Long)
+
+  def wavFingerprints(blobs: Dataset[MediaBlob],
+                      batchSize: Int = DefaultBatchSize): Dataset[WavFp] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(b => WavFp(b.doc_id, wavEnergyFingerprint31(b.payload)))
+      }
+    }
+  }
+
   // ----------------------------------------------------- frame extraction --
 
   /** Decode a payload to its frame vector by mime. WAV frames are per-1024-
@@ -531,6 +603,22 @@ object Multimodal {
     * wrapped in a genuine RIFF/WAVE container. Deterministic (no RNG), so
     * the decoded features are exact arithmetic over the text bytes and the
     * DuckDB oracle can state them independently (q54). */
+  /** The q126 audio-dedup corpus: every document's canonical waveform
+    * ([[documentsAsWavBlobs]]) PLUS its deterministic re-export
+    * ([[reexportWav]], id + [[ReexportIdOffset]]) — every track has
+    * exactly one gain-shifted near-duplicate, the ground truth the
+    * fingerprint pipeline must recover. Both variants are pure functions
+    * of the text bytes, so the DuckDB oracle rebuilds the corpus
+    * independently (the [[documentsAsPpmBlobsWithReexports]] pattern). */
+  def documentsAsWavBlobsWithReexports(spark: SparkSession,
+                                       dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    documentsAsWavBlobs(spark, dir).flatMap { b =>
+      Seq(b, MediaBlob(b.doc_id + ReexportIdOffset, b.mime,
+        reexportWav(b.payload)))
+    }
+  }
+
   def documentsAsWavBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._
     graft.sources.Tables(spark, dir, "documents")

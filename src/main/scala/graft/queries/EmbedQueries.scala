@@ -920,6 +920,56 @@ object EmbedQueries {
       .select("doc_a", "doc_b")
   }
 
+  /** AUDIO PERCEPTUAL NEAR-DUP (q126): the dedup family's third
+    * modality — text (q20/q25/q93/q101/q115), image (q110), now audio.
+    * Same four-stage shape as q110 with the codec and signature
+    * swapped: real RIFF/PCM16 decode → 31-bit energy-delta fingerprint
+    * ([[graft.functions.Multimodal.wavEnergyFingerprint31]] — sign of
+    * adjacent-span energy deltas, gain-invariant by the dHash argument
+    * transposed) → LSH banding 4 × 8 bits → integer Hamming verify →
+    * [[graft.queries.DocQueries.dedupClusters]]. Corpus: every track
+    * plus its deterministic gain-shifted re-export
+    * ([[graft.functions.Multimodal.documentsAsWavBlobsWithReexports]]).
+    *
+    * Recall at maxHamming = 3 is EXACT by pigeonhole — ≤ 3 differing
+    * bits cannot touch all 4 disjoint bands (MultimodalSpec proves
+    * banded ≡ exhaustive); the re-export sits at Hamming ≤ 1 (gain
+    * scales every span energy exactly, so only the click's span-0 bit
+    * can flip). Candidate volume is bucket-bounded — never all-pairs —
+    * the same 100 TB posture as every dedup family member. */
+  def q126AudioFpDedup(spark: SparkSession, dir: String): DataFrame =
+    audioFpClusters(
+      graft.functions.Multimodal.wavFingerprints(
+        graft.functions.Multimodal
+          .documentsAsWavBlobsWithReexports(spark, dir)).toDF(),
+      maxHamming = 3)
+      .orderBy("cluster_id", "doc_id")
+
+  /** The reusable operator behind q126: any (doc_id, afp) frame →
+    * banded-LSH Hamming-verified near-dup clusters (the
+    * [[imagePhashClusters]] shape over 31-bit audio fingerprints). */
+  def audioFpClusters(fps: DataFrame, maxHamming: Int): DataFrame =
+    graft.queries.DocQueries.dedupClusters(audioFpPairs(fps, maxHamming))
+
+  /** Banded candidates + Hamming verify over 31-bit fingerprints: 4
+    * disjoint 8-bit bands (band 3 carries bits 24–30 plus the always-
+    * zero bit 31), public for MultimodalSpec's banded ≡ exhaustive
+    * recall proof. */
+  def audioFpPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = fps.select(col("doc_id"), col("afp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("afp"), 8 * b).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "bkey")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.afp").as("ha"), col("b.afp").as("hb"))
+      .distinct()
+      .filter(expr("bit_count(ha ^ hb)") <= lit(maxHamming))
+      .select("doc_a", "doc_b")
+  }
+
   def q29MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val payload = encode(col("text"), "UTF-8")

@@ -316,4 +316,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nClusters >= nDocs - 5 && nClusters <= nDocs,
       s"unexpected cluster structure: $nClusters clusters for $nDocs docs")
   }
+
+  test("wavEnergyFingerprint31: exactly invariant to an exact uniform gain") {
+    // Samples are multiples of 8, so ·7/8 is exact — every span energy
+    // scales by the same factor and every comparison (and tie) holds.
+    val base = Multimodal.encodeWavPcm16(
+      (0 until 500).map(i => ((i * 37) % 3000 * 8 - 12000).toShort).toArray, 8000)
+    val (rate, s) = Multimodal.decodeWavPcm16(base)
+    val gained = Multimodal.encodeWavPcm16(
+      s.map(x => (x * 7 / 8).toShort), rate)
+    assert(ham(Multimodal.wavEnergyFingerprint31(base),
+      Multimodal.wavEnergyFingerprint31(gained)) == 0)
+  }
+
+  test("wavEnergyFingerprint31: a single-sample click flips at most 1 bit") {
+    val samples = (0 until 640).map(i => ((i * 53) % 2000 - 1000).toShort).toArray
+    val clicked = samples.clone(); clicked(0) = 32000
+    val a = Multimodal.wavEnergyFingerprint31(
+      Multimodal.encodeWavPcm16(samples, 8000))
+    val b = Multimodal.wavEnergyFingerprint31(
+      Multimodal.encodeWavPcm16(clicked, 8000))
+    // sample 0 lies in span 0, which only the bit-0 comparison touches
+    assert(ham(a, b) <= 1)
+  }
+
+  test("wavEnergyFingerprint31: degenerate streams hash to the fixed 0L") {
+    assert(Multimodal.wavEnergyFingerprint31(
+      Multimodal.encodeWavPcm16(Array.empty[Short], 8000)) == 0L)
+    assert(Multimodal.wavEnergyFingerprint31(
+      Multimodal.encodeWavPcm16(Array[Short](1234), 8000)) == 0L)
+  }
+
+  test("reexportWav is a valid WAV with exact 7/8 gain and the click applied") {
+    val base = Multimodal.encodeWavPcm16(
+      Array[Short](-25600, 256, 12800, -512), 8000)
+    val (rate, s) = Multimodal.decodeWavPcm16(Multimodal.reexportWav(base))
+    assert(rate == 8000)
+    assert(s.toSeq == Seq[Short](32000, 224, 11200, -448))
+  }
+
+  test("q126 banding is recall-exact at Hamming <= 3 (pigeonhole over 4 bands)") {
+    val sf = "/root/testdata/sf0.001"
+    val fps = Multimodal.wavFingerprints(
+      Multimodal.documentsAsWavBlobsWithReexports(spark, sf)).toDF()
+    import org.apache.spark.sql.functions._
+    val banded = graft.queries.EmbedQueries.audioFpPairs(fps, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f2 = fps.select(col("doc_id").as("doc_b"), col("afp").as("hb"))
+    val exhaustive = fps.select(col("doc_id").as("doc_a"), col("afp").as("ha"))
+      .crossJoin(f2)
+      .filter(col("doc_a") < col("doc_b") &&
+        expr("bit_count(ha ^ hb)") <= 3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exhaustive,
+      s"banded != exhaustive: missing=${exhaustive -- banded} extra=${banded -- exhaustive}")
+    assert(exhaustive.nonEmpty, "fixture produced no pairs — test is vacuous")
+  }
+
+  test("q126: every re-export twin co-clusters with its base track") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.EmbedQueries
+      .q126AudioFpDedup(spark, "/root/testdata/sf0.001")
+    val labels = out.select("doc_id", "cluster_id")
+    val base = labels.filter(col("doc_id") < Multimodal.ReexportIdOffset)
+      .select(col("doc_id"), col("cluster_id").as("cb"))
+    val reex = labels.filter(col("doc_id") >= Multimodal.ReexportIdOffset)
+      .select((col("doc_id") - Multimodal.ReexportIdOffset).as("doc_id"),
+        col("cluster_id").as("cr"))
+    val joined = base.join(reex, Seq("doc_id"), "full_outer")
+    assert(joined.filter(col("cb").isNull || col("cr").isNull ||
+      col("cb") =!= col("cr")).count() == 0,
+      "some re-export twin is missing or split from its base")
+    // 31 bits carry less margin than the 60-bit dHash, so a few genuine
+    // cross-document energy collisions fuse families (9 on this
+    // fixture) — but twins must still dominate the graph.
+    val nClusters = out.select("cluster_id").distinct().count()
+    val nDocs = base.count()
+    assert(nClusters >= nDocs - 15 && nClusters <= nDocs,
+      s"unexpected cluster structure: $nClusters clusters for $nDocs docs")
+  }
 }
