@@ -144,6 +144,7 @@ object SparkEntry {
     "q124_stream_quality_gate" -> (StreamQueries.q124StreamQualityGate _),
     "q125_quality_classifier" -> (DocQueries.q125QualityClassifier _),
     "q126_audio_fp_dedup" -> (EmbedQueries.q126AudioFpDedup _),
+    "q127_wordpiece_encode" -> (DocQueries.q127WordpieceEncode _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2390,6 +2391,7 @@ object SparkEntry {
     // the likelihood-ratio argmax (ORDER BY an IEEE-exact division of
     // exact integers -- identical doubles in both engines).
     "q107_wordpiece_train" -> wordpieceOracleSql(10),
+    "q127_wordpiece_encode" -> wordpieceEncodeOracleSql(10, 16),
     // Quality calibration: percent_rank over the total (quality, doc_id)
     // order -- (rank-1)/(n-1) is an IEEE-exact division of exact ints.
     "q108_quality_calibration" ->
@@ -3207,6 +3209,55 @@ object SparkEntry {
        |v0 AS MATERIALIZED (SELECT list_aggregate(list_transform(string_split(word, ''),
        |         x -> chr(1) || x || chr(2)), 'string_agg', '') AS s, freq FROM w),
        |$stages""".stripMargin
+  }
+
+  /** Generates the q127 WordPiece-ENCODE oracle: the q107 unrolled
+    * training chain supplies the n merged symbols, the vocabulary is
+    * corpus chars ∪ merges, and the greedy longest-match-first walk
+    * runs as a recursive CTE over the distinct-word lattice (one state
+    * row per consumed piece; a position no piece covers flags the word
+    * [UNK] = 1 piece). The piece list rides a single-row LIST so the
+    * recursive term needs no aggregate over the recursive relation. */
+  private def wordpieceEncodeOracleSql(n: Int, maxWordLen: Int): String = {
+    val mergeUnion = (1 to n).map(i => s"SELECT a||b AS piece FROM m$i")
+      .mkString(" UNION ")
+    s"""${bpeStagesSql(n, wordpiece = true).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |vocab AS (
+       |  SELECT DISTINCT x AS piece FROM (SELECT unnest(string_split(word, '')) AS x FROM w)
+       |  UNION $mergeUnion),
+       |plist AS (SELECT list(piece) AS ps FROM vocab),
+       |words AS (SELECT word AS wd FROM w WHERE length(word) <= $maxWordLen),
+       |mt AS (
+       |  SELECT wd, 0 AS pos, CAST(0 AS BIGINT) AS n, false AS unk FROM words
+       |  UNION ALL
+       |  SELECT wd,
+       |         CASE WHEN l IS NULL THEN pos ELSE pos + l END AS pos,
+       |         n + CASE WHEN l IS NULL THEN 0 ELSE 1 END AS n,
+       |         l IS NULL AS unk
+       |  FROM (
+       |    SELECT m.wd, m.pos, m.n,
+       |           list_max(list_transform(
+       |             list_filter(pl.ps, p -> substr(m.wd, m.pos + 1, length(p)) = p),
+       |             p -> length(p))) AS l
+       |    FROM mt m, plist pl
+       |    WHERE NOT m.unk AND m.pos < length(m.wd))),
+       |wres AS (
+       |  SELECT wd, max(n) AS np, bool_or(unk) AS unk FROM mt GROUP BY wd),
+       |wenc AS (
+       |  SELECT wd, CASE WHEN unk THEN 1 ELSE np END AS n_pieces,
+       |         CASE WHEN unk THEN 1 ELSE 0 END AS isunk
+       |  FROM wres),
+       |d AS (SELECT doc_id,
+       |             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |      FROM documents),
+       |dw AS (SELECT doc_id, word FROM d
+       |       WHERE length(word) > 0 AND length(word) <= $maxWordLen)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+       |       CAST(sum(e.isunk) AS BIGINT) AS n_unk,
+       |       CAST(sum(length(dw.word)) AS BIGINT) AS n_chars
+       |FROM dw JOIN wenc e ON dw.word = e.wd
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Generates the unrolled n-iteration BPE training oracle (q104). */

@@ -282,6 +282,7 @@ object DocQueries {
     sharedNPieces.keys.filter(_._1 == appId).toSeq.foreach(sharedNPieces.remove)
     sharedPerceptron.keys.filter(_._1 == appId).toSeq
       .foreach(sharedPerceptron.remove)
+    sharedWpVocab.keys.filter(_._1 == appId).toSeq.foreach(sharedWpVocab.remove)
     EmbedQueries.clearShared(spark)
   }
 
@@ -2706,6 +2707,117 @@ object DocQueries {
     * argmax). */
   def q107WordpieceTrain(spark: SparkSession, dir: String): DataFrame =
     wordpieceMerges(Tables(spark, dir, "documents"), 10).orderBy("step")
+
+  /** WORDPIECE ENCODER (q127): q107's serving side — the missing half
+    * of the train/serve pattern the other two trainer families already
+    * have (q104→q105, q119→q122). The shipped artifact is the WordPiece
+    * VOCABULARY: every single character seen in training plus the 10
+    * likelihood-ratio merged symbols (one shared training run via the
+    * q107 driver-value memo). Encoding is greedy
+    * LONGEST-MATCH-FIRST (Schuster & Nakajima's matching rule, the
+    * BERT tokenizer's algorithm): at each position consume the longest
+    * vocabulary piece that prefixes the remaining suffix — pieces at
+    * position > 0 are continuation pieces (the `##`-prefixed entries of
+    * a shipped vocab file; [[wordpieceSegment]] renders them that way) —
+    * and a position no piece covers collapses the WHOLE word to one
+    * [UNK] token, the standard WordPiece failure mode (unreachable when
+    * encode corpus = train corpus, since every char is in the vocab;
+    * pinned on a synthetic word in BpeSpec).
+    *
+    * Scale shape: the vocabulary is a DRIVER CONSTANT (chars +
+    * merges — the tokenizer artifact), so the greedy match folds into
+    * ONE map-only projection — an `aggregate` over ≤ maxWordLen
+    * positions whose step is a longest-match when-chain over the
+    * literal pieces; no join, no broadcast, the corpus crossed exactly
+    * once before the per-doc aggregate (the q105 posture). Same
+    * maxWordLen = 16 domain contract as q119/q122.
+    *
+    * Determinism/oracle parity: the match is pure string equality on
+    * substrings (longest piece is unique — two same-length matches at
+    * one position are the same string), counts are exact integers; the
+    * oracle restates training via the q107 unrolled chain and the
+    * greedy walk as a recursive CTE over the distinct-word lattice. */
+  def q127WordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    wordpieceEncodeStats(docs, wordpieceVocab(docs, 10)).orderBy("doc_id")
+  }
+
+  /** The trained WordPiece vocabulary artifact: corpus chars + the
+    * nMerges merged symbols, memoized beside the merge list it derives
+    * from (cleared by [[unpersistAllShared]]). */
+  private[graft] def wordpieceVocab(docs: DataFrame, nMerges: Int): Seq[String] =
+    sharedWpVocab.getOrElseUpdate(
+      (docs.sparkSession.sparkContext.applicationId,
+        docs.queryExecution.analyzed.canonicalized, nMerges), {
+        val merged = trainBpe(docs, nMerges, wordpiece = true).map(_._4)
+        val chars = tokenizedDocs(docs)
+          .select(explode(col("toks")).as("w"))
+          .filter(length(col("w")) > 0)
+          .select(explode(split(col("w"), "")).as("c"))
+          .filter(col("c") =!= "")
+          .distinct().collect().map(_.getString(0)).toSeq
+        (chars ++ merged).distinct
+      })
+
+  private val sharedWpVocab = scala.collection.concurrent.TrieMap
+    .empty[(String, Any, Int), Seq[String]]
+
+  /** The reusable operator behind q127: per-doc token statistics under
+    * the greedy longest-match encoder for any vocabulary. */
+  def wordpieceEncodeStats(docs: DataFrame, vocab: Seq[String],
+                           maxWordLen: Int = 16): DataFrame = {
+    // Longest-first order makes the when-chain's FIRST hit the greedy
+    // choice; the lexicographic tiebreak is cosmetic (same-length
+    // matches at one position are the same string).
+    val pieces = vocab.sortBy(p => (-p.length, p))
+    val tok = tokenizedDocs(docs)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+    val acc0 = struct(lit(0).as("pos"), lit(0L).as("n"), lit(false).as("unk"))
+    val fold = aggregate(sequence(lit(1), lit(maxWordLen)), acc0, (acc, _) => {
+      val pos = acc.getField("pos")
+      val n = acc.getField("n")
+      val unk = acc.getField("unk")
+      val ml = pieces.foldRight(lit(0)) { (p, els) =>
+        when(col("w").substr(pos + lit(1), lit(p.length)) === lit(p),
+          lit(p.length)).otherwise(els)
+      }
+      when(unk || pos >= length(col("w")), acc)
+        .otherwise(when(ml > lit(0),
+          struct((pos + ml).as("pos"), (n + lit(1L)).as("n"),
+            lit(false).as("unk")))
+          .otherwise(struct(pos.as("pos"), n.as("n"), lit(true).as("unk"))))
+    })
+    tok.select(col("doc_id"), length(col("w")).cast("long").as("wlen"),
+        fold.as("st"))
+      .select(col("doc_id"), col("wlen"),
+        when(col("st.unk"), 1L).otherwise(col("st.n")).as("n_pieces"),
+        when(col("st.unk"), 1L).otherwise(0L).as("isunk"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_pieces"),
+        sum("isunk").as("n_unk"),
+        sum("wlen").as("n_chars"))
+  }
+
+  /** Driver-side twin of the greedy matcher, rendering a single word's
+    * segmentation with the `##` continuation convention — the form a
+    * shipped vocab file uses; BpeSpec pins it against
+    * [[wordpieceEncodeStats]]. Returns Seq("[UNK]") when some position
+    * has no cover. */
+  def wordpieceSegment(word: String, vocab: Seq[String]): Seq[String] = {
+    val pieces = vocab.sortBy(p => (-p.length, p))
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = 0
+    while (pos < word.length) {
+      pieces.find(p => word.regionMatches(pos, p, 0, p.length)) match {
+        case Some(p) =>
+          out += (if (pos == 0) p else "##" + p); pos += p.length
+        case None => return Seq("[UNK]")
+      }
+    }
+    out.toSeq
+  }
 
   /** q104: 10 BPE merges trained on the corpus — the merge table IS the
     * tokenizer artifact a training run ships. The oracle restates all 10

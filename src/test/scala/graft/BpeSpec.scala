@@ -189,6 +189,59 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq((1L, "en", 2L, 6L, 6L)), s"got $got")
   }
 
+  test("wordpiece encoder: greedy longest-match-first, whole-word collapse, UNK") {
+    import spark.implicits._
+    // quick → the whole-word piece (longest wins over 'qu'+chars);
+    // qui → qu + ##i (longest PREFIX match, not chars);
+    // brown → five single chars; zebra → 'z' uncovered → [UNK] = 1 piece.
+    val vocab = Seq("q", "u", "i", "c", "k", "b", "r", "o", "w", "n",
+      "e", "a", "qu", "quick")
+    val docs = Seq(
+      (1L, "quick qui", "en", "s0", 9L),
+      (2L, "brown zebra", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.DocQueries.wordpieceEncodeStats(docs, vocab)
+      .select("doc_id", "n_words", "n_pieces", "n_unk", "n_chars")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((2L, 3L, 0L, 8L)), s"doc 1: ${got(1L)}") // quick=1, qui=2
+    assert(got(2L) == ((2L, 6L, 1L, 10L)), s"doc 2: ${got(2L)}") // brown=5, zebra=UNK
+    // The driver-side twin renders the ## continuation convention and
+    // must agree piece-for-piece with the relational fold's counts.
+    assert(graft.queries.DocQueries.wordpieceSegment("quick", vocab)
+      == Seq("quick"))
+    assert(graft.queries.DocQueries.wordpieceSegment("qui", vocab)
+      == Seq("qu", "##i"))
+    assert(graft.queries.DocQueries.wordpieceSegment("brown", vocab)
+      == Seq("b", "##r", "##o", "##w", "##n"))
+    assert(graft.queries.DocQueries.wordpieceSegment("zebra", vocab)
+      == Seq("[UNK]"))
+  }
+
+  test("wordpiece encoder on the fixture vocab agrees with the driver twin") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val vocab = graft.queries.DocQueries.wordpieceVocab(docs, 10)
+    assert(vocab.exists(_.length > 1), "training produced no merged symbol")
+    val words = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= 16)
+      .distinct().as[String].collect()
+    val twin = words.map(w =>
+      w -> graft.queries.DocQueries.wordpieceSegment(w, vocab)).toMap
+    assert(twin.values.forall(_ != Seq("[UNK]")),
+      "train-corpus words must all be coverable (chars are in the vocab)")
+    val expected = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= 16)
+      .as[(Long, String)].collect()
+      .groupMapReduce(_._1) { case (_, w) => twin(w).length.toLong }(_ + _)
+    val got = graft.queries.DocQueries.wordpieceEncodeStats(docs, vocab)
+      .select("doc_id", "n_pieces").as[(Long, Long)].collect().toMap
+    assert(got == expected, "fold diverged from the driver-side greedy twin")
+  }
+
   test("trainer stops early when no pairs remain") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab", "en", "s0", 5L))
