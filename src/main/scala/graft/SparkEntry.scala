@@ -145,6 +145,7 @@ object SparkEntry {
     "q125_quality_classifier" -> (DocQueries.q125QualityClassifier _),
     "q126_audio_fp_dedup" -> (EmbedQueries.q126AudioFpDedup _),
     "q127_wordpiece_encode" -> (DocQueries.q127WordpieceEncode _),
+    "q128_embed_ivf_sqrt_n" -> (EmbedQueries.q128EmbedIvfSqrtN _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -728,6 +729,46 @@ object SparkEntry {
         |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm
         |  FROM embeddings),
         |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM emb WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+        |         list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) for i in range(1, 65)])
+        |           / (e.nrm * c.cnrm) AS score
+        |  FROM emb e CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm, cid FROM (
+        |    SELECT vec_id, embedding, nrm, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         round(
+        |           list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)])
+        |             / (q.qnrm * e.nrm), 6) AS cosine
+        |  FROM emb e JOIN assign a ON e.vec_id = a.vec_id
+        |             JOIN qprobe q ON a.cid = q.cid
+        |  WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // q46 at the production √n-nlist dial: identical chain, centroid
+    // count from a scalar subquery over the same corpus count Spark
+    // reads (capped 4096, floored 2), so the certification tracks sf.
+    "q128_embed_ivf_sqrt_n" ->
+      """WITH nlc AS (
+        |  SELECT least(4096, greatest(2, CAST(round(sqrt(count(*))) AS BIGINT))) AS nl
+        |  FROM embeddings),
+        |emb AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM emb
+        |      WHERE vec_id < (SELECT nl FROM nlc)),
         |scored AS (
         |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
         |         list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) for i in range(1, 65)])

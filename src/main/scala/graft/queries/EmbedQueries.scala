@@ -196,6 +196,23 @@ object EmbedQueries {
   def q46EmbedIvfAnn(spark: SparkSession, dir: String): DataFrame =
     ivfAnn(spark, dir, nlist = 16, nProbe = 2)
 
+  /** q128 — the PRODUCTION IVF DIAL, oracle-certified: q46 pins
+    * nlist = 16 so both engines certify the probe machinery; this
+    * registration runs the SAME operator at nlist = √n (capped 4096,
+    * floored 2 — the [[ivfAnn]] scaladoc's ceiling-removal rule, already
+    * MEASURED in SCALE.md), with the dial computed from the corpus
+    * count in BOTH engines (one parquet-footer count-star here, a
+    * scalar subquery in the oracle) so the certification holds at any
+    * sf — the q109 pattern (certify the production parameter, not just
+    * the toy one). Recall at the wider dial is the measured trade the
+    * √n rule documents; the oracle restates the identical algorithm, so
+    * correctness is exact regardless. */
+  def q128EmbedIvfSqrtN(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir, "embeddings").count()
+    val nlist = math.min(4096L, math.max(2L, math.sqrt(n.toDouble).round)).toInt
+    ivfAnn(spark, dir, nlist = nlist, nProbe = 2)
+  }
+
   /** The parameterized operator behind q46. `nlist` is the coarse-quantizer
     * size (production: k-means offline, nlist ≈ √n — the knob that removes
     * the candidate-join parallelism ceiling); `nProbe` trades recall for
