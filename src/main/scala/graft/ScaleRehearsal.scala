@@ -202,7 +202,9 @@ object ScaleRehearsal {
       "q105_bpe_encode" -> (graft.queries.DocQueries.q105BpeEncode _),
       "q106_incr_sem_clusters" -> (graft.queries.EmbedQueries.q106IncrementalSemClusters _),
       "q107_wordpiece_train" -> (graft.queries.DocQueries.q107WordpieceTrain _),
-      "q108_quality_calibration" -> (graft.queries.DocQueries.q108QualityCalibration _))
+      "q108_quality_calibration" -> (graft.queries.DocQueries.q108QualityCalibration _),
+      "q127_wordpiece_encode" -> (graft.queries.DocQueries.q127WordpieceEncode _),
+      "q128_embed_ivf_sqrt_n" -> (graft.queries.EmbedQueries.q128EmbedIvfSqrtN _))
 
     // Factors past ×10 run in SHALLOW mode: structural counts for the doc
     // family only (one pass each, no min-of-2 timing) — the cheap extra
@@ -211,7 +213,8 @@ object ScaleRehearsal {
       "q49_stratified_sample", "q51_decontaminate", "q66_containment",
       "q93_exact_substr_spans", "q100_token_blocks",
       "q102_temperature_mix", "q103_filter_cascade", "q104_bpe_train",
-      "q105_bpe_encode", "q107_wordpiece_train", "q108_quality_calibration")
+      "q105_bpe_encode", "q107_wordpiece_train", "q108_quality_calibration",
+      "q127_wordpiece_encode")
 
     factors.foreach { k =>
       val deep = k <= 10
@@ -435,10 +438,13 @@ object ScaleRehearsal {
       // to pin: (a) CLUSTER count stays ≈ constant as the factor grows
       // (near-dup variants COLLAPSE into family clusters instead of
       // minting new ones — the dedup verdict scale-stable), (b)
-      // path-halving rounds stay constant on the denser graph. Factors
-      // ≤ 10 for the same reason as q101 (×30 would re-demonstrate a
-      // known quadratic at ~900× cost).
-      if (on("phash") && deep) {
+      // path-halving rounds stay constant on the denser graph. Runs at
+      // EVERY factor including ×30 (round 15): unlike q101's threshold
+      // pair LISTING, the per-family quadratic here is band-bucket
+      // bounded (≤ (2k)²/2 per base doc) and the block only counts —
+      // the ×30 point is what certifies the cluster-count plateau
+      // through the full amplification ladder.
+      if (on("phash")) {
         val hashes = graft.functions.Multimodal.ppmDHashes(
           graft.functions.Multimodal
             .documentsAsPpmBlobsWithReexports(spark, dir)).toDF()
@@ -455,6 +461,47 @@ object ScaleRehearsal {
           max(col("cluster_size")).as("max_size")).collect()(0)
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q110_phash","images":$n,"verified_pairs":$nPairs,"nodes":${row.getLong(0)},"clusters":${row.getLong(1)},"max_size":${row.getLong(2)},"rounds":$rounds}""")
         hashes.unpersist()
+      }
+
+      // q126 structural (round 15): the audio member of the perceptual
+      // family over the same re-export corpus — token-salted copies are
+      // genuine waveform near-dups of their siblings (the phash
+      // family-quadratic regime transposed), so the pins are the same:
+      // cluster count ≈ constant as the factor grows, rounds constant.
+      // The 31-bit signature is coarser than the 60-bit dHash, so the
+      // measured candidate volume ALSO carries the band-occupancy story
+      // (≈ n²/2⁸ per band at uniform fill) — recorded, not hidden.
+      if (on("audiofp")) {
+        val fps = graft.functions.Multimodal.wavFingerprints(
+          graft.functions.Multimodal
+            .documentsAsWavBlobsWithReexports(spark, dir)).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = fps.count()
+        val cands = graft.queries.EmbedQueries.audioFpPairs(fps, maxHamming = 3)
+        val nPairs = cands.count()
+        val (cl, rounds) = graft.queries.DocQueries
+          .dedupClustersWithRounds(cands)
+        val row = cl.agg(
+          count(lit(1)).as("nodes"),
+          countDistinct(col("cluster_id")).as("clusters"),
+          max(col("cluster_size")).as("max_size")).collect()(0)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q126_audiofp","tracks":$n,"verified_pairs":$nPairs,"nodes":${row.getLong(0)},"clusters":${row.getLong(1)},"max_size":${row.getLong(2)},"rounds":$rounds}""")
+        fps.unpersist()
+      }
+
+      // q125 structural (round 15): UNCACHED train + score wall for the
+      // averaged perceptron — the memo is cleared first so the measured
+      // cost is the real 3-epoch training (per epoch: one corpus pass +
+      // a dims-bounded gradient aggregate) plus the final scoring pass.
+      // The weight table is dims+1 = 257 longs at EVERY factor by
+      // construction; the axis under test is the corpus-linear epoch.
+      if (on("perceptron")) {
+        graft.queries.DocQueries.unpersistAllShared(spark)
+        val t0 = System.nanoTime()
+        val rows = graft.queries.DocQueries
+          .q125QualityClassifier(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q125_perceptron_train","seconds":$sec,"rows":$rows,"loadavg":${loadavg1m()}}""")
       }
 
       // BPE at production merge counts (round 14): the sequential
@@ -568,6 +615,35 @@ object ScaleRehearsal {
         val keys = spark.read.parquet(s"$dir/events.parquet")
           .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
         println(s"""{"rehearsal":true,"factor":$k,"metric":"stream_state_rocksdb","user_keys":$keys,"q32_rows":$r32,"q32_bytes":$m32,"q71_rows":$r71,"q71_bytes":$m71,"q45_rows":$r45,"q45_bytes":$m45}""")
+
+        // q86 dedup-ingest (round 15): the one operator whose state is
+        // keyed by EVERY DISTINCT ID inside the watermark horizon —
+        // event_ids are copy-shifted by amplification, so id cardinality
+        // rides ×k. Peak dedup-state rows are split out from the window
+        // operator's by name: the pin is dedup rows ≈ ids-in-horizon
+        // (the single-replay worst case — the whole stream is one
+        // horizon; production bounds it by the retry window, the
+        // StreamingLatenessSpec eviction assertion) and bytes/row
+        // bounded.
+        val alo0 = graft.streaming.EventStreams.fileReplaySource(ss, dir)
+        val alo = alo0.unionByName(alo0.filter(col("event_id") % 7 === 0))
+        val dedupChain = graft.streaming.EventStreams
+          .dedupedWithinWatermark(alo, "event_id", "1 hour")
+          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        val q86q = dedupChain.writeStream.format("memory")
+          .queryName(s"state_rehearsal_q86_x$k")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q86q.awaitTermination()
+        val perOp = q86q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+          .groupBy(o => if (o.operatorName.toLowerCase.contains("dedup"))
+            "dedup" else "window")
+        def pk(g: String, f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+          perOp.get(g).map(_.map(f).max).getOrElse(0L)
+        val ids = spark.read.parquet(s"$dir/events.parquet")
+          .select(countDistinct(col("event_id"))).collect()(0).getLong(0)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"stream_state_q86_dedup","event_ids":$ids,"dedup_rows":${pk("dedup", _.numRowsTotal)},"dedup_bytes":${pk("dedup", _.memoryUsedBytes)},"window_rows":${pk("window", _.numRowsTotal)},"window_bytes":${pk("window", _.memoryUsedBytes)}}""")
       }
 
       // Optional per-query filter (csv of names) for targeted timing

@@ -2811,8 +2811,8 @@ object SparkEntry {
         |hx AS (
         |  SELECT doc_id, len(mag) AS n,
         |         [ {'f': f,
-        |            'e': list_sum(mag[(f*len(mag))//least(32,len(mag)) + 1 : ((f+1)*len(mag))//least(32,len(mag))])}
-        |           for f in range(0, least(32, len(mag))) ] AS sp
+        |            'e': list_sum(mag[(f*len(mag))//least(64,len(mag)) + 1 : ((f+1)*len(mag))//least(64,len(mag))])}
+        |           for f in range(0, least(64, len(mag))) ] AS sp
         |  FROM v),
         |ph AS (
         |  SELECT doc_id,
@@ -2823,7 +2823,7 @@ object SparkEntry {
         |bd AS (
         |  SELECT doc_id, afp,
         |         unnest([ concat_ws('|', CAST(b AS VARCHAR),
-        |                    CAST((afp >> (8*b)) & 255 AS VARCHAR)) for b in range(0,4) ]) AS bk
+        |                    CAST((afp >> (16*b)) & 65535 AS VARCHAR)) for b in range(0,4) ]) AS bk
         |  FROM ph),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

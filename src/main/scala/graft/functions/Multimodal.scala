@@ -265,8 +265,8 @@ object Multimodal {
     encodeWavPcm16(out, rate)
   }
 
-  /** 31-bit ENERGY-DELTA fingerprint of a WAV payload — the dHash
-    * argument transposed to audio: the sample stream cut into ≤ 32
+  /** 63-bit ENERGY-DELTA fingerprint of a WAV payload — the dHash
+    * argument transposed to audio: the sample stream cut into ≤ 64
     * flat spans with the same integer boundaries as [[wavFramePeaks]],
     * per-span energy E_f = Σ |s_i| (exact longs), and bit f set iff
     * E_{f+1} strictly exceeds E_f.
@@ -278,14 +278,18 @@ object Multimodal {
     * tie is preserved bit-for-bit, and a single-sample edit (the click)
     * can only disturb the one span containing it — here span 0, hence
     * bit 0 — putting every re-export at Hamming ≤ 1 from its canonical.
-    * 31 bits = 32 spans − 1 comparisons; degenerate streams (< 2
-    * samples) hash to the fixed 0L like [[ppmDHash60]]'s n < 2 rule.
-    * Exact up to 2⁶³/32767 ≈ 2.8e14 samples per span. */
-  def wavEnergyFingerprint31(bytes: Array[Byte]): Long = {
+    * 63 bits = 64 spans − 1 comparisons, clear of the sign bit; a
+    * 32-span prototype measured ~2⁻³¹ random-collision mass chaining
+    * amplified corpora into hairball clusters (×1 max family 302 →
+    * ×3 max 5 302), so the width matches the image path's 60-bit
+    * margin class instead. Degenerate streams (< 2 samples) hash to
+    * the fixed 0L like [[ppmDHash60]]'s n < 2 rule. Exact up to
+    * 2⁶³/32767 ≈ 2.8e14 samples per span. */
+  def wavEnergyFingerprint63(bytes: Array[Byte]): Long = {
     val (_, samples) = decodeWavPcm16(bytes)
     val n = samples.length
     if (n < 2) return 0L
-    val nf = math.min(32, n)
+    val nf = math.min(64, n)
     def lo(f: Int): Int = ((f.toLong * n) / nf).toInt
     var hash = 0L
     var prev = -1L
@@ -300,7 +304,7 @@ object Multimodal {
     hash
   }
 
-  /** One 31-bit fingerprint row per asset — the [[ppmDHashes]] shape for
+  /** One 63-bit fingerprint row per asset — the [[ppmDHashes]] shape for
     * audio (bounded-batch object codec; the hash is banded and joined by
     * a downstream relational plan). */
   final case class WavFp(doc_id: Long, afp: Long)
@@ -311,7 +315,7 @@ object Multimodal {
     import spark.implicits._
     blobs.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map(b => WavFp(b.doc_id, wavEnergyFingerprint31(b.payload)))
+        batch.iterator.map(b => WavFp(b.doc_id, wavEnergyFingerprint63(b.payload)))
       }
     }
   }

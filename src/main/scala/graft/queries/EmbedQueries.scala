@@ -940,10 +940,10 @@ object EmbedQueries {
   /** AUDIO PERCEPTUAL NEAR-DUP (q126): the dedup family's third
     * modality — text (q20/q25/q93/q101/q115), image (q110), now audio.
     * Same four-stage shape as q110 with the codec and signature
-    * swapped: real RIFF/PCM16 decode → 31-bit energy-delta fingerprint
-    * ([[graft.functions.Multimodal.wavEnergyFingerprint31]] — sign of
+    * swapped: real RIFF/PCM16 decode → 63-bit energy-delta fingerprint
+    * ([[graft.functions.Multimodal.wavEnergyFingerprint63]] — sign of
     * adjacent-span energy deltas, gain-invariant by the dHash argument
-    * transposed) → LSH banding 4 × 8 bits → integer Hamming verify →
+    * transposed) → LSH banding 4 × 16 bits → integer Hamming verify →
     * [[graft.queries.DocQueries.dedupClusters]]. Corpus: every track
     * plus its deterministic gain-shifted re-export
     * ([[graft.functions.Multimodal.documentsAsWavBlobsWithReexports]]).
@@ -964,18 +964,18 @@ object EmbedQueries {
 
   /** The reusable operator behind q126: any (doc_id, afp) frame →
     * banded-LSH Hamming-verified near-dup clusters (the
-    * [[imagePhashClusters]] shape over 31-bit audio fingerprints). */
+    * [[imagePhashClusters]] shape over 63-bit audio fingerprints). */
   def audioFpClusters(fps: DataFrame, maxHamming: Int): DataFrame =
     graft.queries.DocQueries.dedupClusters(audioFpPairs(fps, maxHamming))
 
-  /** Banded candidates + Hamming verify over 31-bit fingerprints: 4
-    * disjoint 8-bit bands (band 3 carries bits 24–30 plus the always-
-    * zero bit 31), public for MultimodalSpec's banded ≡ exhaustive
+  /** Banded candidates + Hamming verify over 63-bit fingerprints: 4
+    * disjoint 16-bit bands (band 3 carries bits 48–62 plus the always-
+    * zero bit 63), public for MultimodalSpec's banded ≡ exhaustive
     * recall proof. */
   def audioFpPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     val bands = fps.select(col("doc_id"), col("afp"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("afp"), 8 * b).bitwiseAND(lit(255L))): _*))
+        shiftright(col("afp"), 16 * b).bitwiseAND(lit(65535L))): _*))
         .as(Seq("band", "bkey")))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -317,7 +317,7 @@ class MultimodalSpec extends AnyFunSuite {
       s"unexpected cluster structure: $nClusters clusters for $nDocs docs")
   }
 
-  test("wavEnergyFingerprint31: exactly invariant to an exact uniform gain") {
+  test("wavEnergyFingerprint63: exactly invariant to an exact uniform gain") {
     // Samples are multiples of 8, so ·7/8 is exact — every span energy
     // scales by the same factor and every comparison (and tie) holds.
     val base = Multimodal.encodeWavPcm16(
@@ -325,25 +325,25 @@ class MultimodalSpec extends AnyFunSuite {
     val (rate, s) = Multimodal.decodeWavPcm16(base)
     val gained = Multimodal.encodeWavPcm16(
       s.map(x => (x * 7 / 8).toShort), rate)
-    assert(ham(Multimodal.wavEnergyFingerprint31(base),
-      Multimodal.wavEnergyFingerprint31(gained)) == 0)
+    assert(ham(Multimodal.wavEnergyFingerprint63(base),
+      Multimodal.wavEnergyFingerprint63(gained)) == 0)
   }
 
-  test("wavEnergyFingerprint31: a single-sample click flips at most 1 bit") {
+  test("wavEnergyFingerprint63: a single-sample click flips at most 1 bit") {
     val samples = (0 until 640).map(i => ((i * 53) % 2000 - 1000).toShort).toArray
     val clicked = samples.clone(); clicked(0) = 32000
-    val a = Multimodal.wavEnergyFingerprint31(
+    val a = Multimodal.wavEnergyFingerprint63(
       Multimodal.encodeWavPcm16(samples, 8000))
-    val b = Multimodal.wavEnergyFingerprint31(
+    val b = Multimodal.wavEnergyFingerprint63(
       Multimodal.encodeWavPcm16(clicked, 8000))
     // sample 0 lies in span 0, which only the bit-0 comparison touches
     assert(ham(a, b) <= 1)
   }
 
-  test("wavEnergyFingerprint31: degenerate streams hash to the fixed 0L") {
-    assert(Multimodal.wavEnergyFingerprint31(
+  test("wavEnergyFingerprint63: degenerate streams hash to the fixed 0L") {
+    assert(Multimodal.wavEnergyFingerprint63(
       Multimodal.encodeWavPcm16(Array.empty[Short], 8000)) == 0L)
-    assert(Multimodal.wavEnergyFingerprint31(
+    assert(Multimodal.wavEnergyFingerprint63(
       Multimodal.encodeWavPcm16(Array[Short](1234), 8000)) == 0L)
   }
 
@@ -388,9 +388,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.filter(col("cb").isNull || col("cr").isNull ||
       col("cb") =!= col("cr")).count() == 0,
       "some re-export twin is missing or split from its base")
-    // 31 bits carry less margin than the 60-bit dHash, so a few genuine
-    // cross-document energy collisions fuse families (9 on this
-    // fixture) — but twins must still dominate the graph.
+    // 63 bits put random collisions at ~2⁻⁶³ per comparison (the 32-span
+    // prototype's hairball regime is gone); a stray genuine energy
+    // collision may still fuse a family or two.
     val nClusters = out.select("cluster_id").distinct().count()
     val nDocs = base.count()
     assert(nClusters >= nDocs - 15 && nClusters <= nDocs,

@@ -668,4 +668,28 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(hx.forall(_.contains("source")),
       s"only source-keyed exchanges expected, got $hx:\n$plan")
   }
+
+  test("q125: classifier SCORING is map-only — literal weight map, no join, no shuffle") {
+    // Training collects its dims-bounded gradients per epoch (the
+    // trainer-artifact class); the registered query's PLAN is the
+    // serving pass and must be a pure projection over the cached
+    // tokenized table — a join or hash exchange here would mean the
+    // model stopped being a shipped literal.
+    val plan = SparkEntry.queries("q125_quality_classifier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.isEmpty,
+      s"map-only scoring must not hash-shuffle, got $hx:\n$plan")
+  }
+
+  test("q127: wordpiece encode shuffles doc_id only — the greedy fold is a projection") {
+    val plan = SparkEntry.queries("q127_wordpiece_encode")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the vocab is a driver constant — no join belongs in this plan:\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.nonEmpty && hx.forall(_.contains("doc_id")),
+      s"only the per-doc aggregate's doc_id exchange expected, got $hx:\n$plan")
+  }
 }

@@ -82,4 +82,48 @@ class StreamingLatenessSpec extends AnyFunSuite {
       assert(minTs == ts("2024-01-01 09:59:30"))
     } finally q.stop()
   }
+
+  test("q86 dedup state is watermark-bounded: old ids evict, in-horizon re-deliveries drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val events = ms.toDF().toDF("ts", "event_id")
+    val deduped = EventStreams.dedupedWithinWatermark(events, "event_id", "1 hour")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_evict_sink").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def emitted: Long = spark.table("dedup_evict_sink").count()
+    def lastStateRows: Long =
+      q.recentProgress.toSeq.lastOption
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    try {
+      // Batch 1: ids 1..5 at 10:00, id 1 re-delivered IN-batch → 5 out.
+      ms.addData((1L to 5L).map(i => (ts("2024-01-01 10:00:00"), i)) :+
+        ((ts("2024-01-01 10:00:00"), 1L)): _*)
+      q.processAllAvailable()
+      assert(emitted == 5L, s"in-batch re-delivery must dedup, got $emitted")
+      // Batch 2: id 3 re-delivered WITHIN the horizon (state still has
+      // it — the running watermark is behind 10:00 + 1h) → dropped; ids
+      // 6..8 at 13:00 advance the watermark to 12:00 on commit.
+      ms.addData((ts("2024-01-01 10:30:00"), 3L),
+        (ts("2024-01-01 13:00:00"), 6L), (ts("2024-01-01 13:00:00"), 7L),
+        (ts("2024-01-01 13:00:00"), 8L))
+      q.processAllAvailable()
+      assert(emitted == 8L, s"in-horizon re-delivery must dedup, got $emitted")
+      // Batch 3 runs UNDER watermark 12:00 > 10:00 + 1h: every batch-1
+      // id (and the 10:30 sighting) is past first-sighting + delay and
+      // must LEAVE the store — this is the "state is horizon-bounded,
+      // not ever-seen-bounded" claim q86's 100 TB posture rests on.
+      ms.addData((ts("2024-01-01 13:30:00"), 9L))
+      q.processAllAvailable()
+      assert(emitted == 9L)
+      val rows = lastStateRows
+      // Survivors: ids 6, 7, 8 (expire 14:00) and 9 (expire 14:30) — the
+      // five 10:00 ids are gone. Exact expiry bookkeeping differs by a
+      // row across provider versions, so pin the bound, not the value.
+      assert(rows <= 4L && rows >= 1L,
+        s"batch-1 ids must evict once the watermark passes their horizon, state=$rows")
+    } finally q.stop()
+  }
 }
