@@ -489,6 +489,35 @@ object ScaleRehearsal {
         fps.unpersist()
       }
 
+      // q129 structural (round 15): the video member — per-frame dHash
+      // banding with the frame-overlap verify. Same family-quadratic
+      // amplification regime and the same pins: clusters ≈ constant,
+      // rounds flat; candidate volume rides frame-hash bucket occupancy
+      // (≤ 8 rows per video). Factors ≤ 10: the overlap verify
+      // multiplies the family-quadratic candidate graph by F² = 64
+      // frame pairs, and the ×30 arm's transient shuffle spill exceeds
+      // this container's disk (measured: SPILL_OUT_OF_MEMORY / no space
+      // at ×30) — the ×30 cluster-plateau point is carried by q110/q126,
+      // whose verify is one hash compare per candidate.
+      if (on("videofp") && deep) {
+        val fh = graft.functions.Multimodal.videoFrameHashes(
+          graft.functions.Multimodal
+            .documentsAsVideoBlobsWithReexports(spark, dir)).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nFrames = fh.count()
+        val nVideos = fh.select("doc_id").distinct().count()
+        val pairs = graft.queries.EmbedQueries.videoPhashPairs(fh, maxHamming = 3)
+        val nPairs = pairs.count()
+        val (cl, rounds) = graft.queries.DocQueries
+          .dedupClustersWithRounds(pairs)
+        val row = cl.agg(
+          count(lit(1)).as("nodes"),
+          countDistinct(col("cluster_id")).as("clusters"),
+          max(col("cluster_size")).as("max_size")).collect()(0)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q129_videofp","videos":$nVideos,"frames":$nFrames,"matched_pairs":$nPairs,"nodes":${row.getLong(0)},"clusters":${row.getLong(1)},"max_size":${row.getLong(2)},"rounds":$rounds}""")
+        fh.unpersist()
+      }
+
       // q125 structural (round 15): UNCACHED train + score wall for the
       // averaged perceptron — the memo is cleared first so the measured
       // cost is the real 3-epoch training (per epoch: one corpus pass +

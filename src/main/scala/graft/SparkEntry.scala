@@ -146,6 +146,7 @@ object SparkEntry {
     "q126_audio_fp_dedup" -> (EmbedQueries.q126AudioFpDedup _),
     "q127_wordpiece_encode" -> (DocQueries.q127WordpieceEncode _),
     "q128_embed_ivf_sqrt_n" -> (EmbedQueries.q128EmbedIvfSqrtN _),
+    "q129_video_phash_dedup" -> (EmbedQueries.q129VideoPhashDedup _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2830,6 +2831,77 @@ object SparkEntry {
         |         a.afp AS ha, b.afp AS hb
         |  FROM bd a JOIN bd b ON a.bk = b.bk AND a.doc_id < b.doc_id),
         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        |e AS (SELECT doc_a AS id, doc_b AS nbr FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT id AS u, id AS v FROM (SELECT DISTINCT id FROM e)
+        |  UNION
+        |  SELECT reach.u, e.nbr FROM reach JOIN e ON reach.v = e.id),
+        |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        |SELECT doc_id, cluster_id,
+        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |       doc_id = cluster_id AS is_canonical
+        |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    // Video keyframe dedup: the q110 dHash machinery applied per frame
+    // (text bytes cut into ≤ 8 integer spans, each a 1×len P6 frame),
+    // the transcode twin relights every frame (stamp + lift = the q110
+    // reexport luma) and drops the trailing frame; videos match when
+    // ≥ half the smaller one's frames find a Hamming ≤ 3 partner.
+    "q129_video_phash_dedup" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), x -> ord(x)) AS ords
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, ords, len(ords) AS n,
+        |         greatest(1, least(8, len(ords) // 61)) AS nf FROM o),
+        |fr AS (
+        |  SELECT doc_id, nf, f,
+        |         ords[(f*n)//nf + 1 : ((f+1)*n)//nf] AS chunk
+        |  FROM (SELECT doc_id, ords, n, nf, unnest(range(0, nf)) AS f FROM base)),
+        |vf AS (
+        |  SELECT doc_id, f,
+        |         list_transform(chunk, b -> 299*b + 587*(255-b) + 114*((7*b)%256)) AS lum
+        |  FROM fr
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, f,
+        |         [ CASE WHEN i = 1 THEN 255000
+        |                ELSE 299*least(255, chunk[i]+8) + 587*(255-chunk[i]) + 114*((7*chunk[i])%256) END
+        |           for i in range(1, len(chunk)+1) ]
+        |  FROM fr WHERE f < nf - 1 OR nf = 1),
+        |hx AS (
+        |  SELECT doc_id, f,
+        |         [ {'s': s,
+        |            'ss': list_sum(lum[(s*len(lum))//least(61,len(lum)) + 1 : ((s+1)*len(lum))//least(61,len(lum))]),
+        |            'sl': ((s+1)*len(lum))//least(61,len(lum)) - (s*len(lum))//least(61,len(lum))}
+        |           for s in range(0, least(61, len(lum))) ] AS sp
+        |  FROM vf),
+        |ph AS (
+        |  SELECT doc_id, f,
+        |         COALESCE(list_sum([ CASE WHEN sp[s+1].ss * sp[s+2].sl > sp[s+2].ss * sp[s+1].sl
+        |                                  THEN (1::BIGINT << s) ELSE 0 END
+        |                             for s in range(0, len(sp)-1) ]), 0)::BIGINT AS fhash
+        |  FROM hx),
+        |sz AS (SELECT doc_id, count(*) AS nfr FROM ph GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id, fhash,
+        |         unnest([ concat_ws('|', CAST(b AS VARCHAR),
+        |                    CAST((fhash >> (15*b)) & 32767 AS VARCHAR)) for b in range(0,4) ]) AS bk
+        |  FROM ph),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bd a JOIN bd b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        |mt AS (
+        |  SELECT c.doc_a, c.doc_b, count(DISTINCT fa.f) AS matched
+        |  FROM cand c
+        |  JOIN ph fa ON fa.doc_id = c.doc_a
+        |  JOIN ph fb ON fb.doc_id = c.doc_b
+        |  WHERE bit_count(xor(fa.fhash, fb.fhash)) <= 3
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (
+        |  SELECT m.doc_a, m.doc_b
+        |  FROM mt m JOIN sz sa ON m.doc_a = sa.doc_id
+        |            JOIN sz sb ON m.doc_b = sb.doc_id
+        |  WHERE m.matched * 2 >= least(sa.nfr, sb.nfr)),
         |e AS (SELECT doc_a AS id, doc_b AS nbr FROM pairs
         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
         |reach AS (

@@ -320,6 +320,135 @@ object Multimodal {
     }
   }
 
+  // ----------------------------------------------------------- motion PPM --
+
+  /** "Motion PPM" container: concatenated P6 frames, the MJPEG idea with
+    * the codec this container carries (MJPEG is literally concatenated
+    * JPEGs) — each frame is a complete, self-delimiting P6 payload. */
+  def encodeMotionPpm(frames: Seq[Array[Byte]]): Array[Byte] =
+    frames.toArray.flatten
+
+  /** Walk a motion-PPM stream into its frames: parse each P6 header
+    * (magic, whitespace, `#` comments, w/h/maxval — the [[decodePpm]]
+    * grammar), slice header + w·h·3 plane, advance. Throws on any
+    * malformed frame rather than resyncing — a torn stream is a bug,
+    * not a recoverable state. */
+  def splitMotionPpm(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    while (pos < bytes.length) {
+      val start = pos
+      require(bytes.length - pos >= 2 && bytes(pos) == 'P' && bytes(pos + 1) == '6',
+        s"missing P6 magic at offset $pos")
+      pos += 2
+      def nextInt(): Int = {
+        var done = false
+        while (!done) {
+          while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
+          if (pos < bytes.length && bytes(pos) == '#') {
+            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          } else done = true
+        }
+        var v = 0
+        require(pos < bytes.length && bytes(pos).toChar.isDigit, "bad header int")
+        while (pos < bytes.length && bytes(pos).toChar.isDigit) {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      require(maxval > 0 && maxval < 256, s"unsupported maxval $maxval")
+      pos += 1 // single whitespace after maxval
+      require(bytes.length - pos >= w * h * 3, "truncated frame plane")
+      pos += w * h * 3
+      out += java.util.Arrays.copyOfRange(bytes, start, pos)
+    }
+    out.toSeq
+  }
+
+  /** Deterministic "transcode" of a motion-PPM video — the edit class
+    * video perceptual dedup exists to catch: every frame re-exported
+    * through [[reexportPpm]] (brightness lift + origin stamp, each a
+    * ≤ 2-bit dHash disturbance) and the TRAILING frame dropped (the
+    * classic trim a re-encoder applies), kept when the video has only
+    * one frame. Output is a valid motion-PPM stream. */
+  def reexportMotionPpm(bytes: Array[Byte]): Array[Byte] = {
+    val frames = splitMotionPpm(bytes)
+    val kept = if (frames.length > 1) frames.init else frames
+    encodeMotionPpm(kept.map(reexportPpm))
+  }
+
+  /** Render each document as a REAL ≤ 8-frame motion-PPM video: the
+    * UTF-8 text bytes cut into nf = max(1, min(8, n/61)) integer spans
+    * (the [[wavFramePeaks]] boundary rule), span f rendered as a 1×len
+    * P6 frame under the [[documentsAsPpmBlobs]] pixel map.
+    * Deterministic, so the DuckDB oracle rebuilds every frame from the
+    * text. The 61-pixel frame FLOOR keeps every frame's dHash at the
+    * full 60 bits — a ≤ 8-way unconditional split minted 12-pixel
+    * frames whose 11-bit hashes matched randomly at ~11% per pair and
+    * chained a 174-member cluster at sf0.01 (the audio 32-span lesson
+    * transposed: signature width must match the margin class, per
+    * frame). */
+  def documentsAsVideoBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    graft.sources.Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val n = bytes.length
+        val nf = math.max(1, math.min(8, n / 61))
+        val frames = (0 until nf).map { f =>
+          val lo = (f.toLong * n / nf).toInt
+          val hi = ((f + 1).toLong * n / nf).toInt
+          val rgb = new Array[Byte]((hi - lo) * 3)
+          var i = lo
+          while (i < hi) {
+            val b = bytes(i) & 0xff
+            rgb((i - lo) * 3) = b.toByte
+            rgb((i - lo) * 3 + 1) = (255 - b).toByte
+            rgb((i - lo) * 3 + 2) = ((7 * b) % 256).toByte
+            i += 1
+          }
+          encodePpm(hi - lo, 1, rgb)
+        }
+        MediaBlob(id, "video/x-motion-ppm", encodeMotionPpm(frames))
+      }
+  }
+
+  /** The q129 video-dedup corpus: every document's canonical video plus
+    * its deterministic transcode twin ([[reexportMotionPpm]],
+    * id + [[ReexportIdOffset]]) — every video has exactly one
+    * trimmed-and-relit near-duplicate, the recovery ground truth. */
+  def documentsAsVideoBlobsWithReexports(spark: SparkSession,
+                                         dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    documentsAsVideoBlobs(spark, dir).flatMap { b =>
+      Seq(b, MediaBlob(b.doc_id + ReexportIdOffset, b.mime,
+        reexportMotionPpm(b.payload)))
+    }
+  }
+
+  /** One row per (video, frame): the frame index and its 60-bit dHash
+    * ([[ppmDHash60]]) — keyframe perceptual hashing, the unit a video
+    * dedup pass bands and joins on. Bounded-batch object codec like
+    * [[ppmDHashes]]. */
+  final case class VideoFrameHash(doc_id: Long, fidx: Long, fhash: Long)
+
+  def videoFrameHashes(blobs: Dataset[MediaBlob],
+                       batchSize: Int = DefaultBatchSize): Dataset[VideoFrameHash] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { b =>
+          splitMotionPpm(b.payload).iterator.zipWithIndex.map {
+            case (frame, i) => VideoFrameHash(b.doc_id, i.toLong, ppmDHash60(frame))
+          }
+        }
+      }
+    }
+  }
+
   // ----------------------------------------------------- frame extraction --
 
   /** Decode a payload to its frame vector by mime. WAV frames are per-1024-

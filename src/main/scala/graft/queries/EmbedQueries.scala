@@ -987,6 +987,67 @@ object EmbedQueries {
       .select("doc_a", "doc_b")
   }
 
+  /** VIDEO PERCEPTUAL NEAR-DUP (q129): the dedup family's FOURTH
+    * modality, completing the grid — text (q20/q25/q93/q101/q115),
+    * image (q110), audio (q126), video. The production shape is
+    * KEYFRAME perceptual hashing (dedup a video by the set of its
+    * frames' image hashes — robust to re-encoding, relighting, AND
+    * trims, which no whole-payload hash survives):
+    *
+    *   1. real motion-PPM decode → per-frame 60-bit dHash
+    *      ([[graft.functions.Multimodal.videoFrameHashes]] — the q110
+    *      image hash applied per keyframe);
+    *   2. LSH banding of FRAME hashes (4 × 15 bits) → candidate VIDEO
+    *      pairs from any frame-band collision — never all-pairs;
+    *   3. set-overlap verify: videos match when ≥ half the smaller
+    *      video's frames have a Hamming ≤ 3 partner in the other
+    *      (`2·matched ≥ min(na, nb)`, all integer) — the frame×frame
+    *      work is bounded by 8×8 per candidate;
+    *   4. [[graft.queries.DocQueries.dedupClusters]] → the q79 shape.
+    *
+    * Recall is EXACT: a matching pair has ≥ 1 frame pair at
+    * Hamming ≤ 3, which by the q110 pigeonhole shares a verbatim band
+    * — so every true match is a candidate (MultimodalSpec proves
+    * banded ≡ exhaustive on the video rule). The corpus pairs every
+    * video with a deterministic transcode twin (per-frame relight +
+    * trailing-frame trim): trims change the frame SET, which is
+    * exactly what the overlap rule absorbs and a whole-video
+    * fingerprint would not. */
+  def q129VideoPhashDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.DocQueries.dedupClusters(
+      videoPhashPairs(
+        graft.functions.Multimodal.videoFrameHashes(
+          graft.functions.Multimodal
+            .documentsAsVideoBlobsWithReexports(spark, dir)).toDF(),
+        maxHamming = 3))
+      .orderBy("cluster_id", "doc_id")
+
+  /** The banded candidate + frame-overlap verify stage of q129 over any
+    * (doc_id, fidx, fhash) frame table; public for the recall proof. */
+  def videoPhashPairs(fh: DataFrame, maxHamming: Int): DataFrame = {
+    val sizes = fh.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val bands = fh.select(col("doc_id"), col("fhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fhash"), 15 * b).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band", "bkey")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val fa = fh.select(col("doc_id").as("doc_a"), col("fidx").as("fa"),
+      col("fhash").as("ha"))
+    val fb = fh.select(col("doc_id").as("doc_b"), col("fhash").as("hb"))
+    cand.join(fa, "doc_a").join(fb, "doc_b")
+      .filter(expr("bit_count(ha ^ hb)") <= lit(maxHamming))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("fa")).as("matched"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .filter(col("matched") * 2 >= least(col("na"), col("nb")))
+      .select("doc_a", "doc_b")
+  }
+
   def q29MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val payload = encode(col("text"), "UTF-8")

@@ -396,4 +396,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nClusters >= nDocs - 15 && nClusters <= nDocs,
       s"unexpected cluster structure: $nClusters clusters for $nDocs docs")
   }
+
+  test("motion-PPM container round-trips frames; torn streams throw") {
+    val f1 = Multimodal.encodePpm(3, 1, Array.tabulate(9)(i => (i * 11).toByte))
+    val f2 = Multimodal.encodePpm(2, 2, Array.tabulate(12)(i => (200 - i).toByte))
+    val f3 = Multimodal.encodePpm(1, 1, Array[Byte](1, 2, 3))
+    val video = Multimodal.encodeMotionPpm(Seq(f1, f2, f3))
+    val back = Multimodal.splitMotionPpm(video)
+    assert(back.length == 3)
+    assert(back(0).sameElements(f1) && back(1).sameElements(f2) &&
+      back(2).sameElements(f3))
+    intercept[IllegalArgumentException] {
+      Multimodal.splitMotionPpm(video.dropRight(2)) // torn last plane
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.splitMotionPpm("JUNK".getBytes ++ video)
+    }
+  }
+
+  test("reexportMotionPpm trims the trailing frame and relights the rest") {
+    val frames = (0 until 4).map(k =>
+      Multimodal.encodePpm(70, 1,
+        Array.tabulate(210)(i => ((i * (k + 3)) % 200).toByte)))
+    val re = Multimodal.splitMotionPpm(
+      Multimodal.reexportMotionPpm(Multimodal.encodeMotionPpm(frames)))
+    assert(re.length == 3, "trailing frame must be trimmed")
+    re.zip(frames.init).foreach { case (got, orig) =>
+      assert(got.sameElements(Multimodal.reexportPpm(orig)))
+    }
+    // single-frame videos keep their one frame
+    val solo = Multimodal.splitMotionPpm(
+      Multimodal.reexportMotionPpm(Multimodal.encodeMotionPpm(frames.take(1))))
+    assert(solo.length == 1)
+  }
+
+  test("q129 banding is recall-exact on the video frame-overlap rule") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val fh = Multimodal.videoFrameHashes(
+      Multimodal.documentsAsVideoBlobsWithReexports(spark, sf)).toDF()
+    val banded = graft.queries.EmbedQueries.videoPhashPairs(fh, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exhaustive ground truth: EVERY video pair scored under the same
+    // matched·2 ≥ min(na, nb) rule, no banding anywhere.
+    val sizes = fh.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val a = fh.select(col("doc_id").as("doc_a"), col("fidx").as("fa"),
+      col("fhash").as("ha"))
+    val b = fh.select(col("doc_id").as("doc_b"), col("fhash").as("hb"))
+    val exhaustive = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b") &&
+        expr("bit_count(ha ^ hb)") <= 3)
+      .groupBy("doc_a", "doc_b").agg(countDistinct(col("fa")).as("matched"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .filter(col("matched") * 2 >= least(col("na"), col("nb")))
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exhaustive,
+      s"banded != exhaustive: missing=${exhaustive -- banded} extra=${banded -- exhaustive}")
+    assert(exhaustive.nonEmpty, "fixture produced no pairs — test is vacuous")
+  }
+
+  test("q129: every transcode twin co-clusters with its base video") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.EmbedQueries
+      .q129VideoPhashDedup(spark, "/root/testdata/sf0.001")
+    val labels = out.select("doc_id", "cluster_id")
+    val base = labels.filter(col("doc_id") < Multimodal.ReexportIdOffset)
+      .select(col("doc_id"), col("cluster_id").as("cb"))
+    val reex = labels.filter(col("doc_id") >= Multimodal.ReexportIdOffset)
+      .select((col("doc_id") - Multimodal.ReexportIdOffset).as("doc_id"),
+        col("cluster_id").as("cr"))
+    val joined = base.join(reex, Seq("doc_id"), "full_outer")
+    assert(joined.filter(col("cb").isNull || col("cr").isNull ||
+      col("cb") =!= col("cr")).count() == 0,
+      "some transcode twin is missing or split from its base")
+    val nClusters = out.select("cluster_id").distinct().count()
+    val nDocs = base.count()
+    assert(nClusters >= nDocs - 15 && nClusters <= nDocs,
+      s"unexpected cluster structure: $nClusters clusters for $nDocs docs")
+  }
 }
