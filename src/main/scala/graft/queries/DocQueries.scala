@@ -2768,8 +2768,14 @@ object DocQueries {
                            maxWordLen: Int = 16): DataFrame = {
     // Longest-first order makes the when-chain's FIRST hit the greedy
     // choice; the lexicographic tiebreak is cosmetic (same-length
-    // matches at one position are the same string).
-    val pieces = vocab.sortBy(p => (-p.length, p))
+    // matches at one position are the same string). Single-char pieces
+    // collapse out of the chain entirely: "some 1-char piece matches"
+    // ⟺ "the current char is in the vocabulary's charset", one instr()
+    // probe against a literal — the chain carries only the (few)
+    // multi-char merges, so the per-position cost is ~|merges| + 1
+    // comparisons instead of |vocab| (measured ~4× on the fold).
+    val multi = vocab.filter(_.length > 1).sortBy(p => (-p.length, p))
+    val charset = vocab.filter(_.length == 1).distinct.mkString
     val tok = tokenizedDocs(docs)
       .select(col("doc_id"), explode(col("toks")).as("w"))
       .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
@@ -2778,7 +2784,11 @@ object DocQueries {
       val pos = acc.getField("pos")
       val n = acc.getField("n")
       val unk = acc.getField("unk")
-      val ml = pieces.foldRight(lit(0)) { (p, els) =>
+      val charHit =
+        if (charset.isEmpty) lit(0)
+        else when(instr(lit(charset), col("w").substr(pos + lit(1), lit(1))) > 0,
+          lit(1)).otherwise(lit(0))
+      val ml = multi.foldRight(charHit) { (p, els) =>
         when(col("w").substr(pos + lit(1), lit(p.length)) === lit(p),
           lit(p.length)).otherwise(els)
       }
