@@ -147,6 +147,10 @@ object SparkEntry {
     "q127_wordpiece_encode" -> (DocQueries.q127WordpieceEncode _),
     "q128_embed_ivf_sqrt_n" -> (EmbedQueries.q128EmbedIvfSqrtN _),
     "q129_video_phash_dedup" -> (EmbedQueries.q129VideoPhashDedup _),
+    "q130_stream_model_score" -> (StreamQueries.q130StreamModelScore _),
+    "q131_ann_recall_eval" -> (EmbedQueries.q131AnnRecallEval _),
+    "q132_cluster_sample" -> (EmbedQueries.q132ClusterSample _),
+    "q133_source_overlap" -> (DocQueries.q133SourceOverlap _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -2913,6 +2917,93 @@ object SparkEntry {
         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
         |       doc_id = cluster_id AS is_canonical
         |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    // The stream census restates the q125 weight chain grouped by
+    // (source, pred): all-integer scoring makes the stream result
+    // micro-batch-split invariant, so equality is exact.
+    "q130_stream_model_score" -> perceptronCensusOracleSql(256, 3),
+    // Both retrieval arms (q27 exact / q28 multi-probe LSH) at k = 10
+    // over one shared bucketed corpus; recall@10 and the reciprocal
+    // rank of the true nearest neighbor, in exact ppm integers.
+    "q131_ann_recall_eval" ->
+      """WITH wb AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm,
+        |         CAST(list_sum(
+        |           [CASE WHEN list_sum([(CAST(((p * 131071 + i * 524287) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+        |                                * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]) > 0
+        |                 THEN CAST(round(pow(2, p)) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |            for p in range(0, 8)]) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm, bucket AS qbucket
+        |  FROM wb WHERE vec_id < 5),
+        |ex AS (
+        |  SELECT q_id, vec_id, ex_rank FROM (
+        |    SELECT q.q_id, e.vec_id,
+        |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |             round(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)])
+        |               / (q.qnrm * e.nrm), 6) DESC, e.vec_id) AS ex_rank
+        |    FROM wb e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+        |  WHERE ex_rank <= 10),
+        |an AS (
+        |  SELECT q_id, vec_id, an_rank FROM (
+        |    SELECT q.q_id, e.vec_id,
+        |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |             round(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)])
+        |               / (q.qnrm * e.nrm), 6) DESC, e.vec_id) AS an_rank
+        |    FROM wb e JOIN q ON bit_count(xor(e.bucket, q.qbucket)) <= 2
+        |    WHERE e.vec_id <> q.q_id)
+        |  WHERE an_rank <= 10),
+        |j AS (
+        |  SELECT ex.q_id,
+        |         CAST(sum(CASE WHEN an.an_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |         min(CASE WHEN ex.ex_rank = 1 THEN an.an_rank END) AS t1
+        |  FROM ex LEFT JOIN an ON ex.q_id = an.q_id AND ex.vec_id = an.vec_id
+        |  GROUP BY ex.q_id)
+        |SELECT q_id, n_hits, n_hits * 100000 AS recall_ppm,
+        |       CAST(COALESCE(t1, 0) AS BIGINT) AS top1_rank,
+        |       CAST(COALESCE(1000000 // t1, 0) AS BIGINT) AS rr_ppm
+        |FROM j ORDER BY q_id""".stripMargin,
+    // q46's seed-centroid assignment + a per-cluster quota rank.
+    "q132_cluster_sample" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM emb WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |         list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) for i in range(1, 65)])
+        |           / (e.nrm * c.cnrm) AS score
+        |  FROM emb e CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |r AS (
+        |  SELECT a.cid, d.doc_id, d.lang, d.n_chars,
+        |         row_number() OVER (PARTITION BY a.cid ORDER BY d.n_chars DESC, d.doc_id) AS rank
+        |  FROM documents d JOIN assign a ON d.doc_id = a.vec_id)
+        |SELECT cid, doc_id, lang, n_chars, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 8 ORDER BY cid, rank""".stripMargin,
+    // Pairwise shared distinct 3-shingles + Jaccard between sources.
+    "q133_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |  FROM (SELECT source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS nsh FROM g GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM g a JOIN g b USING (sh) WHERE a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT p.src_a, p.src_b, p.shared, na.nsh AS nsh_a, nb.nsh AS nsh_b,
+        |       CAST(p.shared * 1000000 // (na.nsh + nb.nsh - p.shared) AS BIGINT) AS jaccard_ppm
+        |FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
   )
 
   /** The q125 averaged-perceptron oracle: hashed-token feature rows + a
@@ -2923,10 +3014,39 @@ object SparkEntry {
     * model = the integer SUM of the epoch snapshots; all arithmetic is
     * exact BIGINT, so the final per-doc scores hash-match the Spark
     * side bit for bit. */
-  private def perceptronOracleSql(dims: Int, epochs: Int): String = {
+  private def perceptronOracleSql(dims: Int, epochs: Int): String =
+    perceptronOracle(dims, epochs,
+      """sf AS (
+        |  SELECT f.doc_id, f.y, CAST(sum(f.cnt * COALESCE(w.wt, 0)) AS BIGINT) AS score
+        |  FROM f LEFT JOIN wavg w ON f.fid = w.fid GROUP BY f.doc_id, f.y)
+        |SELECT doc_id, CAST(y AS BIGINT) AS y, score,
+        |       CASE WHEN score > 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred,
+        |       (CASE WHEN score > 0 THEN 1 ELSE -1 END) = y AS correct
+        |FROM sf ORDER BY doc_id""".stripMargin)
+
+  /** The q130 tail over the same weight chain: per-doc scores joined
+    * back to their source, censused by (source, pred) — the stream
+    * query's batch restatement (all-integer scoring makes the stream
+    * census micro-batch-split invariant, so equality is exact). */
+  private def perceptronCensusOracleSql(dims: Int, epochs: Int): String =
+    perceptronOracle(dims, epochs,
+      """sf AS (
+        |  SELECT f.doc_id, f.y, CAST(sum(f.cnt * COALESCE(w.wt, 0)) AS BIGINT) AS score
+        |  FROM f LEFT JOIN wavg w ON f.fid = w.fid GROUP BY f.doc_id, f.y),
+        |sc AS (
+        |  SELECT t.source, s.y, s.score,
+        |         CASE WHEN s.score > 0 THEN 1 ELSE -1 END AS pred
+        |  FROM sf s JOIN t USING (doc_id))
+        |SELECT source, CAST(pred AS BIGINT) AS pred,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(score) AS BIGINT) AS score_sum,
+        |       CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM sc GROUP BY source, pred ORDER BY source, pred""".stripMargin)
+
+  private def perceptronOracle(dims: Int, epochs: Int, tail: String): String = {
     val head =
       s"""WITH t AS MATERIALIZED (
-         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |  SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
          |         string_split_regex(lower(trim(text)), '\\s+') AS toks
          |  FROM documents),
          |f AS MATERIALIZED (
@@ -2954,18 +3074,11 @@ object SparkEntry {
     }
     val unionAll = (1 to epochs).map(e => s"SELECT * FROM w$e")
       .mkString(" UNION ALL ")
-    val tail =
+    val wavg =
       s"""wavg AS MATERIALIZED (
          |  SELECT fid, CAST(sum(wt) AS BIGINT) AS wt
-         |  FROM ($unionAll) GROUP BY fid),
-         |sf AS (
-         |  SELECT f.doc_id, f.y, CAST(sum(f.cnt * COALESCE(w.wt, 0)) AS BIGINT) AS score
-         |  FROM f LEFT JOIN wavg w ON f.fid = w.fid GROUP BY f.doc_id, f.y)
-         |SELECT doc_id, CAST(y AS BIGINT) AS y, score,
-         |       CASE WHEN score > 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred,
-         |       (CASE WHEN score > 0 THEN 1 ELSE -1 END) = y AS correct
-         |FROM sf ORDER BY doc_id""".stripMargin
-    (Seq(head) ++ rounds :+ tail).mkString(",\n")
+         |  FROM ($unionAll) GROUP BY fid)""".stripMargin
+    (Seq(head) ++ rounds ++ Seq(wavg, tail)).mkString(",\n")
   }
 
   /** Generates the k-parameterized ExactSubstr oracle (q93's SQL shape

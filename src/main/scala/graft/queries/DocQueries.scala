@@ -3418,10 +3418,7 @@ object DocQueries {
     * under the averaged trained model. */
   def perceptronScore(tok: DataFrame, isPositive: Column, dims: Int,
                       epochs: Int): DataFrame = {
-    val wAvg = sharedPerceptron.getOrElseUpdate(
-      (tok.sparkSession.sparkContext.applicationId,
-        tok.queryExecution.analyzed.canonicalized, (dims, epochs)),
-      trainPerceptron(tok, isPositive, dims, epochs))
+    val wAvg = trainedPerceptron(tok, isPositive, dims, epochs)
     val sc = perceptronScoreExpr(wAvg, dims)
     tok.select(col("doc_id"),
         when(isPositive, 1L).otherwise(-1L).as("y"), sc.as("score"))
@@ -3434,13 +3431,40 @@ object DocQueries {
   private val sharedPerceptron = scala.collection.concurrent.TrieMap
     .empty[(String, Any, Any), Map[Long, Long]]
 
+  /** The TRAINER ARTIFACT accessor: the memoized averaged-perceptron
+    * weight table for (input plan, dials) — the driver-value model every
+    * scorer (batch q125, streaming q130) ships as a literal. Public so a
+    * stream can score under the batch-trained model: the production
+    * deployment shape (train offline on the curated corpus, ship the
+    * weight table to the ingest gate). */
+  def trainedPerceptron(tok: DataFrame, isPositive: Column, dims: Int,
+                        epochs: Int): Map[Long, Long] =
+    sharedPerceptron.getOrElseUpdate(
+      (tok.sparkSession.sparkContext.applicationId,
+        tok.queryExecution.analyzed.canonicalized, (dims, epochs)),
+      trainPerceptron(tok, isPositive, dims, epochs))
+
+  /** The q125 registered model (en-vs-rest, dims = 256, epochs = 3) for
+    * `dir`'s corpus — shares q125's memo entry, so a session that runs
+    * both q125 and q130 trains exactly once. */
+  def q125Model(spark: SparkSession, dir: String): Map[Long, Long] =
+    trainedPerceptron(tokenizedDocs(Tables(spark, dir, "documents")),
+      col("lang") === "en", dims = 256, epochs = 3)
+
   /** Map-only per-doc score under a literal weight map: bias weight as
     * the fold seed, one hashed lookup per token — stays a pure column
     * expression (no join, no UDF). */
-  private def perceptronScoreExpr(w: Map[Long, Long], dims: Int): Column = {
+  private def perceptronScoreExpr(w: Map[Long, Long], dims: Int): Column =
+    perceptronScoreOn(w, dims, col("toks"))
+
+  /** [[perceptronScoreExpr]] over any token-array column — the scorer a
+    * caller that tokenizes inline (a stream with no persisted token
+    * table) applies to its own split. */
+  def perceptronScoreOn(w: Map[Long, Long], dims: Int,
+                        toksCol: Column): Column = {
     val wmap = typedlit(if (w.isEmpty) Map(-1L -> 0L) else w)
     aggregate(
-      filter(col("toks"), t => length(t) > 0),
+      filter(toksCol, t => length(t) > 0),
       coalesce(element_at(wmap, lit(dims.toLong)), lit(0L)),
       (acc, t) => acc + coalesce(element_at(wmap, md5Long(t, 8) % dims),
         lit(0L)))
@@ -3484,5 +3508,48 @@ object DocQueries {
       .select(col("doc_id"), col("weight"),
         round(col("priority"), 6).as("priority"))
       .orderBy(desc("priority"), asc("doc_id"))
+  }
+
+  /** CROSS-SOURCE OVERLAP MATRIX (q133): pairwise shared distinct
+    * 3-shingle counts + Jaccard between every pair of sources — the
+    * corpus-composition diagnostic that answers "which crawl snapshots /
+    * feeds duplicate each other" BEFORE any doc-level dedup decision.
+    * Production use: two sources with high vocabulary Jaccard are
+    * versions of the same crawl (dedup them against each other first);
+    * a source with near-zero overlap against everything is novel signal
+    * (protect it in the mix). Complements q90 (distributional TV drift —
+    * same-shape-different-text) with literal content overlap, and q51
+    * (test-set decontamination) by measuring train-side inter-source
+    * contamination pressure.
+    *
+    * Scale shape: the only corpus-sized exchange is the (source, shingle)
+    * DISTINCT — a fixed-width aggregate like q20's hash groupBy. The
+    * pair join is keyed by shingle with per-key fanout bounded by
+    * #sources (each side holds a shingle at most once per source after
+    * the distinct), so candidate volume ≤ Σ_sh df(sh)² ≤ distinct
+    * shingles × #sources² — sources are a config-bounded dimension
+    * (dozens), never a corpus-sized one. Output is #sources² rows. The
+    * same plan at 100 TB: distinct-aggregate, equi-join, 190-row result. */
+  def q133SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(tokenizedDocs(Tables(spark, dir, "documents")))
+
+  /** The reusable operator behind q133: any (source, ..., toks) frame →
+    * one row per source pair (src_a < src_b) with shared distinct
+    * 3-shingle count, each side's distinct count, and Jaccard in ppm. */
+  def sourceOverlap(tok: DataFrame): DataFrame = {
+    val g = tok.select(col("source"), explode(shingles(col("toks"))).as("sh"))
+      .distinct()
+    val n = g.groupBy("source").agg(count(lit(1)).as("nsh"))
+    val pairs = g.select(col("sh"), col("source").as("src_a"))
+      .join(g.select(col("sh"), col("source").as("src_b")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(n.select(col("source").as("src_a"), col("nsh").as("nsh_a")), Seq("src_a"))
+      .join(n.select(col("source").as("src_b"), col("nsh").as("nsh_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        col("nsh_a"), col("nsh_b"),
+        expr("shared * 1000000 div (nsh_a + nsh_b - shared)").as("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
   }
 }

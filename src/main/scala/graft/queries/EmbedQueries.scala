@@ -1409,4 +1409,113 @@ object EmbedQueries {
     sel.select("q_id", "vec_id", "rel", "score_num", "mmr_rank")
       .orderBy("q_id", "mmr_rank")
   }
+
+  /** ANN RECALL/MRR EVALUATION HARNESS (q131): the retrieval-quality
+    * measurement every ANN deployment runs before turning a dial —
+    * exact brute-force top-10 (q27's chain) vs multi-probe LSH top-10
+    * (q28's chain) in ONE query, reporting per-query recall@10 and the
+    * reciprocal rank at which the true nearest neighbor surfaces in the
+    * approximate list. The specs measure recall offline (AnnRecallSpec);
+    * this registers the measurement itself as an oracle-certified
+    * operator, because at 100 TB "what recall is my index giving me" is
+    * a query you run on a sample continuously, not a unit test.
+    *
+    * Both arms are rational/rounded arithmetic on the same 6-dp cosine
+    * with vec_id tie-breaks, so the intersection is deterministic
+    * cross-engine. recall_ppm = hits·10⁵ (k = 10); rr_ppm = ⌊10⁶ /
+    * rank-of-true-NN⌋, 0 when the LSH list misses it entirely.
+    *
+    * Scale shape: both arms are the already-audited q27/q28 plans (the
+    * query side broadcast, map-side WindowGroupLimit rank cuts); the
+    * final join and aggregate act on ≤ 2·k rows per query. Evaluating on
+    * a larger query sample changes only the broadcast width. */
+  def q131AnnRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    withDot(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val withBucket = emb.select(col("vec_id"), col("embedding"),
+      l2(col("embedding")).as("nrm"),
+      lshBucket(col("embedding"), 8).cast("long").as("bucket"))
+    // exact arm — q27's plan at k = 10
+    val queries = withBucket.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+    val exact = withBucket.crossJoin(broadcast(queries.drop("qbucket")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("cosine"))
+      .withColumn("ex_rank", row_number().over(wRank).cast("long"))
+      .filter(col("ex_rank") <= 10)
+    // approximate arm — q28's multi-probe chain at k = 10
+    val flips = Seq(0L) ++
+      (0 until 8).map(p => 1L << p) ++
+      (for { a <- 0 until 8; b <- a + 1 until 8 } yield (1L << a) | (1L << b))
+    val probes = flips.map(m => col("qbucket").bitwiseXOR(lit(m)))
+    val probed = queries
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        explode(array(probes: _*)).as("bucket"))
+    val approx = withBucket.join(broadcast(probed), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("cosine"))
+      .withColumn("an_rank", row_number().over(wRank).cast("long"))
+      .filter(col("an_rank") <= 10)
+      .select("q_id", "vec_id", "an_rank")
+    // The joined sides are both <= k rows per query vector; broadcast the
+    // approximate arm so the final recall join never shuffles the exact arm.
+    exact.join(broadcast(approx), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(when(col("an_rank").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        min(when(col("ex_rank") === 1, col("an_rank"))).as("t1"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits") * 100000L).as("recall_ppm"),
+        coalesce(col("t1"), lit(0L)).as("top1_rank"),
+        coalesce(expr("1000000 div t1"), lit(0L)).as("rr_ppm"))
+      .orderBy("q_id")
+  }
+
+  /** CLUSTER-BALANCED CURATION SAMPLE (q132): the cluster-then-sample
+    * selection move (SemDeDup / DCLM): partition the corpus by embedding
+    * cluster, then draw a FIXED quota per cluster — a sample that
+    * preserves semantic diversity where quality-ranked global selection
+    * would collapse onto the dominant mode. Assignment is q46's coarse
+    * quantizer verbatim (cosine argmax against the 16 broadcast seed
+    * centroids — the offline-k-means-then-ship posture, [[kmeansCentroids]]
+    * being the trainer); within each cluster the quota goes to the
+    * longest documents (n_chars DESC, doc_id tie-break — swap in any
+    * quality score, e.g. q125's, without changing the plan).
+    *
+    * Scale shape: assignment is a broadcast of k·dim floats against the
+    * scan (narrow, zero shuffle on the corpus side); the doc join is an
+    * equi-join on the shared id space (q84's precedent); the per-cluster
+    * quota cut is rank ≤ 8 over Window.partitionBy(cid) — planned as a
+    * map-side WindowGroupLimit partial (pinned in PlanPinsSpec), so no
+    * task ever holds a whole cluster even though a cluster is
+    * corpus/k-sized. */
+  def q132ClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    withDot(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cnrm"))
+    val assign = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+          .as("score"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val wQuota = Window.partitionBy(col("cid"))
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    docs.join(assign, docs("doc_id") === assign("vec_id"))
+      .select(col("cid"), col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rank", row_number().over(wQuota).cast("long"))
+      .filter(col("rank") <= 8)
+      .orderBy("cid", "rank")
+  }
 }

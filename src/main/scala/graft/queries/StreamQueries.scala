@@ -279,4 +279,46 @@ object StreamQueries {
     EventStreams.runToMemory(spark, census, mode = "complete")
       .orderBy("source", "verdict")
   }
+
+  /** STREAMING MODEL-SCORED INGEST (q130): the q125 trained classifier
+    * deployed AT THE FRONT DOOR — the production shape of every
+    * model-based quality filter (CCNet's fastText, DCLM's logistic
+    * models): TRAIN OFFLINE on the curated batch corpus, SHIP the weight
+    * table to the ingest gate, score every arriving document map-only.
+    * Here the offline half is literally q125's memoized trainer (one
+    * training per session even when both queries run), and the shipped
+    * model is a ≤ 257-long literal map — no join, no state, no model
+    * server in the hot path.
+    *
+    * The stream side replays documents as files, tokenizes inline (no
+    * cache exists in a stream), folds the score as exact BIGINT under
+    * the literal weights, and maintains a (source, pred) census as a
+    * COMPLETE-mode aggregate — monitor state bounded by sources × 2
+    * whatever the corpus. All-integer scoring means the stream census is
+    * bit-identical to the batch restatement under any micro-batch split
+    * (PerceptronSpec pins stream ≡ batch), so the oracle is the q125
+    * weight-CTE chain grouped by (source, pred). */
+  def q130StreamModelScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val w = DocQueries.q125Model(spark, dir) // offline training, batch side
+    val ss = EventStreams.streamSession(spark)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = ss.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val t = split(lower(trim(col("text"))), "\\s+")
+    val scored = docs.select(col("doc_id"), col("source"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      DocQueries.perceptronScoreOn(w, 256, t).as("score"))
+    val census = scored
+      .withColumn("pred", when(col("score") > 0, 1L).otherwise(-1L))
+      .groupBy("source", "pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("score").as("score_sum"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+    EventStreams.runToMemory(spark, census, mode = "complete")
+      .orderBy("source", "pred")
+  }
 }

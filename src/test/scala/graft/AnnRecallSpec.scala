@@ -220,4 +220,32 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(truth > 1000, "clustered fixture should be dense in true pairs")
     assert(recall >= 0.85, f"clustered near-dup recall collapsed: $recall%.3f")
   }
+
+  test("q131: the registered harness agrees with this spec's independent recall computation") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.queries.EmbedQueries.q131AnnRecallEval(spark, sf).collect()
+    assert(out.length == 5, s"one row per query vector, got ${out.length}")
+    out.foreach { r =>
+      val (nHits, recallPpm, t1, rr) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nHits >= 0 && nHits <= 10 && recallPpm == nHits * 100000L,
+        s"recall arithmetic drifted: $r")
+      if (t1 == 0L) assert(rr == 0L, s"missed top-1 must have rr 0: $r")
+      else assert(t1 >= 1 && t1 <= 10 && rr == 1000000L / t1,
+        s"rr arithmetic drifted: $r")
+    }
+    // Cross-check the exact arm against q27 (brute-force top-10) and the
+    // approximate arm against q28's candidate discipline: when q28's
+    // top-3 contains the true NN, the harness's top1_rank must be <= 3.
+    val q27Top1 = graft.queries.EmbedQueries.q27EmbedCosineTopk(spark, sf)
+      .filter(col("rank") === 1).select("q_id", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q28Sets = topk(graft.queries.EmbedQueries.q28EmbedAnnLsh(spark, sf))
+    out.foreach { r =>
+      val q = r.getLong(0)
+      if (q28Sets.getOrElse(q, Set.empty).contains(q27Top1(q)))
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= 3,
+          s"q28 found the true NN in its top-3 but the harness ranked it at ${r.getLong(3)}: $r")
+    }
+  }
 }

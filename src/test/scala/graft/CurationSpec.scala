@@ -237,4 +237,21 @@ class CurationSpec extends AnyFunSuite {
     assert(unsalted.exists { case (id, b) => salted(id) != b },
       "salted split buckets must differ from the unsalted id-hash stream")
   }
+
+  test("q132: cluster-balanced sample is quota-exact, rank-contiguous, and duplicate-free") {
+    val rows = graft.queries.EmbedQueries.q132ClusterSample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val docs = rows.map(_._2)
+    assert(docs.distinct.length == docs.length, "a doc landed in two clusters")
+    rows.groupBy(_._1).foreach { case (cid, xs) =>
+      val ranks = xs.map(_._3).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq,
+        s"cluster $cid ranks not contiguous from 1: $ranks")
+      assert(ranks.length <= 8, s"cluster $cid over quota: ${ranks.length}")
+    }
+    // Balance is the point: no cluster may dominate the sample the way a
+    // global top-128 would (the fixture's global cut covers few clusters).
+    assert(rows.map(_._1).distinct.length >= 8,
+      "sample collapsed onto too few clusters to call balanced")
+  }
 }

@@ -70,4 +70,27 @@ class PerceptronSpec extends AnyFunSuite {
     assert(row.length == 1, "empty-token doc dropped from output")
     assert(row(0)._2 == 1L || row(0)._2 == -1L)
   }
+
+  test("q130: the stream census is bit-identical to the batch restatement") {
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val stream = SparkEntry.queries("q130_stream_model_score")(spark, sf)
+      .collect().map(key).toSet
+    // Independent batch pass under the SAME shipped weights: all-integer
+    // scoring means any micro-batch split of the stream must land on
+    // exactly these census cells.
+    val w = graft.queries.DocQueries.q125Model(spark, sf)
+    val t = split(lower(trim(col("text"))), "\\s+")
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        graft.queries.DocQueries.perceptronScoreOn(w, 256, t).as("score"))
+      .withColumn("pred", when(col("score") > 0, 1L).otherwise(-1L))
+      .groupBy("source", "pred")
+      .agg(count(lit(1)).as("n_docs"), sum("score").as("score_sum"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+      .collect().map(key).toSet
+    assert(stream == batch, s"stream census diverged:\n$stream\nvs\n$batch")
+  }
 }

@@ -692,4 +692,38 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(hx.nonEmpty && hx.forall(_.contains("doc_id")),
       s"only the per-doc aggregate's doc_id exchange expected, got $hx:\n$plan")
   }
+
+  test("q131: both retrieval arms cut map-side — two WindowGroupLimits, probe join broadcast") {
+    val plan = SparkEntry.queries("q131_ann_recall_eval")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // exact-arm rank <= 10 and approx-arm rank <= 10: each must plan as a
+    // partial-then-final WindowGroupLimit pair, never a full q_id sort of
+    // the unbounded candidate stream.
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 4,
+      s"rank cuts must push WindowGroupLimit on both arms:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the probe-bucket join must broadcast the query side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join belongs in this plan:\n$plan")
+  }
+
+  test("q132: the per-cluster quota cut is a map-side WindowGroupLimit, assignment broadcast") {
+    val plan = SparkEntry.queries("q132_cluster_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"quota cut must push WindowGroupLimit (no task holds a whole cluster):\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroid scoring must broadcast the 16-row centroid table:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product belongs in this plan:\n$plan")
+  }
+
+  test("q133: overlap join is an equi-join on the shingle — no cartesian, no BNLJ") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q133_source_overlap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"source-pair candidates must come from the shingle equi-join:\n$plan")
+  }
 }
