@@ -151,6 +151,7 @@ object SparkEntry {
     "q131_ann_recall_eval" -> (EmbedQueries.q131AnnRecallEval _),
     "q132_cluster_sample" -> (EmbedQueries.q132ClusterSample _),
     "q133_source_overlap" -> (DocQueries.q133SourceOverlap _),
+    "q134_pagerank_suppliers" -> (GraphQueries.q134PagerankSuppliers _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3004,7 +3005,53 @@ object SparkEntry {
         |       CAST(p.shared * 1000000 // (na.nsh + nb.nsh - p.shared) AS BIGINT) AS jaccard_ppm
         |FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b
         |ORDER BY p.src_a, p.src_b""".stripMargin,
+    // Damped PageRank (d = 0.85, 3 unrolled rounds, ppb BIGINT) over the
+    // supplier co-supply graph, dangling mass redistributed uniformly —
+    // the q119/q125 unrolled-iteration recipe applied to link analysis.
+    "q134_pagerank_suppliers" -> pagerankOracleSql(3),
   )
+
+  /** The q134 PageRank oracle: the co-supply edge projection + degree
+    * table once, then each damped round as three MATERIALIZED CTEs
+    * (dst-keyed contribution sum → dangling-mass scalar → node-sized
+    * rank rebuild). Every operation is BIGINT with integer division in
+    * the same association order as the Spark side, so the final ranks
+    * hash-match bit for bit. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val head =
+      """WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |  FROM li a JOIN li b USING (ok) WHERE a.sk <> b.sk),
+        |nodes AS MATERIALIZED (SELECT DISTINCT sk AS node FROM li),
+        |deg AS MATERIALIZED (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+        |  FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS contrib
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |d$i AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(sum(r.r), 0) AS BIGINT) AS dang
+         |  FROM r${i - 1} r LEFT JOIN deg d ON d.src = r.node
+         |  WHERE d.src IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST((150 * (1000000000 // (SELECT n FROM nn)) +
+         |               850 * (COALESCE(c.contrib, 0) +
+         |                      (SELECT dang FROM d$i) // (SELECT n FROM nn)))
+         |              // 1000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.node)""".stripMargin
+    }
+    val tail =
+      s"""SELECT node AS suppkey, r AS rank_ppb FROM r$iters
+         |ORDER BY rank_ppb DESC, suppkey""".stripMargin
+    (Seq(head) ++ rounds).mkString(",\n") + "\n" + tail
+  }
 
   /** The q125 averaged-perceptron oracle: hashed-token feature rows + a
     * per-doc bias row, then each unrolled epoch as two MATERIALIZED CTEs

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Iterative graph algorithms beyond connected components (q79's
+  * path-halving CC): PageRank-style link analysis, expressed as unrolled
+  * DataFrame iterations in exact BIGINT fixed-point arithmetic so the
+  * result is bit-identical under any partitioning AND restatable as
+  * unrolled MATERIALIZED CTEs in the DuckDB oracle — the q119/q125
+  * trainer recipe applied to graph centrality.
+  *
+  * Production context: link-graph centrality is a standard web-curation
+  * quality signal (Common Crawl publishes harmonic-centrality /
+  * PageRank-ranked host lists; OpenWebText selected by inbound-link
+  * karma) — the ranking stage that runs BEFORE per-document quality
+  * models (q125) see anything. The same iteration shape serves
+  * personalized PageRank for seed-set expansion ("find more pages like
+  * the trusted ones"), the curation move behind LinkBERT-style corpus
+  * assembly.
+  */
+object GraphQueries {
+
+  /** PAGERANK over the supplier CO-SUPPLY graph (q134): nodes are
+    * suppliers, an edge links two suppliers that ship lines of the same
+    * order (the co-citation projection of the bipartite order–supplier
+    * graph). Rank is the standard damped iteration (d = 0.85, 3 rounds)
+    * with dangling-mass redistribution, in exact parts-per-billion
+    * BIGINT.
+    *
+    * Scale shape: the edge projection is a keyed equi-self-join on
+    * l_orderkey — per-key fanout bounded by lines-per-order (≤ 7 in
+    * TPC-H), so candidate volume is rows × lines-per-order, NEVER
+    * all-pairs — followed by one fixed-width distinct; it materializes
+    * once (localCheckpoint) and every iteration reuses it. Each
+    * iteration is the Pregel message-passing shape without the RDD API:
+    * one edge ⋈ rank equi-join, one dst-keyed partial-agg sum, one
+    * node-sized rebuild with the 1-row N / dangling aggregates attached
+    * as broadcasts. At 100 TB: edges shuffle-partition by src once,
+    * iterations touch the node-sized rank table against that layout —
+    * the exact GraphX/Pregel cost model, with Catalyst codegen on the
+    * arithmetic.
+    *
+    * Reference anchor: the reference has no graph operator at all
+    * (`batch_process.py` is flat SQL); this is parity-plus for the
+    * crawl-curation pipeline. */
+  def q134PagerankSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val edges = li.select(col("ok"), col("sk").as("src"))
+      .join(li.select(col("ok"), col("sk").as("dst")), Seq("ok"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val nodes = li.select(col("sk").as("node")).distinct()
+    pageRank(edges, nodes, iters = 3)
+      .select(col("node").as("suppkey"), col("rank_ppb"))
+      .orderBy(desc("rank_ppb"), asc("suppkey"))
+  }
+
+  /** The reusable operator: damped PageRank (d = 0.85) over any
+    * (src, dst) edge frame and (node) frame, `iters` unrolled rounds,
+    * ranks in parts-per-billion BIGINT. Dangling nodes (no out-edges)
+    * redistribute their mass uniformly — the standard fix, and the case
+    * a real crawl graph always has. All arithmetic is integer `div` in
+    * a fixed association order, so the result is bit-identical under
+    * any partitioning (PageRankSpec pins it) and restatable in ANSI SQL.
+    *
+    * Iteration state is ONE node-sized (node, r) table; edges and
+    * degrees materialize once via localCheckpoint (they are consumed by
+    * every round — without it Spark would recompute the corpus-sized
+    * edge projection per round, the q117 lineage lesson). */
+  def pageRank(edgesIn: DataFrame, nodesIn: DataFrame,
+               iters: Int): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val nodes = nodesIn.localCheckpoint()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nrow = nodes.agg(count(lit(1)).as("n"))
+    val base: Column = expr("1000000000 div n")
+    var r = nodes.crossJoin(broadcast(nrow)).select(col("node"), base.as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(r.select(col("node").as("src"), col("r")), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      val dang = r
+        .join(outdeg, r("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+      r = nodes.crossJoin(broadcast(nrow)).crossJoin(broadcast(dang))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr("(150 * (1000000000 div n) + " +
+            "850 * (coalesce(contrib, 0) + dang div n)) div 1000").as("r"))
+    }
+    r.select(col("node"), col("r").as("rank_ppb"))
+  }
+}
