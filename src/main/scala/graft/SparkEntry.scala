@@ -152,6 +152,7 @@ object SparkEntry {
     "q132_cluster_sample" -> (EmbedQueries.q132ClusterSample _),
     "q133_source_overlap" -> (DocQueries.q133SourceOverlap _),
     "q134_pagerank_suppliers" -> (GraphQueries.q134PagerankSuppliers _),
+    "q135_kmeans_train" -> (EmbedQueries.q135KmeansTrain _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3009,6 +3010,10 @@ object SparkEntry {
     // supplier co-supply graph, dangling mass redistributed uniformly —
     // the q119/q125 unrolled-iteration recipe applied to link analysis.
     "q134_pagerank_suppliers" -> pagerankOracleSql(3),
+    // Exact-integer Lloyd's k-means (ppm codes, squared-Euclidean argmin,
+    // sign-split truncating integer means), 2 unrolled rounds — the
+    // trainer behind the IVF ladder's centroids, oracle-certified.
+    "q135_kmeans_train" -> kmeansOracleSql(8, 2),
   )
 
   /** The q134 PageRank oracle: the co-supply edge projection + degree
@@ -3051,6 +3056,55 @@ object SparkEntry {
       s"""SELECT node AS suppkey, r AS rank_ppb FROM r$iters
          |ORDER BY rank_ppb DESC, suppkey""".stripMargin
     (Seq(head) ++ rounds).mkString(",\n") + "\n" + tail
+  }
+
+  /** The q135 k-means oracle: ppm quantization once, then each Lloyd
+    * round as assignment (squared-Euclidean argmin via row_number, cid
+    * tie-break) → per-(cid, dim) integer sums → sign-split truncating
+    * mean rebuilt into a centroid list, empty clusters keeping the
+    * previous centroid. Final stats aggregate the (iters+1)-th
+    * assignment. All BIGINT, so hashes match Spark bit for bit. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val d2 = "list_sum([(q.qe[i] - c.cv[i]) * (q.qe[i] - c.cv[i]) " +
+      "for i in range(1, 65)])"
+    val head =
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         [CASE WHEN CAST(x AS DOUBLE) >= 0
+         |               THEN CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         |               ELSE -CAST(floor(-CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END
+         |          for x in embedding] AS qe
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (SELECT vec_id AS cid, qe AS cv FROM q WHERE vec_id < $k)""".stripMargin
+    def assignCte(i: Int): String =
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT q.vec_id, c.cid, CAST($d2 AS BIGINT) AS dist,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |                              ORDER BY $d2, c.cid) AS rn
+         |    FROM q CROSS JOIN c${i - 1} c) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${assignCte(i)},
+         |s$i AS MATERIALIZED (
+         |  SELECT cid, i, CAST(sum(qe[i]) AS BIGINT) AS sv,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT a.cid, q.qe, unnest(range(1, 65)) AS i
+         |        FROM a$i a JOIN q USING (vec_id))
+         |  GROUP BY cid, i),
+         |u$i AS (
+         |  SELECT cid, list(CASE WHEN sv >= 0 THEN sv // cnt
+         |                        ELSE -((-sv) // cnt) END ORDER BY i) AS cv
+         |  FROM s$i GROUP BY cid),
+         |c$i AS MATERIALIZED (
+         |  SELECT c.cid, COALESCE(u.cv, c.cv) AS cv
+         |  FROM c${i - 1} c LEFT JOIN u$i u USING (cid))""".stripMargin
+    }
+    val select =
+      s"""SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(dist) AS BIGINT) AS inertia
+         |FROM a${iters + 1} GROUP BY cid ORDER BY cid""".stripMargin
+    (Seq(head) ++ rounds ++ Seq(assignCte(iters + 1))).mkString(",\n") +
+      "\n" + select
   }
 
   /** The q125 averaged-perceptron oracle: hashed-token feature rows + a

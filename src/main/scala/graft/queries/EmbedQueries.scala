@@ -1518,4 +1518,83 @@ object EmbedQueries {
       .filter(col("rank") <= 8)
       .orderBy("cid", "rank")
   }
+
+  /** INTEGER LLOYD'S K-MEANS, ORACLE-CERTIFIED (q135): the coarse
+    * quantizer TRAINER behind the whole IVF ladder (q46/q65/q99/q128/
+    * q132 ship seed or float-trained centroids; [[kmeansCentroids]] is
+    * spec-pinned but float — rank-order of float sums is partition-
+    * dependent, so it can't face a cross-engine hash oracle). This is
+    * the same Lloyd iteration in EXACT fixed-point BIGINT: embeddings
+    * quantize once to ppm longs (sign-split floor, the q60 rounding
+    * convention — no engine round-mode ambiguity), assignment is the
+    * squared-Euclidean argmin (all-integer, tie-break smaller cid),
+    * the update is the per-dimension integer mean with truncation
+    * toward zero written explicitly sign-split so Spark `div` and
+    * DuckDB `//` agree on negative sums. Empty clusters keep their
+    * previous centroid. Bit-identical under any partitioning
+    * (KmeansSpec pins it) and restatable as unrolled MATERIALIZED CTEs.
+    *
+    * Output = per-cluster member count + inertia (Σ d², ppm²) under the
+    * FINAL centroids — the convergence dashboard a production trainer
+    * logs per round. Overflow audit: |x| < 0.6 ⇒ ppm codes < 6·10⁵,
+    * per-vector d² ≤ 64·(1.2·10⁶)² ≈ 9·10¹³; the inertia sum stays
+    * inside BIGINT to ~10⁵ corpus vectors per cluster — beyond that,
+    * report per-cluster MEAN inertia (divide before summing) or drop to
+    * 10⁴ scale; the dial is one literal.
+    *
+    * Scale shape: the quantized corpus materializes once
+    * (localCheckpoint); each round is one broadcast of k·dim longs
+    * against the scan (narrow), one vec-keyed argmin aggregate, one
+    * (cid, pos)-keyed partial-agg sum to k·dim cells, and a k-row
+    * centroid rebuild — the [[kmeansCentroids]] cost model with integer
+    * arithmetic and a checkpoint-per-round k-row lineage cut. At 100 TB
+    * the per-round cost is exactly one corpus pass + one k·dim-cell
+    * aggregate, the textbook distributed Lloyd. */
+  def q135KmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    kmeansIntStats(Tables(spark, dir, "embeddings"), k = 8, iters = 2)
+
+  /** The reusable trainer: (vec_id, embedding) → per-cluster
+    * (cid, n_members, inertia) after `iters` exact-integer Lloyd rounds
+    * seeded from the k lowest vec_ids. */
+  def kmeansIntStats(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val qe = transform(col("embedding"), x => {
+      val d = x.cast("double") * lit(1000000d)
+      when(d >= 0, floor(d + 0.5d)).otherwise(-floor(-d + 0.5d))
+        .cast("long")
+    })
+    val qc = emb.select(col("vec_id"), qe.as("qe")).localCheckpoint()
+    val dist = aggregate(
+      zip_with(col("qe"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    def assign(cents: DataFrame): DataFrame =
+      qc.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), dist.as("dist"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cid"), col("dist")),
+          struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+    var cents = qc.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qe").as("cv"))
+    for (_ <- 1 to iters) {
+      val sums = assign(cents).join(qc, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+      val upd = sums
+        .select(col("cid"), col("pos"),
+          expr("case when sv >= 0 then sv div cnt " +
+            "else -((-sv) div cnt) end").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cv_new"))
+      cents = cents.select(col("cid"), col("cv").as("cv_old"))
+        .join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv_new"), col("cv_old")).as("cv"))
+        .localCheckpoint()
+    }
+    assign(cents)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum("dist").as("inertia"))
+      .orderBy("cid")
+  }
 }

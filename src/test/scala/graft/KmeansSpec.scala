@@ -64,4 +64,28 @@ class KmeansSpec extends AnyFunSuite {
     // On well-separated clusters the trained quantizer is near-perfect
     assert(after > 0.95, f"trained mean best-cosine only $after%.4f")
   }
+
+  test("q135 integer Lloyd is bit-identical under every partitioning") {
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+    val ref = EmbedQueries.kmeansIntStats(emb, k = 16, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toList
+    for (p <- Seq(1, 3, 32)) {
+      val got = EmbedQueries.kmeansIntStats(emb.repartition(p), 16, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toList
+      assert(got == ref, s"diverged at repartition($p)")
+    }
+  }
+
+  test("q135 integer rounds reduce inertia vs seed assignment") {
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+    def inertia(iters: Int): Long =
+      EmbedQueries.kmeansIntStats(emb, k = 16, iters = iters)
+        .agg(sum("inertia")).collect().head.getLong(0)
+    // integer-truncated means are not the exact minimizer, so assert
+    // the practical monotonicity on the separable fixture, not theory
+    assert(inertia(2) < inertia(0),
+      "two Lloyd rounds must tighten the seed quantizer")
+  }
 }
