@@ -153,6 +153,7 @@ object SparkEntry {
     "q133_source_overlap" -> (DocQueries.q133SourceOverlap _),
     "q134_pagerank_suppliers" -> (GraphQueries.q134PagerankSuppliers _),
     "q135_kmeans_train" -> (EmbedQueries.q135KmeansTrain _),
+    "q136_cms_freq" -> (DocQueries.q136CmsFreq _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3014,6 +3015,10 @@ object SparkEntry {
     // sign-split truncating integer means), 2 unrolled rounds — the
     // trainer behind the IVF ladder's centroids, oracle-certified.
     "q135_kmeans_train" -> kmeansOracleSql(8, 2),
+    // Count-min sketch (d=4, w=256) point-frequency estimates for the
+    // top-20 tokens, restated relationally: per-(row, bucket) cell
+    // counts from the same md5 bucket arithmetic, min over rows.
+    "q136_cms_freq" -> cmsOracleSql(4, 256),
   )
 
   /** The q134 PageRank oracle: the co-supply edge projection + degree
@@ -3056,6 +3061,41 @@ object SparkEntry {
       s"""SELECT node AS suppkey, r AS rank_ppb FROM r$iters
          |ORDER BY rank_ppb DESC, suppkey""".stripMargin
     (Seq(head) ++ rounds).mkString(",\n") + "\n" + tail
+  }
+
+  /** The q136 count-min oracle: the sketch's d×w cell matrix restated
+    * as per-(row, bucket) exact counts over the same md5 bucket
+    * arithmetic ('j:' || token → 56-bit BIGINT % w), estimate = min
+    * over the d rows — what the native aggregate computes cell-wise. */
+  private def cmsOracleSql(d: Int, w: Int): String = {
+    def bktExpr(j: Int): String =
+      s"CAST(concat('0x', substr(md5('$j:' || w), 1, 14)) AS BIGINT) % $w"
+    val cellArms = (0 until d)
+      .map(j => s"SELECT $j AS j, ${bktExpr(j)} AS bkt FROM wd")
+      .mkString("\n  UNION ALL ")
+    val probeArms = (0 until d)
+      .map(j => s"SELECT w, exact_cnt, $j AS j, ${bktExpr(j)} AS bkt FROM top")
+      .mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |wd AS MATERIALIZED (
+       |  SELECT w FROM (SELECT unnest(toks) AS w FROM t) WHERE len(w) > 0),
+       |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+       |        FROM wd GROUP BY w),
+       |top AS (SELECT w, exact_cnt FROM cnt ORDER BY exact_cnt DESC, w LIMIT 20),
+       |cells AS MATERIALIZED (
+       |  SELECT j, bkt, CAST(count(*) AS BIGINT) AS c FROM (
+       |  $cellArms) GROUP BY j, bkt),
+       |tb AS (
+       |  $probeArms),
+       |est AS (
+       |  SELECT tb.w, tb.exact_cnt, CAST(min(c.c) AS BIGINT) AS cms_est
+       |  FROM tb JOIN cells c ON c.j = tb.j AND c.bkt = tb.bkt
+       |  GROUP BY tb.w, tb.exact_cnt)
+       |SELECT w AS token, exact_cnt, cms_est,
+       |       cms_est - exact_cnt AS overcount
+       |FROM est ORDER BY exact_cnt DESC, token""".stripMargin
   }
 
   /** The q135 k-means oracle: ppm quantization once, then each Lloyd

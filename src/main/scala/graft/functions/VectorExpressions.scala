@@ -400,6 +400,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     TextExpressions.inject(extensions)
     FreqSketch.inject(extensions)
     KmvSketch.inject(extensions)
+    CmsSketch.inject(extensions)
     extensions.injectOptimizerRule(_ => graft.plans.GeoGridJoinRule)
   }
 }

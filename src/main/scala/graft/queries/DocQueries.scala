@@ -3552,4 +3552,49 @@ object DocQueries {
         expr("shared * 1000000 div (nsh_a + nsh_b - shared)").as("jaccard_ppm"))
       .orderBy("src_a", "src_b")
   }
+
+  /** COUNT-MIN SKETCH vs EXACT (q136): point-frequency estimates for the
+    * top-20 corpus tokens through a d=4 × w=256 count-min sketch
+    * (Cormode & Muthukrishnan 2005) next to the exact counts — the q121
+    * certification discipline (exact arm checks the sketch arm) applied
+    * to the third classic mergeable summary. MG (q57) finds WHICH items
+    * are frequent; KMV (q121) counts DISTINCT items; CMS answers "how
+    * frequent is THIS item" for any item with one-sided ≤ e/w·N error.
+    *
+    * Determinism: the d bucket indices are plain md5 column expressions
+    * (14 hex digits → 56-bit BIGINT, mod w) computed OUTSIDE the
+    * aggregate, so the DuckDB oracle restates the identical arithmetic;
+    * the native `graft_cms` aggregate only increments integer cells and
+    * merges by elementwise addition — exactly reproducible under any
+    * partitioning (CmsSpec pins it).
+    *
+    * 100 TB shape: the sketch pass is one map-side-combined aggregate
+    * holding d·w = 1024 longs (8 KB) per task whatever the corpus; the
+    * result is ONE row broadcast to the probe side. The exact arm (a
+    * vocabulary-sized groupBy) is the certification, not the production
+    * path — at scale you keep the sketch and drop the exact count. */
+  def q136CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CmsSketch.register(spark)
+    val d = 4
+    val w = 256
+    def bkt(j: Int, c: Column): Column =
+      md5Long(concat(lit(s"$j:"), c), 14) % w
+    val words = tokenizedDocs(Tables(spark, dir, "documents"))
+      .select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0)
+    val sketch = words
+      .select(array((0 until d).map(j => bkt(j, col("w"))): _*).as("bkts"))
+      .agg(expr(s"graft_cms(bkts, $d, $w)").as("cms"))
+    val top = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), asc("w")).limit(20)
+    top.crossJoin(broadcast(sketch))
+      .select(col("w").as("token"), col("exact_cnt"),
+        least((0 until d).map(j =>
+          element_at(col("cms"),
+            (lit(j * w) + bkt(j, col("w")) + 1).cast("int"))): _*)
+          .as("cms_est"))
+      .select(col("token"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(desc("exact_cnt"), asc("token"))
+  }
 }
