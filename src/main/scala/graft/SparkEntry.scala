@@ -154,6 +154,7 @@ object SparkEntry {
     "q134_pagerank_suppliers" -> (GraphQueries.q134PagerankSuppliers _),
     "q135_kmeans_train" -> (EmbedQueries.q135KmeansTrain _),
     "q136_cms_freq" -> (DocQueries.q136CmsFreq _),
+    "q137_scd2_build" -> (EventQueries.q137Scd2Build _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3019,6 +3020,31 @@ object SparkEntry {
     // top-20 tokens, restated relationally: per-(row, bucket) cell
     // counts from the same md5 bucket arithmetic, min over rows.
     "q136_cms_freq" -> cmsOracleSql(4, 256),
+    // SCD2 build: change-collapse (lag) then validity intervals
+    // (lead/row_number) over the change set, (ts, event_id) total order.
+    "q137_scd2_build" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, ts, event_id, state FROM e
+        |  WHERE prev IS NULL OR prev <> state),
+        |v AS (
+        |  SELECT user_id, state, ts AS valid_from,
+        |         COALESCE(lead(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id),
+        |                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS version
+        |  FROM ch)
+        |SELECT user_id, state,
+        |       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |       strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |       CAST(version AS BIGINT) AS version,
+        |       valid_to = TIMESTAMP '2200-01-01 00:00:00' AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
   )
 
   /** The q134 PageRank oracle: the co-supply edge projection + degree

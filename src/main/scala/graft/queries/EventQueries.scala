@@ -349,4 +349,55 @@ object EventQueries {
       .orderBy(desc("cnt"), asc(keyCol))
       .limit(topK)
   }
+
+  /** SCD TYPE-2 DIMENSION BUILD (q137): the standard warehouse
+    * versioning op — collapse an entity's event log into validity
+    * intervals where only CHANGES mint a new version: per user, drop
+    * rows whose state equals the previous state, then valid_from = the
+    * change's timestamp, valid_to = the NEXT change's timestamp (NULL =
+    * current), version = change ordinal. The output is the
+    * slowly-changing dimension a point-in-time join (q58's as-of sweep)
+    * runs against; q61 sessionize is the gap-based sibling, this is the
+    * change-based one.
+    *
+    * Plan shape: ONE user_id hash exchange serves all three window
+    * functions (lag for change detection, lead/row_number over the
+    * filtered change set — same partitioning, same (ts, event_id)
+    * ordering, so Catalyst reuses the sort). At 100 TB: one shuffle by
+    * entity key, window state = one row lookback; hot entities are the
+    * q89-probe / q64-salting case. Total (ts, event_id) ordering makes
+    * the build deterministic under duplicate timestamps. */
+  def q137Scd2Build(spark: SparkSession, dir: String): DataFrame =
+    scd2(Tables(spark, dir, "events"),
+      key = "user_id", state = "event_type")
+      // microsecond-precision strings: the repo's oracle-surface
+      // convention for timestamps (raw timestamp columns are
+      // resolution-ambiguous across engines)
+      .select(col("user_id"), col("state"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("valid_to"),
+        col("version"), col("is_current"))
+      .orderBy("user_id", "version")
+
+  /** The reusable operator: (key, ts, event_id, state…) event frame →
+    * one row per state CHANGE with [valid_from, valid_to) validity,
+    * version ordinal, and the is_current flag. Open intervals close at
+    * the 2200-01-01 high watermark (the standard SCD2 convention —
+    * BETWEEN probes need no NULL branch, and no sink/oracle ever
+    * handles a NULL timestamp). */
+  def scd2(events: DataFrame, key: String, state: String): DataFrame = {
+    val wOrd = Window.partitionBy(key).orderBy(col("ts"), col("event_id"))
+    val hwm = to_timestamp(lit("2200-01-01 00:00:00"))
+    events
+      .select(col(key), col("ts"), col("event_id"), col(state).as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(wOrd))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("valid_to", coalesce(lead(col("ts"), 1).over(wOrd), hwm))
+      .withColumn("version", row_number().over(wOrd).cast("long"))
+      .select(col(key), col("state"), col("ts").as("valid_from"),
+        col("valid_to"), col("version"),
+        (col("valid_to") === hwm).as("is_current"))
+  }
 }
