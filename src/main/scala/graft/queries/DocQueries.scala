@@ -2798,11 +2798,20 @@ object DocQueries {
             lit(false).as("unk")))
           .otherwise(struct(pos.as("pos"), n.as("n"), lit(true).as("unk"))))
     })
-    tok.select(col("doc_id"), length(col("w")).cast("long").as("wlen"),
+    // The q122 dictionary move: the greedy fold is interpreted (HOF over
+    // a when-chain), so evaluate it once per DISTINCT word — a
+    // vocabulary-sized table — and let the corpus pass be a broadcast
+    // dictionary join + per-doc aggregate. The distinct is map-side
+    // combined (word-keyed partial agg), so the corpus crosses one
+    // exchange carrying words, never fold results; production encoders
+    // precompile frequent-word segmentations exactly like this.
+    val dict = tok.select("w").distinct()
+      .select(col("w"), length(col("w")).cast("long").as("wlen"),
         fold.as("st"))
-      .select(col("doc_id"), col("wlen"),
+      .select(col("w"), col("wlen"),
         when(col("st.unk"), 1L).otherwise(col("st.n")).as("n_pieces"),
         when(col("st.unk"), 1L).otherwise(0L).as("isunk"))
+    tok.join(broadcast(dict), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_pieces").as("n_pieces"),
