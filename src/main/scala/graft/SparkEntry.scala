@@ -155,6 +155,7 @@ object SparkEntry {
     "q135_kmeans_train" -> (EmbedQueries.q135KmeansTrain _),
     "q136_cms_freq" -> (DocQueries.q136CmsFreq _),
     "q137_scd2_build" -> (EventQueries.q137Scd2Build _),
+    "q138_edit_distance_join" -> (DocQueries.q138EditDistanceJoin _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3045,6 +3046,24 @@ object SparkEntry {
         |       CAST(version AS BIGINT) AS version,
         |       valid_to = TIMESTAMP '2200-01-01 00:00:00' AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin,
+    // SymSpell deletion-neighborhood candidates + levenshtein<=1 verify
+    // over the customer-name entity dimension.
+    "q138_edit_distance_join" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT DISTINCT c_custkey AS k, c_name AS w,
+        |         CASE WHEN i = 0 THEN c_name
+        |              ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+        |         END AS v
+        |  FROM (SELECT c_custkey, c_name,
+        |               unnest(range(0, len(c_name) + 1)) AS i
+        |        FROM customer)),
+        |c AS (
+        |  SELECT DISTINCT a.k AS cust_a, b.k AS cust_b,
+        |         a.w AS name_a, b.w AS name_b
+        |  FROM v a JOIN v b USING (v) WHERE a.k < b.k)
+        |SELECT cust_a, cust_b, name_a, name_b FROM c
+        |WHERE levenshtein(name_a, name_b) <= 1
+        |ORDER BY cust_a, cust_b""".stripMargin,
   )
 
   /** The q134 PageRank oracle: the co-supply edge projection + degree

@@ -3606,4 +3606,53 @@ object DocQueries {
         (col("cms_est") - col("exact_cnt")).as("overcount"))
       .orderBy(desc("exact_cnt"), asc("token"))
   }
+
+  /** EDIT-DISTANCE-1 ENTITY-NAME JOIN (q138): approximate string
+    * matching via DELETION NEIGHBORHOODS (the FastSS / SymSpell
+    * construction) — the record-linkage / typo-unification primitive
+    * the fuzzy-dedup family lacked: q66/q87 match token SETS (Jaccard),
+    * q25 sketches them; this matches the STRINGS themselves, the "are
+    * these two customer records the same entity" question. Every name
+    * emits L+1 variants (itself + each single-char deletion); two
+    * strings within Levenshtein distance 1 PROVABLY share a variant
+    * (substitution at i ⇒ both-delete-i equal; insertion/deletion ⇒
+    * the longer's deletion equals the shorter itself), so the variant
+    * equi-join is a COMPLETE candidate generator and `levenshtein ≤ 1`
+    * verifies — banded ≡ exhaustive, spec-proven (SymSpellSpec) like
+    * q110/q126's pigeonhole. The fixture's TPC-H names differ in single
+    * digit positions, exactly the near-duplicate-entity shape.
+    *
+    * Scale shape: the name dimension (not the corpus) fans out ×(L+1)
+    * into fixed-width variants and self-joins on them — per-variant
+    * fanout is how many names share a deletion (tens), NEVER all-pairs;
+    * Σ_v df(v)² total candidates, a pathological variant hotspot is the
+    * q89-probe / salting case. The final distinct + verify touch
+    * candidate volume only. */
+  def q138EditDistanceJoin(spark: SparkSession, dir: String): DataFrame =
+    editDistance1Pairs(Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("w")))
+      .select(col("k_a").as("cust_a"), col("k_b").as("cust_b"),
+        col("w_a").as("name_a"), col("w_b").as("name_b"))
+      .orderBy("cust_a", "cust_b")
+
+  /** The reusable operator behind q138: any (k, w) keyed-string frame →
+    * all pairs (k_a < k_b) whose strings are within Levenshtein
+    * distance 1, via the complete deletion-neighborhood candidate
+    * generator + exact verify. */
+  def editDistance1Pairs(names: DataFrame): DataFrame = {
+    val vars = names
+      .select(col("k"), col("w"),
+        explode(sequence(lit(0), length(col("w")))).as("i"))
+      .select(col("k"), col("w"),
+        when(col("i") === 0, col("w"))
+          .otherwise(concat(expr("substring(w, 1, i - 1)"),
+            expr("substring(w, i + 1)"))).as("v"))
+      .distinct()
+    vars.select(col("v"), col("k").as("k_a"), col("w").as("w_a"))
+      .join(vars.select(col("v"), col("k").as("k_b"),
+        col("w").as("w_b")), Seq("v"))
+      .filter(col("k_a") < col("k_b"))
+      .select("k_a", "k_b", "w_a", "w_b").distinct()
+      .filter(levenshtein(col("w_a"), col("w_b")) <= 1)
+  }
 }
