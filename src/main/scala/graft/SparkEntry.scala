@@ -156,6 +156,7 @@ object SparkEntry {
     "q136_cms_freq" -> (DocQueries.q136CmsFreq _),
     "q137_scd2_build" -> (EventQueries.q137Scd2Build _),
     "q138_edit_distance_join" -> (DocQueries.q138EditDistanceJoin _),
+    "q139_trustrank_suppliers" -> (GraphQueries.q139TrustrankSuppliers _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3012,7 +3013,13 @@ object SparkEntry {
     // Damped PageRank (d = 0.85, 3 unrolled rounds, ppb BIGINT) over the
     // supplier co-supply graph, dangling mass redistributed uniformly —
     // the q119/q125 unrolled-iteration recipe applied to link analysis.
-    "q134_pagerank_suppliers" -> pagerankOracleSql(3),
+    "q134_pagerank_suppliers" ->
+      pagerankOracleSql(3, "SELECT node FROM nodes", "rank_ppb"),
+    // TrustRank: same rounds, teleport/dangling mass to the 4-seed
+    // whitelist only (Gyongyi et al., VLDB 2004).
+    "q139_trustrank_suppliers" ->
+      pagerankOracleSql(3, "SELECT node FROM nodes ORDER BY node LIMIT 4",
+        "trust_ppb"),
     // Exact-integer Lloyd's k-means (ppm codes, squared-Euclidean argmin,
     // sign-split truncating integer means), 2 unrolled rounds — the
     // trainer behind the IVF ladder's centroids, oracle-certified.
@@ -3066,25 +3073,36 @@ object SparkEntry {
         |ORDER BY cust_a, cust_b""".stripMargin,
   )
 
-  /** The q134 PageRank oracle: the co-supply edge projection + degree
-    * table once, then each damped round as three MATERIALIZED CTEs
-    * (dst-keyed contribution sum → dangling-mass scalar → node-sized
-    * rank rebuild). Every operation is BIGINT with integer division in
-    * the same association order as the Spark side, so the final ranks
-    * hash-match bit for bit. */
-  private def pagerankOracleSql(iters: Int): String = {
+  /** The q134/q139 rank oracle: the co-supply edge projection + degree
+    * table once, a seed-flagged node table (q134 seeds every node —
+    * classic PageRank; q139 seeds the 4 lowest ids — TrustRank), then
+    * each damped round as three MATERIALIZED CTEs (dst-keyed
+    * contribution sum → dangling-mass scalar → node-sized rank
+    * rebuild, teleport and dangling mass to seeds only). Every
+    * operation is BIGINT with integer division in the same association
+    * order as the Spark side, so the final ranks hash-match bit for
+    * bit. */
+  private def pagerankOracleSql(iters: Int, seedSql: String,
+                                rankCol: String): String = {
     val head =
-      """WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-        |e AS MATERIALIZED (
-        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
-        |  FROM li a JOIN li b USING (ok) WHERE a.sk <> b.sk),
-        |nodes AS MATERIALIZED (SELECT DISTINCT sk AS node FROM li),
-        |deg AS MATERIALIZED (
-        |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
-        |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        |r0 AS MATERIALIZED (
-        |  SELECT node, CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS r
-        |  FROM nodes)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+         |  FROM li a JOIN li b USING (ok) WHERE a.sk <> b.sk),
+         |nodes AS MATERIALIZED (SELECT DISTINCT sk AS node FROM li),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |seeds AS MATERIALIZED ($seedSql),
+         |f AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         |nn AS MATERIALIZED (
+         |  SELECT CAST(sum(is_seed) AS BIGINT) AS n FROM f),
+         |r0 AS MATERIALIZED (
+         |  SELECT node,
+         |         CAST(is_seed * (1000000000 // (SELECT n FROM nn)) AS BIGINT) AS r
+         |  FROM f)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""c$i AS MATERIALIZED (
          |  SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS contrib
@@ -3095,16 +3113,17 @@ object SparkEntry {
          |  FROM r${i - 1} r LEFT JOIN deg d ON d.src = r.node
          |  WHERE d.src IS NULL),
          |r$i AS MATERIALIZED (
-         |  SELECT n.node,
-         |         CAST((150 * (1000000000 // (SELECT n FROM nn)) +
+         |  SELECT f.node,
+         |         CAST((150 * f.is_seed * (1000000000 // (SELECT n FROM nn)) +
          |               850 * (COALESCE(c.contrib, 0) +
-         |                      (SELECT dang FROM d$i) // (SELECT n FROM nn)))
+         |                      f.is_seed * ((SELECT dang FROM d$i) //
+         |                                   (SELECT n FROM nn))))
          |              // 1000 AS BIGINT) AS r
-         |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.node)""".stripMargin
+         |  FROM f LEFT JOIN c$i c ON c.dst = f.node)""".stripMargin
     }
     val tail =
-      s"""SELECT node AS suppkey, r AS rank_ppb FROM r$iters
-         |ORDER BY rank_ppb DESC, suppkey""".stripMargin
+      s"""SELECT node AS suppkey, r AS $rankCol FROM r$iters
+         |ORDER BY $rankCol DESC, suppkey""".stripMargin
     (Seq(head) ++ rounds).mkString(",\n") + "\n" + tail
   }
 

@@ -46,6 +46,35 @@ object GraphQueries {
     * (`batch_process.py` is flat SQL); this is parity-plus for the
     * crawl-curation pipeline. */
   def q134PagerankSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, nodes) = coSupplyGraph(spark, dir)
+    pageRank(edges, nodes, iters = 3)
+      .select(col("node").as("suppkey"), col("rank_ppb"))
+      .orderBy(desc("rank_ppb"), asc("suppkey"))
+  }
+
+  /** TRUSTRANK over the same graph (q139): PageRank with the teleport
+    * (and dangling) mass restricted to a TRUSTED SEED SET (Gyöngyi,
+    * Garcia-Molina & Pedersen, VLDB 2004) — the seed-set-expansion move
+    * behind spam-demotion and "find more pages like the audited good
+    * ones" crawl curation. Seeds here are the 4 lowest supplier ids
+    * (the deterministic stand-in for a human-audited whitelist); trust
+    * flows only along co-supply edges, so unreachable nodes score 0 —
+    * the separation PageRank's uniform teleport deliberately erases.
+    * Same exact ppb integer rounds, same oracle recipe; classic
+    * PageRank IS this operator with seeds = all nodes ([[pageRank]]
+    * delegates, so one code path serves both). */
+  def q139TrustrankSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, nodes) = coSupplyGraph(spark, dir)
+    val seeds = nodes.orderBy("node").limit(4)
+    pageRankSeeded(edges, nodes, seeds, iters = 3)
+      .select(col("node").as("suppkey"), col("rank_ppb").as("trust_ppb"))
+      .orderBy(desc("trust_ppb"), asc("suppkey"))
+  }
+
+  /** The co-supply projection both rank queries share: suppliers are
+    * nodes, an edge links suppliers shipping lines of the same order. */
+  private def coSupplyGraph(spark: SparkSession,
+                            dir: String): (DataFrame, DataFrame) = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
     val edges = li.select(col("ok"), col("sk").as("src"))
@@ -53,9 +82,7 @@ object GraphQueries {
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
     val nodes = li.select(col("sk").as("node")).distinct()
-    pageRank(edges, nodes, iters = 3)
-      .select(col("node").as("suppkey"), col("rank_ppb"))
-      .orderBy(desc("rank_ppb"), asc("suppkey"))
+    (edges, nodes)
   }
 
   /** The reusable operator: damped PageRank (d = 0.85) over any
@@ -71,14 +98,26 @@ object GraphQueries {
     * every round — without it Spark would recompute the corpus-sized
     * edge projection per round, the q117 lineage lesson). */
   def pageRank(edgesIn: DataFrame, nodesIn: DataFrame,
-               iters: Int): DataFrame = {
+               iters: Int): DataFrame =
+    pageRankSeeded(edgesIn, nodesIn, nodesIn, iters)
+
+  /** The seeded core: teleport and dangling mass go uniformly to the
+    * SEED set; seeds = all nodes recovers classic PageRank exactly
+    * (is_seed ≡ 1 collapses the arithmetic to the uniform formula,
+    * term for term). */
+  def pageRankSeeded(edgesIn: DataFrame, nodesIn: DataFrame,
+                     seedsIn: DataFrame, iters: Int): DataFrame = {
     val edges = edgesIn.localCheckpoint()
-    val nodes = nodesIn.localCheckpoint()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val nrow = nodes.agg(count(lit(1)).as("n"))
-    val base: Column = expr("1000000000 div n")
-    var r = nodes.crossJoin(broadcast(nrow)).select(col("node"), base.as("r"))
+    val flagged = nodesIn
+      .join(seedsIn.select(col("node"), lit(1L).as("is_seed")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    val ns = flagged.agg(sum("is_seed").as("ns"))
+    var r = flagged.crossJoin(broadcast(ns))
+      .select(col("node"), expr("is_seed * (1000000000 div ns)").as("r"))
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(r.select(col("node").as("src"), col("r")), Seq("src"))
@@ -88,11 +127,12 @@ object GraphQueries {
       val dang = r
         .join(outdeg, r("node") === outdeg("src"), "left_anti")
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-      r = nodes.crossJoin(broadcast(nrow)).crossJoin(broadcast(dang))
+      r = flagged.crossJoin(broadcast(ns)).crossJoin(broadcast(dang))
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
-          expr("(150 * (1000000000 div n) + " +
-            "850 * (coalesce(contrib, 0) + dang div n)) div 1000").as("r"))
+          expr("(150 * is_seed * (1000000000 div ns) + " +
+            "850 * (coalesce(contrib, 0) + is_seed * (dang div ns))) " +
+            "div 1000").as("r"))
     }
     r.select(col("node"), col("r").as("rank_ppb"))
   }

@@ -56,6 +56,28 @@ class PageRankSpec extends AnyFunSuite {
     assert(total > 1000000000L - 3 * 6 * 3000L)
   }
 
+  test("trustrank: unreachable nodes score exactly 0, reachable gain trust") {
+    import spark.implicits._
+    // component A: 0 <-> 1; component B: 2 <-> 3. Seed only node 0.
+    val e = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val n = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val seeds = Seq(0L).toDF("node")
+    val r = GraphQueries.pageRankSeeded(e, n, seeds, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > 0L && r(1L) > 0L, "trust flows along edges from the seed")
+    assert(r(2L) == 0L && r(3L) == 0L,
+      "nodes unreachable from the seed set must score exactly 0")
+  }
+
+  test("seeding every node recovers classic PageRank term for term") {
+    val (e, n) = star
+    val uniform = GraphQueries.pageRank(e, n, iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toList
+    val seededAll = GraphQueries.pageRankSeeded(e, n, n, iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toList
+    assert(uniform == seededAll)
+  }
+
   test("q134 ranks a real co-supply graph: positive, node-complete") {
     val dir = "/root/testdata/sf0.001"
     val out = GraphQueries.q134PagerankSuppliers(spark, dir).collect()
