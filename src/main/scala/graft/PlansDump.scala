@@ -38,7 +38,8 @@ object PlansDump {
     "q121_kmv_distinct", "q122_unigram_encode", "q123_split_assign",
     "q125_quality_classifier", "q127_wordpiece_encode",
     "q128_embed_ivf_sqrt_n", "q131_ann_recall_eval", "q132_cluster_sample",
-    "q133_source_overlap")
+    "q133_source_overlap", "q134_pagerank_suppliers", "q136_cms_freq",
+    "q137_scd2_build", "q138_edit_distance_join", "q139_trustrank_suppliers")
   // q79 is excluded by design: its label table is built by an ITERATIVE
   // loop whose final plan is (window over checkpointed RDD) — the
   // interesting shape is per-round and is asserted in PlanPinsSpec.
@@ -59,6 +60,14 @@ object PlansDump {
   // driver-assembled merge table (a LocalTableScan — nothing to audit);
   // the per-round pair-count aggregate is the q88/q21 explode-groupBy
   // shape over the VOCAB-sized word table, asserted in BpeSpec by value.
+  // q140 is dedupClusters over q138's blocked pairs (iterative CC —
+  // excluded like q79; the pair arm's plan is q138's audited shape with
+  // the block key concatenated into the variant join key).
+  // q135 is iterative (per-round persist/localCheckpoint centroid
+  // materialization, the kmeansCentroids idiom): its registered result
+  // aggregates the final assignment; partition-invariance and inertia
+  // descent are KmeansSpec's. q134/q139 unroll their 3 rounds into one
+  // plan over checkpointed edge/degree tables and ARE audited.
   // q129 mirrors q110/q126 (dedupClusters over the frame-overlap pair
   // graph — same exclusion; MultimodalSpec pins the banded arm's recall).
   // q130 is streaming (micro-batch plans live behind the query

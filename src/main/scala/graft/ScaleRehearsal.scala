@@ -924,6 +924,126 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q117_mmr","n_vectors":$nVec,"out_rows":$rows,"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // Cross-source overlap (q133, round 15): shared counts and unions
+      // both scale ×k under token-salted copies (each copy's shingles
+      // are fresh but its per-source overlap structure repeats), so
+      // jaccard_ppm is EXACTLY invariant — floor((k·s·10⁶)/(k·u)) =
+      // floor(s·10⁶/u) — and sum(jaccard_ppm) pins it. The corpus-sized
+      // exchange is the (source, shingle) distinct; candidates stay
+      // ≤ distinct shingles × sources².
+      if (on("overlap")) {
+        val out = graft.queries.DocQueries.q133SourceOverlap(spark, dir)
+          .agg(count(lit(1)).as("pairs"), sum("shared").as("shared_total"),
+            sum("jaccard_ppm").as("jaccard_sum"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q133SourceOverlap(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q133_overlap","pairs":${out.getLong(0)},"shared_total":${out.getLong(1)},"jaccard_sum":${out.getLong(2)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // PageRank (q134, round 15): k disjoint isomorphic copies of the
+      // co-supply graph (suppkey + 10⁶·c, orderkey + 10⁹·c — built here
+      // because the shared amplified lineitem keeps suppkeys merged for
+      // q85's layout audit). Claims: nodes/edges ×k, per-copy rank-mass
+      // spread 0 (isomorphic components must land identical integer
+      // mass), wall ~linear (3 edge-join rounds over a ×k edge list).
+      if (on("pagerank")) {
+        import graft.queries.GraphQueries
+        val li0 = spark.read.parquet(s"$src/lineitem.parquet")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        val li = (0 until k).map { c =>
+          li0.select((col("ok") + lit(c * 1000000000L)).as("ok"),
+            (col("sk") + lit(c * 1000000L)).as("sk"))
+        }.reduce(_ unionByName _)
+        val edges = li.select(col("ok"), col("sk").as("src"))
+          .join(li.select(col("ok"), col("sk").as("dst")), Seq("ok"))
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+        val nodes = li.select(col("sk").as("node")).distinct()
+        val nEdges = edges.count()
+        val nNodes = nodes.count()
+        def run() = GraphQueries.pageRank(edges, nodes, iters = 3)
+        val spread = run()
+          .groupBy((col("node") / 1000000L).cast("long").as("copy"))
+          .agg(sum("rank_ppb").as("mass"))
+          .agg((max("mass") - min("mass")).as("spread"))
+          .collect()(0).getLong(0)
+        val sec = timed(materialize(run()))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q134_pagerank","nodes":$nNodes,"edges":$nEdges,"copy_mass_spread":$spread,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Integer k-means (q135, round 15): amplified embeddings repeat
+      // the SAME geometry with shifted ids, so every Lloyd round's
+      // integer means are EXACTLY the ×1 means ((k·s) div (k·c) =
+      // s div c) — n_members and inertia must be exactly ×k. Seeds stay
+      // the 8 originals (copy 0). Wall = one broadcast pass per round.
+      if (on("kmeansint")) {
+        import graft.queries.EmbedQueries
+        val emb = graft.sources.Tables(spark, dir, "embeddings")
+        val out = EmbedQueries.kmeansIntStats(emb, k = 8, iters = 2)
+          .agg(sum("n_members").as("members"), sum("inertia").as("inertia"))
+          .collect()(0)
+        val sec = timed(materialize(
+          EmbedQueries.kmeansIntStats(emb, k = 8, iters = 2)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q135_kmeans","members":${out.getLong(0)},"inertia":${out.getLong(1)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Count-min (q136, round 15): the claim is CONSTANT sketch state
+      // (d·w cells) against a ×k token stream — recorded next to the
+      // max probe overcount, whose εN bound GROWS with mass by design
+      // (that is the sketch's contract, not a regression).
+      if (on("cms")) {
+        val df = graft.queries.DocQueries.q136CmsFreq(spark, dir)
+        val out = df.agg(count(lit(1)).as("probes"),
+          sum("exact_cnt").as("mass20"), max("overcount").as("worst_over"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q136CmsFreq(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q136_cms","probes":${out.getLong(0)},"top20_mass":${out.getLong(1)},"worst_overcount":${out.getLong(2)},"state_cells":1024,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // SCD2 (q137, round 15): amplified events shift users into
+      // disjoint ranges on the same timeline, so versions are EXACTLY
+      // ×k; wall = one entity-key exchange + windows.
+      if (on("scd2")) {
+        import graft.queries.EventQueries
+        val ev = graft.sources.Tables(spark, dir, "events")
+        val out = EventQueries.scd2(ev, "user_id", "event_type")
+          .agg(count(lit(1)).as("versions"),
+            sum(when(col("is_current"), 1L).otherwise(0L)).as("current"))
+          .collect()(0)
+        val sec = timed(materialize(
+          EventQueries.scd2(ev, "user_id", "event_type")))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q137_scd2","versions":${out.getLong(0)},"current_rows":${out.getLong(1)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Edit-distance join (q138, round 15): k shifted name copies with
+      // doubled-digit tags ("_cc") so cross-copy tag distance ≥ 2 —
+      // copies are independent instances and matched pairs must be
+      // EXACTLY ×k while candidates stay variant-bounded.
+      if (on("editdist")) {
+        import graft.queries.DocQueries
+        val c0 = spark.read.parquet(s"$src/customer.parquet")
+          .select(col("c_custkey").as("k0"), col("c_name").as("w0"))
+        val names = (0 until k).map { c =>
+          if (c == 0) c0.select(col("k0").as("k"), col("w0").as("w"))
+          else c0.select((col("k0") + lit(c * 10000000L)).as("k"),
+            concat(col("w0"), lit(s"_$c$c")).as("w"))
+        }.reduce(_ unionByName _)
+        val pairs = DocQueries.editDistance1Pairs(names).count()
+        val sec = timed(materialize(DocQueries.editDistance1Pairs(names)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q138_editdist","pairs":$pairs,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // q127 re-timing after the round-15 dictionary rewrite (the fold
+      // now runs once per distinct word; the corpus crosses a broadcast
+      // join instead) — supersedes the timings-section row.
+      if (on("wp127")) {
+        val sec = bench(materialize(
+          graft.queries.DocQueries.q127WordpieceEncode(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q127_wp_dict","seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Release the per-dir caches before the next factor — both the
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every

@@ -157,6 +157,7 @@ object SparkEntry {
     "q137_scd2_build" -> (EventQueries.q137Scd2Build _),
     "q138_edit_distance_join" -> (DocQueries.q138EditDistanceJoin _),
     "q139_trustrank_suppliers" -> (GraphQueries.q139TrustrankSuppliers _),
+    "q140_entity_resolution" -> (DocQueries.q140EntityResolution _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3071,6 +3072,37 @@ object SparkEntry {
         |SELECT cust_a, cust_b, name_a, name_b FROM c
         |WHERE levenshtein(name_a, name_b) <= 1
         |ORDER BY cust_a, cust_b""".stripMargin,
+    // Entity resolution: blocked (band-keyed) deletion-neighborhood
+    // match + recursive-CTE transitive closure (q79's independent
+    // algorithm against the engine's path halving).
+    "q140_entity_resolution" ->
+      """WITH RECURSIVE c0 AS (
+        |  SELECT c_custkey AS k, c_name AS w,
+        |         CAST(floor(c_acctbal / 100.0) AS BIGINT) AS band
+        |  FROM customer),
+        |v AS MATERIALIZED (
+        |  SELECT DISTINCT k, w,
+        |         CAST(band AS VARCHAR) || '|' ||
+        |         CASE WHEN i = 0 THEN w
+        |              ELSE substr(w, 1, i - 1) || substr(w, i + 1) END AS v
+        |  FROM (SELECT k, w, band, unnest(range(0, len(w) + 1)) AS i
+        |        FROM c0)),
+        |p AS (
+        |  SELECT DISTINCT a.k AS doc_a, b.k AS doc_b, a.w AS w_a, b.w AS w_b
+        |  FROM v a JOIN v b USING (v) WHERE a.k < b.k),
+        |pairs AS (SELECT doc_a, doc_b FROM p WHERE levenshtein(w_a, w_b) <= 1),
+        |e AS (SELECT doc_a AS id, doc_b AS nbr FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT id AS u, id AS rv FROM (SELECT DISTINCT id FROM e)
+        |  UNION
+        |  SELECT reach.u, e.nbr FROM reach JOIN e ON reach.rv = e.id),
+        |lab AS (SELECT u AS custkey, min(rv) AS cluster_id
+        |        FROM reach GROUP BY u)
+        |SELECT custkey, cluster_id,
+        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |       custkey = cluster_id AS is_canonical
+        |FROM lab ORDER BY cluster_id, custkey""".stripMargin,
   )
 
   /** The q134/q139 rank oracle: the co-supply edge projection + degree

@@ -3638,15 +3638,22 @@ object DocQueries {
   /** The reusable operator behind q138: any (k, w) keyed-string frame →
     * all pairs (k_a < k_b) whose strings are within Levenshtein
     * distance 1, via the complete deletion-neighborhood candidate
-    * generator + exact verify. */
-  def editDistance1Pairs(names: DataFrame): DataFrame = {
-    val vars = names
-      .select(col("k"), col("w"),
+    * generator + exact verify. An optional `block` column restricts
+    * matches to equal-block pairs (the entity-resolution BLOCKING move —
+    * it rides the variant join key, so cross-block candidates are never
+    * even generated). */
+  def editDistance1Pairs(names: DataFrame,
+                         block: Option[Column] = None): DataFrame = {
+    val keyed = names.withColumn("b",
+      block.getOrElse(lit("")).cast("string"))
+    val vars = keyed
+      .select(col("k"), col("w"), col("b"),
         explode(sequence(lit(0), length(col("w")))).as("i"))
       .select(col("k"), col("w"),
-        when(col("i") === 0, col("w"))
-          .otherwise(concat(expr("substring(w, 1, i - 1)"),
-            expr("substring(w, i + 1)"))).as("v"))
+        concat(col("b"), lit("|"),
+          when(col("i") === 0, col("w"))
+            .otherwise(concat(expr("substring(w, 1, i - 1)"),
+              expr("substring(w, i + 1)")))).as("v"))
       .distinct()
     vars.select(col("v"), col("k").as("k_a"), col("w").as("w_a"))
       .join(vars.select(col("v"), col("k").as("k_b"),
@@ -3654,5 +3661,37 @@ object DocQueries {
       .filter(col("k_a") < col("k_b"))
       .select("k_a", "k_b", "w_a", "w_b").distinct()
       .filter(levenshtein(col("w_a"), col("w_b")) <= 1)
+  }
+
+  /** ENTITY-RESOLUTION CLUSTERS (q140): the end-to-end record-linkage
+    * composition — MULTI-ATTRIBUTE match rule (name within Levenshtein 1
+    * AND same 100-unit account-balance band, the Fellegi–Sunter
+    * several-weak-signals posture) generates pairs through q138's
+    * blocked deletion-neighborhood join, and q79's path-halving
+    * connected components merge them into master-record clusters with a
+    * canonical (min-key) representative — the golden-record election a
+    * master-data pipeline ships.
+    *
+    * Why the band matters at scale: name-only Hamming-1 matching over a
+    * dense id space percolates into one giant component (every id chain-
+    * reaches every other — measured on this fixture); the second
+    * attribute cuts expected degree below 1, so components stay
+    * master-record-sized and the transitive closure (both engines') is
+    * linear, not component-quadratic. The blocking key rides the
+    * candidate join, so the band also bounds candidate volume.
+    *
+    * Scale shape: q138's variant join (dimension-sized, never
+    * all-pairs) + q79's node-sized CC rounds — both previously
+    * audited. */
+  def q140EntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select(
+      col("c_custkey").as("k"), col("c_name").as("w"),
+      floor(col("c_acctbal") / 100.0).cast("long").as("band"))
+    val pairs = editDistance1Pairs(c, Some(col("band")))
+      .select(col("k_a").as("doc_a"), col("k_b").as("doc_b"))
+    dedupClusters(pairs)
+      .select(col("doc_id").as("custkey"), col("cluster_id"),
+        col("cluster_size"), col("is_canonical"))
+      .orderBy("cluster_id", "custkey")
   }
 }
