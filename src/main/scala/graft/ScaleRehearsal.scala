@@ -1044,6 +1044,22 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q127_wp_dict","seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // CDC chunk dedup (q141, round 15): position volume is
+      // corpus-linear (the q93 discipline); token-salted copies reshape
+      // every window hash, so chunks grow ~×k and the per-source stored
+      // ratio stays in the same band (each copy is an independent
+      // instance of the same repetition structure).
+      if (on("cdc")) {
+        val out = graft.queries.DocQueries.q141CdcChunkDedup(spark, dir)
+          .agg(sum("n_chunks").as("chunks"), sum("total_bytes").as("bytes"),
+            sum("uniq_bytes").as("uniq"),
+            max("stored_ppm").as("max_ppm"), min("stored_ppm").as("min_ppm"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q141CdcChunkDedup(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q141_cdc","chunks":${out.getLong(0)},"bytes":${out.getLong(1)},"uniq_bytes":${out.getLong(2)},"stored_ppm_band":[${out.getLong(4)},${out.getLong(3)}],"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Release the per-dir caches before the next factor — both the
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every

@@ -158,6 +158,7 @@ object SparkEntry {
     "q138_edit_distance_join" -> (DocQueries.q138EditDistanceJoin _),
     "q139_trustrank_suppliers" -> (GraphQueries.q139TrustrankSuppliers _),
     "q140_entity_resolution" -> (DocQueries.q140EntityResolution _),
+    "q141_cdc_chunk_dedup" -> (DocQueries.q141CdcChunkDedup _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3103,6 +3104,45 @@ object SparkEntry {
         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
         |       custkey = cluster_id AS is_canonical
         |FROM lab ORDER BY cluster_id, custkey""".stripMargin,
+    // Content-defined chunking: rolling 16-char window, boundary where
+    // the window hash lands in bucket 0 of 32 (or at doc end), chunk
+    // spans via lag over boundary positions, per-source dedup ratio.
+    "q141_cdc_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lower(trim(text)) AS txt,
+        |         CAST(len(lower(trim(text))) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE len(lower(trim(text))) >= 16),
+        |b AS MATERIALIZED (
+        |  SELECT doc_id, source, txt, p FROM (
+        |    SELECT doc_id, source, txt, n, unnest(range(16, n + 1)) AS p
+        |    FROM d)
+        |  WHERE CAST(concat('0x', substr(md5(substr(txt, CAST(p AS INTEGER) - 15, 16)), 1, 14)) AS BIGINT) % 32 = 0
+        |     OR p = n),
+        |ch AS (
+        |  SELECT source,
+        |         substr(txt,
+        |                CAST(COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1 AS INTEGER),
+        |                CAST(p - COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) AS INTEGER)) AS chunk
+        |  FROM b),
+        |pc AS (
+        |  SELECT source,
+        |         CAST(concat('0x', substr(md5(chunk), 1, 14)) AS BIGINT) AS h,
+        |         CAST(len(chunk) AS BIGINT) AS l
+        |  FROM ch),
+        |tot AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |         CAST(sum(l) AS BIGINT) AS total_bytes
+        |  FROM pc GROUP BY source),
+        |u AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS uniq_chunks,
+        |         CAST(sum(l) AS BIGINT) AS uniq_bytes
+        |  FROM (SELECT source, h, min(l) AS l FROM pc GROUP BY source, h)
+        |  GROUP BY source)
+        |SELECT t.source, t.n_chunks, t.total_bytes, u.uniq_chunks,
+        |       u.uniq_bytes,
+        |       CAST(u.uniq_bytes * 1000000 // t.total_bytes AS BIGINT) AS stored_ppm
+        |FROM tot t JOIN u USING (source) ORDER BY t.source""".stripMargin,
   )
 
   /** The q134/q139 rank oracle: the co-supply edge projection + degree

@@ -3694,4 +3694,65 @@ object DocQueries {
         col("cluster_size"), col("is_canonical"))
       .orderBy("cluster_id", "custkey")
   }
+
+  /** CONTENT-DEFINED CHUNKING STORAGE DEDUP (q141): the storage-layer
+    * member of the dedup grid — where q20 dedups whole documents and
+    * q93 dedups token spans, CDC dedups BYTE RANGES the way backup /
+    * blob stores do (LBFS, FastCDC): chunk boundaries are placed where
+    * a rolling content window hashes into a fixed bucket (here: the
+    * 16-char window ending at position p, md5 → 56-bit → % 32 == 0 ⇒
+    * expected ~32-char chunks), so an insertion early in a document
+    * only reshapes the chunks it touches — boundaries downstream
+    * re-synchronize because they depend on CONTENT, not offsets (the
+    * property fixed-size blocking lacks, spec-pinned in CdcChunkSpec).
+    * Per source: total chunk bytes vs distinct chunk bytes = the
+    * storage dedup ratio a capacity planner reads.
+    *
+    * Scale shape: the position explode is corpus-linear (q93's
+    * discipline — n_chars rows, map-generated); boundary selection is a
+    * map-only filter; chunk spans need ONE doc_id window (lag over
+    * boundary positions — partitions are document-sized); the dedup
+    * aggregate groups fixed-width (source, chunk-hash) keys. No
+    * all-pairs anything; the 100 TB posture is q20's hash-groupBy with
+    * a content-defined key. */
+  def q141CdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        lower(trim(col("text"))).as("txt"))
+    val perChunk = cdcChunks(docs).select(col("source"),
+      md5Long(col("chunk"), 14).as("h"),
+      length(col("chunk")).cast("long").as("len"))
+    val totals = perChunk.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"), sum("len").as("total_bytes"))
+    val uniq = perChunk.groupBy("source", "h")
+      .agg(min(col("len")).as("len"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("uniq_chunks"), sum("len").as("uniq_bytes"))
+    totals.join(uniq, "source")
+      .select(col("source"), col("n_chunks"), col("total_bytes"),
+        col("uniq_chunks"), col("uniq_bytes"),
+        expr("uniq_bytes * 1000000 div total_bytes").as("stored_ppm"))
+      .orderBy("source")
+  }
+
+  /** The reusable chunker behind q141: (doc_id, source, txt) →
+    * (doc_id, source, chunk) spans that tile each document, boundaries
+    * where the trailing 16-char window hashes into bucket 0 of 32.
+    * Sub-window documents are excluded (a descending `sequence` would
+    * mint bogus positions — the paragraphDedup lesson — and a real
+    * store keeps them as single whole chunks). */
+  def cdcChunks(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.withColumn("n", length(col("txt")).cast("long"))
+      .filter(col("n") >= 16)
+    val bounds = docs
+      .select(col("doc_id"), col("source"), col("txt"), col("n"),
+        explode(sequence(lit(16L), col("n"))).as("p"))
+      .filter(md5Long(expr("substring(txt, p - 15, 16)"), 14) % 32 === 0 ||
+        col("p") === col("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    bounds
+      .withColumn("s", coalesce(lag(col("p"), 1).over(w), lit(0L)) + 1)
+      .select(col("doc_id"), col("source"),
+        expr("substring(txt, s, p - s + 1)").as("chunk"))
+  }
 }
