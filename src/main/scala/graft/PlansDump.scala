@@ -39,7 +39,8 @@ object PlansDump {
     "q125_quality_classifier", "q127_wordpiece_encode",
     "q128_embed_ivf_sqrt_n", "q131_ann_recall_eval", "q132_cluster_sample",
     "q133_source_overlap", "q134_pagerank_suppliers", "q136_cms_freq",
-    "q137_scd2_build", "q138_edit_distance_join", "q139_trustrank_suppliers")
+    "q137_scd2_build", "q138_edit_distance_join", "q139_trustrank_suppliers",
+    "q141_cdc_chunk_dedup")
   // q79 is excluded by design: its label table is built by an ITERATIVE
   // loop whose final plan is (window over checkpointed RDD) — the
   // interesting shape is per-round and is asserted in PlanPinsSpec.

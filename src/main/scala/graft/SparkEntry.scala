@@ -159,6 +159,7 @@ object SparkEntry {
     "q139_trustrank_suppliers" -> (GraphQueries.q139TrustrankSuppliers _),
     "q140_entity_resolution" -> (DocQueries.q140EntityResolution _),
     "q141_cdc_chunk_dedup" -> (DocQueries.q141CdcChunkDedup _),
+    "q142_stream_scd2_enrich" -> (StreamQueries.q142StreamScd2Enrich _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3143,6 +3144,29 @@ object SparkEntry {
         |       u.uniq_bytes,
         |       CAST(u.uniq_bytes * 1000000 // t.total_bytes AS BIGINT) AS stored_ppm
         |FROM tot t JOIN u USING (source) ORDER BY t.source""".stripMargin,
+    // Stream-static point-in-time enrichment: q137's SCD2 chain, then
+    // every event joined to its containing validity interval, censused.
+    "q142_stream_scd2_enrich" ->
+      """WITH e0 AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |ch AS (
+        |  SELECT user_id, ts, event_id, state FROM e0
+        |  WHERE prev IS NULL OR prev <> state),
+        |v AS (
+        |  SELECT user_id, state, ts AS valid_from,
+        |         COALESCE(lead(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id),
+        |                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+        |  FROM ch)
+        |SELECT COALESCE(v.state, 'none') AS tier, e.event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events e LEFT JOIN v ON e.user_id = v.user_id
+        |  AND e.ts >= v.valid_from AND e.ts < v.valid_to
+        |GROUP BY COALESCE(v.state, 'none'), e.event_type
+        |ORDER BY tier, e.event_type""".stripMargin,
   )
 
   /** The q134/q139 rank oracle: the co-supply edge projection + degree

@@ -118,7 +118,7 @@ object GraphQueries {
     val ns = flagged.agg(sum("is_seed").as("ns"))
     var r = flagged.crossJoin(broadcast(ns))
       .select(col("node"), expr("is_seed * (1000000000 div ns)").as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(r.select(col("node").as("src"), col("r")), Seq("src"))
         .join(outdeg, Seq("src"))
@@ -127,12 +127,19 @@ object GraphQueries {
       val dang = r
         .join(outdeg, r("node") === outdeg("src"), "left_anti")
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+      // Materialize the node-sized rank table per round (the q135 /
+      // kmeansCentroids discipline): r is consumed TWICE next round
+      // (contrib and dangling), so an unrolled plan would duplicate
+      // every earlier round's subtree ~2× per round — 2^iters copies.
+      // The LAST round stays unmaterialized so the returned plan is one
+      // round's auditable shape (PlanPinsSpec / PLANS.md read it).
       r = flagged.crossJoin(broadcast(ns)).crossJoin(broadcast(dang))
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           expr("(150 * is_seed * (1000000000 div ns) + " +
             "850 * (coalesce(contrib, 0) + is_seed * (dang div ns))) " +
             "div 1000").as("r"))
+      if (i < iters) r = r.localCheckpoint()
     }
     r.select(col("node"), col("r").as("rank_ppb"))
   }

@@ -321,4 +321,47 @@ object StreamQueries {
     EventStreams.runToMemory(spark, census, mode = "complete")
       .orderBy("source", "pred")
   }
+
+  /** STREAM-STATIC POINT-IN-TIME ENRICHMENT (q142): arriving events
+    * join the BATCH-BUILT SCD2 dimension (q137's build) on entity key +
+    * validity-interval containment — "which version of this entity was
+    * current when the event happened", the dimension-as-of enrichment
+    * every event pipeline runs at the front door. The production shape:
+    * the dimension is rebuilt offline (q137), shipped as a broadcast
+    * static relation; the stream-static interval join is STATELESS per
+    * row (no watermark state — the q33 GlobalKTable posture with a
+    * range predicate riding the same join), and the monitor census is a
+    * COMPLETE-mode aggregate bounded by #states × #event_types.
+    *
+    * Exactly one version matches each event: q137's intervals TILE each
+    * entity's timeline half-open ([from, to), Scd2Spec), and the first
+    * interval starts at the entity's first event. Stateless join +
+    * commutative counts ⇒ micro-batch-split invariant, so the oracle is
+    * the batch restatement (q137's chain + the same containment join). */
+  def q142StreamScd2Enrich(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventStreams.streamSession(spark)
+    val events = EventStreams.fileReplaySource(ss, dir)
+    // The dimension tracks TIER CHANGES only (signup/purchase events) —
+    // a different attribute than the stream payload, so the enrichment
+    // answers "what tier was the user in when this event happened";
+    // events before a user's first tier change enrich as 'none' (the
+    // left-outer arm — stream-static outer joins are stateless too).
+    val dim = EventQueries.scd2(
+      Tables(spark, dir, "events")
+        .filter(col("event_type").isin("signup", "purchase")),
+      "user_id", "event_type")
+      .select(col("user_id").as("d_user"), col("state").as("tier"),
+        col("valid_from"), col("valid_to"))
+    val joined = events.join(broadcast(dim),
+      col("user_id") === col("d_user") &&
+        col("ts") >= col("valid_from") && col("ts") < col("valid_to"),
+      "left")
+    val census = joined
+      .select(coalesce(col("tier"), lit("none")).as("tier"),
+        col("event_type"))
+      .groupBy("tier", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    EventStreams.runToMemory(spark, census, mode = "complete")
+      .orderBy("tier", "event_type")
+  }
 }

@@ -683,14 +683,21 @@ class PlanPinsSpec extends AnyFunSuite {
       s"map-only scoring must not hash-shuffle, got $hx:\n$plan")
   }
 
-  test("q127: wordpiece encode shuffles doc_id only — the greedy fold is a projection") {
+  test("q127: the greedy fold rides the DISTINCT-word arm; the corpus crosses a broadcast join") {
+    // Round-15 dictionary rewrite (the q122 move): the interpreted fold
+    // evaluates once per distinct word; the corpus-sized token stream
+    // meets the vocab-sized piece dictionary at a BroadcastHashJoin and
+    // shuffles only the word-distinct and doc_id aggregate keys.
     val plan = SparkEntry.queries("q127_wordpiece_encode")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"),
-      s"the vocab is a driver constant — no join belongs in this plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the piece dictionary must attach as a broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus side must never shuffle-join:\n$plan")
     val hx = hashExchanges(plan)
-    assert(hx.nonEmpty && hx.forall(_.contains("doc_id")),
-      s"only the per-doc aggregate's doc_id exchange expected, got $hx:\n$plan")
+    assert(hx.nonEmpty && hx.forall(x =>
+      x.contains("doc_id") || x.contains("w#")),
+      s"only the word-distinct and per-doc aggregate exchanges expected, got $hx:\n$plan")
   }
 
   test("q131: both retrieval arms cut map-side — two WindowGroupLimits, probe join broadcast") {
@@ -725,5 +732,57 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"source-pair candidates must come from the shingle equi-join:\n$plan")
+  }
+
+  test("q134/q139: rank rounds join on keys — no cartesian; BNLJ only for 1-row scalars") {
+    for (q <- Seq("q134_pagerank_suppliers", "q139_trustrank_suppliers")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: no cartesian product belongs in a rank round:\n$plan")
+      // The N / dangling-mass scalars attach as 1-row broadcast
+      // crossJoins (IdentityBroadcastMode BNLJ) — bounded by
+      // construction; every EDGE-carrying join must be an equi-join.
+      val bnlj = "BroadcastNestedLoopJoin BuildRight, Cross".r
+        .findAllIn(plan).size
+      val equi = ("BroadcastHashJoin".r.findAllIn(plan).size
+        + "SortMergeJoin".r.findAllIn(plan).size
+        + "ShuffledHashJoin".r.findAllIn(plan).size)
+      assert(equi > 0,
+        s"$q: the edge/contrib/degree joins must plan as equi-joins:\n$plan")
+      // rounds materialize (localCheckpoint), so the registered plan is
+      // ONE round's shape: its two 1-row scalar attaches at most
+      assert(bnlj <= 2,
+        s"$q: more nested-loop joins than one round's 1-row scalars:\n$plan")
+    }
+  }
+
+  test("q136: the sketch is a partial-agg native aggregate, probes ride a broadcast") {
+    graft.queries.DocQueries.unpersistShared(spark, sfDir)
+    val plan = SparkEntry.queries("q136_cms_freq")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_cms"),
+      s"the CMS aggregate must map-side combine (partial_graft_cms):\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row sketch must attach as a broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing corpus-sized may shuffle-join here:\n$plan")
+  }
+
+  test("q137: ONE entity-key exchange serves all three SCD2 windows") {
+    val plan = SparkEntry.queries("q137_scd2_build")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hx = hashExchanges(plan)
+    assert(hx.size == 1 && hx.head.contains("user_id"),
+      s"expected exactly one user_id hash exchange shared by lag/lead/" +
+        s"row_number, got $hx:\n$plan")
+  }
+
+  test("q138: candidates come from the variant equi-join — no cartesian, no BNLJ") {
+    val plan = SparkEntry.queries("q138_edit_distance_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"deletion-variant candidates must stay an equi-join:\n$plan")
   }
 }
