@@ -3113,10 +3113,11 @@ object SparkEntry {
         |  SELECT doc_id, source, lower(trim(text)) AS txt,
         |         CAST(len(lower(trim(text))) AS BIGINT) AS n
         |  FROM documents
-        |  WHERE len(lower(trim(text))) >= 16),
+        |  WHERE len(lower(trim(text))) >= 1),
         |b AS MATERIALIZED (
         |  SELECT doc_id, source, txt, p FROM (
-        |    SELECT doc_id, source, txt, n, unnest(range(16, n + 1)) AS p
+        |    SELECT doc_id, source, txt, n,
+        |           unnest(range(least(16, n), n + 1)) AS p
         |    FROM d)
         |  WHERE CAST(concat('0x', substr(md5(substr(txt, CAST(p AS INTEGER) - 15, 16)), 1, 14)) AS BIGINT) % 32 = 0
         |     OR p = n),
@@ -3275,7 +3276,8 @@ object SparkEntry {
          |               ELSE -CAST(floor(-CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END
          |          for x in embedding] AS qe
          |  FROM embeddings),
-         |c0 AS MATERIALIZED (SELECT vec_id AS cid, qe AS cv FROM q WHERE vec_id < $k)""".stripMargin
+         |c0 AS MATERIALIZED (
+         |  SELECT vec_id AS cid, qe AS cv FROM q ORDER BY vec_id LIMIT $k)""".stripMargin
     def assignCte(i: Int): String =
       s"""a$i AS MATERIALIZED (
          |  SELECT vec_id, cid, dist FROM (

@@ -46,7 +46,11 @@ case class CmsCounts(
     (child.dataType, dExpr.dataType, wExpr.dataType) match {
       case (ArrayType(LongType, _), IntegerType, IntegerType)
           if dExpr.foldable && wExpr.foldable =>
-        if (d >= 1 && w >= 1) TypeCheckResult.TypeCheckSuccess
+        // eval() may be null for a foldable NULL-typed-as-int literal
+        // (e.g. CAST(NULL AS INT)); fail cleanly instead of NPE-unboxing.
+        if (dExpr.eval() == null || wExpr.eval() == null)
+          TypeCheckResult.TypeCheckFailure("d, w must be non-null literals")
+        else if (d >= 1 && w >= 1) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(s"d, w must be >= 1, got ($d, $w)")
       case (c, dt, wt) => TypeCheckResult.TypeCheckFailure(
         s"graft_cms expects (array<bigint>, foldable int, foldable int), " +

@@ -3738,15 +3738,17 @@ object DocQueries {
   /** The reusable chunker behind q141: (doc_id, source, txt) →
     * (doc_id, source, chunk) spans that tile each document, boundaries
     * where the trailing 16-char window hashes into bucket 0 of 32.
-    * Sub-window documents are excluded (a descending `sequence` would
-    * mint bogus positions — the paragraphDedup lesson — and a real
-    * store keeps them as single whole chunks). */
+    * Sub-window (< 16-char, nonempty) documents are kept as a SINGLE
+    * WHOLE CHUNK, the way a real store keeps them — the sequence lower
+    * bound is least-clamped to n so it never descends (the
+    * paragraphDedup lesson) and the only position minted is p = n, the
+    * forced end-of-document boundary. Empty documents store nothing. */
   def cdcChunks(docsIn: DataFrame): DataFrame = {
     val docs = docsIn.withColumn("n", length(col("txt")).cast("long"))
-      .filter(col("n") >= 16)
+      .filter(col("n") >= 1)
     val bounds = docs
       .select(col("doc_id"), col("source"), col("txt"), col("n"),
-        explode(sequence(lit(16L), col("n"))).as("p"))
+        explode(sequence(least(lit(16L), col("n")), col("n"))).as("p"))
       .filter(md5Long(expr("substring(txt, p - 15, 16)"), 14) % 32 === 0 ||
         col("p") === col("n"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))

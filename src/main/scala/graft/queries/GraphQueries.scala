@@ -110,8 +110,13 @@ object GraphQueries {
     val edges = edgesIn.localCheckpoint()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val flagged = nodesIn
-      .join(seedsIn.select(col("node"), lit(1L).as("is_seed")),
+    // seeds (and nodes) are deduplicated defensively: a duplicate row in
+    // either input would fan out the flagged table and double-count
+    // teleport/rank mass for that node — the operator is exported as a
+    // general API, so it must not depend on caller-side uniqueness.
+    val flagged = nodesIn.select(col("node")).distinct()
+      .join(seedsIn.select(col("node")).distinct()
+          .withColumn("is_seed", lit(1L)),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
       .localCheckpoint()

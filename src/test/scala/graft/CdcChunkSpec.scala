@@ -26,6 +26,18 @@ class CdcChunkSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad documents whose chunks do not tile the text")
   }
 
+  test("sub-window documents are stored as one whole chunk; empty docs none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "short doc"),                    // 9 chars < window
+      (2L, "s", ""),                             // empty: stores nothing
+      (3L, "s", "exactly sixteen!")              // n == 16: one boundary at n
+    ).toDF("doc_id", "source", "txt")
+    val got = DocQueries.cdcChunks(docs)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((1L, "short doc"), (3L, "exactly sixteen!")))
+  }
+
   test("insertion resync: a prepended char leaves >90% of chunks shared") {
     val docs = fixtureDocs
     val orig = DocQueries.cdcChunks(docs)
