@@ -160,6 +160,10 @@ object SparkEntry {
     "q140_entity_resolution" -> (DocQueries.q140EntityResolution _),
     "q141_cdc_chunk_dedup" -> (DocQueries.q141CdcChunkDedup _),
     "q142_stream_scd2_enrich" -> (StreamQueries.q142StreamScd2Enrich _),
+    "q143_sequence_pack" -> (DocQueries.q143SequencePack _),
+    "q144_host_curation_gate" -> (DocQueries.q144HostCurationGate _),
+    "q145_scd2_incremental" -> (EventQueries.q145Scd2Incremental _),
+    "q146_trustrank_converged" -> (GraphQueries.q146TrustrankConverged _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3033,29 +3037,7 @@ object SparkEntry {
     "q136_cms_freq" -> cmsOracleSql(4, 256),
     // SCD2 build: change-collapse (lag) then validity intervals
     // (lead/row_number) over the change set, (ts, event_id) total order.
-    "q137_scd2_build" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_id, event_type AS state,
-        |         lag(event_type) OVER (PARTITION BY user_id
-        |                               ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |ch AS (
-        |  SELECT user_id, ts, event_id, state FROM e
-        |  WHERE prev IS NULL OR prev <> state),
-        |v AS (
-        |  SELECT user_id, state, ts AS valid_from,
-        |         COALESCE(lead(ts) OVER (PARTITION BY user_id
-        |                                 ORDER BY ts, event_id),
-        |                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
-        |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY ts, event_id) AS version
-        |  FROM ch)
-        |SELECT user_id, state,
-        |       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-        |       strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
-        |       CAST(version AS BIGINT) AS version,
-        |       valid_to = TIMESTAMP '2200-01-01 00:00:00' AS is_current
-        |FROM v ORDER BY user_id, version""".stripMargin,
+    "q137_scd2_build" -> scd2RebuildOracle,
     // SymSpell deletion-neighborhood candidates + levenshtein<=1 verify
     // over the customer-name entity dimension.
     "q138_edit_distance_join" ->
@@ -3168,7 +3150,72 @@ object SparkEntry {
         |  AND e.ts >= v.valid_from AND e.ts < v.valid_to
         |GROUP BY COALESCE(v.state, 'none'), e.event_type
         |ORDER BY tier, e.event_type""".stripMargin,
+    // Harmonic-class sequence packing census: over-cap docs shed full
+    // windows (class 0) and re-enter with their remainder; class
+    // k = cap div len packs k items per window, windows = ceil(n/k).
+    "q143_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |items AS (
+        |  SELECT doc_id, CASE WHEN n <= 256 THEN n ELSE n % 256 END AS len
+        |  FROM t WHERE (CASE WHEN n <= 256 THEN n ELSE n % 256 END) >= 1),
+        |packed AS (
+        |  SELECT 256 // len AS k, CAST(count(*) AS BIGINT) AS n_items,
+        |         CAST((count(*) + (256 // len) - 1) // (256 // len) AS BIGINT) AS n_windows,
+        |         CAST(sum(len) AS BIGINT) AS item_tokens
+        |  FROM items GROUP BY 256 // len),
+        |fulls AS (
+        |  SELECT CAST(0 AS BIGINT) AS k, CAST(sum(n // 256) AS BIGINT) AS n_items,
+        |         CAST(sum(n // 256) AS BIGINT) AS n_windows,
+        |         CAST(sum(n // 256) * 256 AS BIGINT) AS item_tokens
+        |  FROM t WHERE n > 256 HAVING sum(n // 256) > 0),
+        |u AS (SELECT * FROM packed UNION ALL SELECT * FROM fulls)
+        |SELECT k, n_items, n_windows, item_tokens,
+        |       CAST(n_windows * 256 AS BIGINT) AS capacity_tokens,
+        |       CAST((n_windows * 256 - item_tokens) * 1000000 // (n_windows * 256) AS BIGINT) AS padding_ppm
+        |FROM u ORDER BY k""".stripMargin,
+    // Host gate: q125's perceptron chain aggregated per source + classic
+    // PageRank over the q133 overlap graph; verdict = quality above the
+    // corpus mean AND authority at most the uniform share.
+    "q144_host_curation_gate" -> hostGateOracleSql,
+    // Incremental SCD2 ≡ the full rebuild (the q106 equality trick):
+    // the oracle is q137's rebuild SQL verbatim.
+    "q145_scd2_incremental" -> scd2RebuildOracle,
+    // TrustRank run to the L1 < 10^6 ppb fixed point (cap 10): all ten
+    // rounds + per-round deltas, final ranks from the first round whose
+    // delta clears epsilon — the identical integer stopping rule.
+    "q146_trustrank_converged" -> trustrankConvergedOracleSql(
+      epsPpb = 1000000L, cap = 10),
   )
+
+  /** q137's from-scratch SCD2 rebuild — shared verbatim by q145 (the
+    * incremental fold provably equals the rebuild, so one oracle
+    * serves both; the asof-oracle / q58-q64 move). */
+  private val scd2RebuildOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type AS state,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, ts, event_id, state FROM e
+      |  WHERE prev IS NULL OR prev <> state),
+      |v AS (
+      |  SELECT user_id, state, ts AS valid_from,
+      |         COALESCE(lead(ts) OVER (PARTITION BY user_id
+      |                                 ORDER BY ts, event_id),
+      |                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) AS version
+      |  FROM ch)
+      |SELECT user_id, state,
+      |       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |       strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+      |       CAST(version AS BIGINT) AS version,
+      |       valid_to = TIMESTAMP '2200-01-01 00:00:00' AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
 
   /** The q134/q139 rank oracle: the co-supply edge projection + degree
     * table once, a seed-flagged node table (q134 seeds every node —
@@ -3222,6 +3269,149 @@ object SparkEntry {
       s"""SELECT node AS suppkey, r AS $rankCol FROM r$iters
          |ORDER BY $rankCol DESC, suppkey""".stripMargin
     (Seq(head) ++ rounds).mkString(",\n") + "\n" + tail
+  }
+
+  /** The q146 converged-TrustRank oracle: the q139 chain extended to
+    * `cap` rounds with a per-round L1 delta CTE; the final ranks come
+    * from the FIRST round whose delta drops below `epsPpb` (else round
+    * `cap`) — the identical integer stopping rule the Spark loop
+    * applies, so both engines stop at the same round and the
+    * rounds_taken column hash-matches. */
+  private def trustrankConvergedOracleSql(epsPpb: Long, cap: Int): String = {
+    val head =
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+         |  FROM li a JOIN li b USING (ok) WHERE a.sk <> b.sk),
+         |nodes AS MATERIALIZED (SELECT DISTINCT sk AS node FROM li),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |seeds AS MATERIALIZED (SELECT node FROM nodes ORDER BY node LIMIT 4),
+         |f AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         |nn AS MATERIALIZED (
+         |  SELECT CAST(sum(is_seed) AS BIGINT) AS n FROM f),
+         |r0 AS MATERIALIZED (
+         |  SELECT node,
+         |         CAST(is_seed * (1000000000 // (SELECT n FROM nn)) AS BIGINT) AS r
+         |  FROM f)""".stripMargin
+    val rounds = (1 to cap).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS contrib
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |d$i AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(sum(r.r), 0) AS BIGINT) AS dang
+         |  FROM r${i - 1} r LEFT JOIN deg d ON d.src = r.node
+         |  WHERE d.src IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT f.node,
+         |         CAST((150 * f.is_seed * (1000000000 // (SELECT n FROM nn)) +
+         |               850 * (COALESCE(c.contrib, 0) +
+         |                      f.is_seed * ((SELECT dang FROM d$i) //
+         |                                   (SELECT n FROM nn))))
+         |              // 1000 AS BIGINT) AS r
+         |  FROM f LEFT JOIN c$i c ON c.dst = f.node),
+         |dl$i AS MATERIALIZED (
+         |  SELECT CAST(sum(abs(a.r - b.r)) AS BIGINT) AS delta
+         |  FROM r$i a JOIN r${i - 1} b ON a.node = b.node)""".stripMargin
+    }
+    val dls = (1 to cap)
+      .map(i => s"SELECT $i AS i, (SELECT delta FROM dl$i) AS delta")
+      .mkString("\n  UNION ALL ")
+    val allr = (1 to cap)
+      .map(i => s"SELECT $i AS i, node, r FROM r$i")
+      .mkString("\n  UNION ALL ")
+    val tail =
+      s"""dls AS ($dls),
+         |stop AS (
+         |  SELECT COALESCE(min(i), $cap) AS k FROM dls WHERE delta < $epsPpb),
+         |allr AS ($allr)
+         |SELECT node AS suppkey, r AS trust_ppb,
+         |       CAST((SELECT k FROM stop) AS BIGINT) AS rounds_taken
+         |FROM allr WHERE i = (SELECT k FROM stop)
+         |ORDER BY trust_ppb DESC, suppkey""".stripMargin
+    (Seq(head) ++ rounds ++ Seq(tail)).mkString(",\n")
+  }
+
+  /** The q144 host-gate oracle: the q125 perceptron chain (shared
+    * builder) aggregated to source grain, the q133 shingle-overlap
+    * graph thresholded at 25000 ppm Jaccard into symmetric edges,
+    * classic 3-round PageRank over it (seeds = every node), then the
+    * two relative verdicts and the kept census. */
+  private def hostGateOracleSql: String = {
+    val prRounds = (1 to 3).map { i =>
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS contrib
+         |  FROM se e JOIN pr${i - 1} r ON r.node = e.src
+         |            JOIN sdeg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |pd$i AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(sum(r.r), 0) AS BIGINT) AS dang
+         |  FROM pr${i - 1} r LEFT JOIN sdeg d ON d.src = r.node
+         |  WHERE d.src IS NULL),
+         |pr$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST((150 * (1000000000 // (SELECT n FROM snn)) +
+         |               850 * (COALESCE(c.contrib, 0) +
+         |                      (SELECT dang FROM pd$i) //
+         |                      (SELECT n FROM snn)))
+         |              // 1000 AS BIGINT) AS r
+         |  FROM snodes n LEFT JOIN pc$i c ON c.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""sf AS MATERIALIZED (
+         |  SELECT f.doc_id, CAST(sum(f.cnt * COALESCE(w.wt, 0)) AS BIGINT) AS score
+         |  FROM f LEFT JOIN wavg w ON f.fid = w.fid GROUP BY f.doc_id),
+         |persrc AS MATERIALIZED (
+         |  SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(s.score) AS BIGINT) AS sum_score
+         |  FROM t JOIN sf s USING (doc_id) GROUP BY t.source),
+         |tot AS MATERIALIZED (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         |         CAST(sum(sum_score) AS BIGINT) AS total_score FROM persrc),
+         |sg AS MATERIALIZED (
+         |  SELECT DISTINCT source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+         |  FROM (SELECT source, toks, unnest(range(1, len(toks) - 1)) AS i
+         |        FROM t WHERE len(toks) >= 3)),
+         |nsh AS (SELECT source, CAST(count(*) AS BIGINT) AS nsh
+         |        FROM sg GROUP BY source),
+         |pp AS (SELECT a.source AS sa, b.source AS sb,
+         |              CAST(count(*) AS BIGINT) AS shared
+         |       FROM sg a JOIN sg b USING (sh) WHERE a.source < b.source
+         |       GROUP BY 1, 2),
+         |jp AS (SELECT sa, sb FROM (
+         |         SELECT pp.sa, pp.sb,
+         |                shared * 1000000 // (na.nsh + nb.nsh - shared) AS j
+         |         FROM pp JOIN nsh na ON na.source = pp.sa
+         |                 JOIN nsh nb ON nb.source = pp.sb)
+         |       WHERE j >= 25000),
+         |se AS MATERIALIZED (SELECT sa AS src, sb AS dst FROM jp
+         |                    UNION ALL SELECT sb AS src, sa AS dst FROM jp),
+         |snodes AS MATERIALIZED (SELECT DISTINCT source AS node FROM t),
+         |sdeg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM se GROUP BY src),
+         |snn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM snodes),
+         |pr0 AS MATERIALIZED (
+         |  SELECT node, CAST(1000000000 // (SELECT n FROM snn) AS BIGINT) AS r
+         |  FROM snodes),
+         |$prRounds,
+         |v AS (
+         |  SELECT p.source, p.n_docs, p.sum_score, r.r AS rank_ppb,
+         |         CASE WHEN p.sum_score * (SELECT n_total FROM tot) >=
+         |                   (SELECT total_score FROM tot) * p.n_docs
+         |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS q_pass,
+         |         CASE WHEN r.r <= 1000000000 // (SELECT n FROM snn)
+         |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS a_pass
+         |  FROM persrc p JOIN pr3 r ON r.node = p.source)
+         |SELECT source, n_docs, sum_score, rank_ppb, q_pass, a_pass,
+         |       q_pass * a_pass AS verdict,
+         |       CASE WHEN q_pass * a_pass = 1 THEN n_docs
+         |            ELSE CAST(0 AS BIGINT) END AS docs_kept
+         |FROM v ORDER BY source""".stripMargin
+    perceptronOracle(256, 3, tail)
   }
 
   /** The q136 count-min oracle: the sketch's d×w cell matrix restated

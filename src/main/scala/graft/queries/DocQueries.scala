@@ -3757,4 +3757,154 @@ object DocQueries {
       .select(col("doc_id"), col("source"),
         expr("substring(txt, s, p - s + 1)").as("chunk"))
   }
+
+  /** CONTEXT-WINDOW SEQUENCE PACKING (q143): pack variable-length
+    * documents into fixed token-budget windows (cap = 256, the q100
+    * block size) minimizing padding — the training-prep stage that
+    * turns a curated corpus into the fixed-shape batches a trainer
+    * consumes (T5's "pack examples until the window is full", GPT-style
+    * pipelines' sequence packing). q100 blockizes ONE concatenated
+    * stream at fixed stride (documents span block boundaries); q143
+    * keeps each document WHOLE inside exactly one window — the
+    * no-cross-attention-contamination variant.
+    *
+    * Algorithm: HARMONIC class packing (Lee & Lee, JACM 1985) made
+    * deterministic and engine-independent. A document longer than the
+    * cap first sheds floor(n/cap) full windows (exactly cap tokens,
+    * zero padding) and re-enters with its remainder; every packable
+    * item of length len joins class k = cap div len, and class k packs
+    * k items per window. Structural guarantees, spec-pinned
+    * (SequencePackSpec): ZERO OVERFLOW (k·len ≤ cap for every member,
+    * so no window can exceed the cap — no runtime check needed), and
+    * PADDING-BOUNDED — every full window of class k carries
+    * > k·cap/(k+1) ≥ cap/2 tokens, so padding in full windows is
+    * < 50 % (< 1/3 for k ≥ 2, → 0 as k grows); per class exactly
+    * ceil(n_k/k) windows, at most one of them partial.
+    *
+    * Why this and not first-fit-decreasing: FFD's bin state is a
+    * sequential fold over the whole sorted corpus — one task at 100 TB.
+    * Harmonic classing is embarrassingly parallel (class = a map-only
+    * expression; the only coordination is a per-class rank, which runs
+    * through [[exactStratumRank]]'s two-level √n decomposition — no
+    * whole-class window partition), costs ≤ 2× optimal windows in the
+    * worst case (1.691× asymptotically), and is reproducible bit for
+    * bit in any engine: no packing decision depends on float math or
+    * row arrival order.
+    *
+    * Output census per class (≤ ~2·√cap rows whatever the corpus):
+    * items, windows, item tokens, capacity, padding_ppm; class 0 =
+    * the full windows shed by over-cap documents. */
+  def q143SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 256L
+    val tok = tokenizedDocs(Tables(spark, dir, "documents"))
+    val packed = packSequences(tok, cap)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("window_id")).as("n_windows"),
+        sum("len").as("item_tokens"))
+    val fulls = tok
+      .select(size(col("toks")).cast("long").as("n"))
+      .filter(col("n") > cap)
+      .agg(coalesce(sum(expr(s"n div $cap")), lit(0L)).as("nb"))
+      .filter(col("nb") > 0)
+      .select(lit(0L).as("k"), col("nb").as("n_items"),
+        col("nb").as("n_windows"), (col("nb") * cap).as("item_tokens"))
+    packed.unionByName(fulls)
+      .withColumn("capacity_tokens", col("n_windows") * cap)
+      .withColumn("padding_ppm",
+        expr("(capacity_tokens - item_tokens) * 1000000 div capacity_tokens"))
+      .orderBy("k")
+  }
+
+  /** The reusable packer behind q143: any (doc_id, ..., toks) frame →
+    * one row per packable item (whole doc of ≤ cap tokens, or an
+    * over-cap doc's < cap-token remainder) with its harmonic class
+    * k = cap div len and deterministic window_id within the class
+    * (fill order: longest first, doc_id tie-break — so windows are
+    * length-homogeneous and the partial window, if any, holds the
+    * class's shortest items). Window ids are dense 0..ceil(n_k/k)-1
+    * per class; (k, window_id) is the window key. */
+  def packSequences(tok: DataFrame, cap: Long): DataFrame = {
+    require(cap >= 1)
+    val items = tok
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+      .select(col("doc_id"),
+        when(col("n") <= cap, col("n")).otherwise(col("n") % cap).as("len"))
+      .filter(col("len") >= 1)
+      .withColumn("k", expr(s"$cap div len"))
+    // Order-isomorphic composite rank key for (len desc, doc_id):
+    // (cap - len) · 2^40 + doc_id — exact on any corpus with
+    // doc_id < 2^40 and len ≤ cap (the q70 composite-key move).
+    val keyed = items
+      .withColumn("rk", (lit(cap) - col("len")) * lit(1L << 40) + col("doc_id"))
+    exactStratumRank(keyed, Seq("k"), "rk", rankBuckets(items))
+      .select(col("doc_id"), col("len"), col("k"),
+        expr("(rnk - 1) div k").as("window_id"))
+  }
+
+  /** HOST-LEVEL CURATION GATE (q144): gate documents by a per-HOST
+    * verdict, not per-doc signals alone — the production crawl-curation
+    * move (UT1-style blocklists, CCNet/RefinedWeb host priors): a spam
+    * host's individually-plausible pages all drop together, a reputable
+    * host's odd page survives. The verdict composes two existing
+    * operators aggregated to host grain:
+    *
+    *   1. QUALITY — q125's averaged-perceptron doc scores summed per
+    *      source; a host passes when its mean score clears the CORPUS
+    *      mean (integer cross-multiply `sum_score·n_total ≥
+    *      total_score·n_docs` — no division, no sign games, and the
+    *      bar is relative so it splits at any scale factor);
+    *   2. AUTHORITY — [[GraphQueries.pageRank]] over the q133
+    *      source-overlap graph (edge when shared-shingle Jaccard ≥
+    *      25000 ppm, both directions): a high rank here means the
+    *      host's CONTENT is heavily shared across other hosts — the
+    *      mirror/template-farm signal — so the gate requires rank at
+    *      most the uniform share (`rank_ppb ≤ 10⁹ div n_sources`).
+    *
+    * Keep = both. The gate itself is ONE broadcast join of the
+    * host-verdict table against the corpus — the 100 TB shape: host
+    * tables are millions of rows when corpora are billions, every
+    * per-doc decision is a map-side lookup, and both signals were
+    * already aggregates the pipeline computes (q125, q133) — the gate
+    * adds host-sized work only. Census per source proves the gate from
+    * the REAL joined frame, not arithmetic on the verdict table. */
+  def q144HostCurationGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val tok = tokenizedDocs(docs)
+    val perSrc = perceptronScore(tok, col("lang") === "en",
+        dims = 256, epochs = 3)
+      .join(tok.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_score"))
+    val totals = perSrc.agg(sum("n_docs").as("n_total"),
+      sum("sum_score").as("total_score"))
+    val jp = sourceOverlap(tok).filter(col("jaccard_ppm") >= 25000)
+      .select(col("src_a"), col("src_b"))
+    val edges = jp.select(col("src_a").as("src"), col("src_b").as("dst"))
+      .unionByName(jp.select(col("src_b").as("src"), col("src_a").as("dst")))
+    val nodes = docs.select(col("source").as("node")).distinct()
+    val ranks = GraphQueries.pageRank(edges, nodes, iters = 3)
+      .select(col("node").as("source"), col("rank_ppb"))
+    val ns = nodes.agg(count(lit(1)).as("ns"))
+    val verdicts = perSrc.join(ranks, "source")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(ns))
+      .select(col("source"), col("n_docs"), col("sum_score"),
+        col("rank_ppb"),
+        when(col("sum_score") * col("n_total") >=
+            col("total_score") * col("n_docs"), 1L).otherwise(0L)
+          .as("q_pass"),
+        when(col("rank_ppb") <= expr("1000000000 div ns"), 1L).otherwise(0L)
+          .as("a_pass"))
+      .withColumn("verdict", col("q_pass") * col("a_pass"))
+    val kept = docs.select("doc_id", "source")
+      .join(broadcast(verdicts.select(col("source"), col("verdict"))),
+        "source")
+      .filter(col("verdict") === 1L)
+      .groupBy("source").agg(count(lit(1)).as("docs_kept"))
+    verdicts.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("sum_score"),
+        col("rank_ppb"), col("q_pass"), col("a_pass"), col("verdict"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"))
+      .orderBy("source")
+  }
 }

@@ -400,4 +400,88 @@ object EventQueries {
         col("valid_to"), col("version"),
         (col("valid_to") === hwm).as("is_current"))
   }
+
+  /** INCREMENTAL SCD2 MAINTENANCE (q145): fold an ARRIVAL BATCH into a
+    * STANDING dimension without rescanning history — the write-path
+    * companion to q137's from-scratch build, and the warehouse member
+    * of the q74/q91/q106 incremental family. Production dimensions are
+    * maintained this way: each load closes the open intervals the
+    * batch's entities touch and appends their new versions; entities
+    * the batch never mentions are not read, let alone recomputed.
+    *
+    * PROVABLY equal to the full rebuild (Scd2IncrementalSpec asserts
+    * frame equality; the registered oracle IS q137's rebuild SQL — the
+    * q106 trick): with every batch event at or after the cutoff, the
+    * rebuild's pre-cutoff change chain is untouched by batch rows, the
+    * first batch change's `prev` equals the open version's state (all
+    * events since the last change share its state, by definition of
+    * change), versions continue from the open version's ordinal, and
+    * the open interval closes exactly at the first batch change.
+    *
+    * Scale shape: ONE pass over the standing dimension (split by the
+    * batch's touched-key set — a semi/anti join pair on the entity
+    * key), batch-sized windows for the new chain (partitioned by
+    * entity, never global), and a batch-keyed aggregate for the close
+    * timestamps. Work beyond the standing-dim scan is proportional to
+    * the BATCH — SCALE.md measures the invariance as the standing side
+    * amplifies. */
+  def q145Scd2Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val cutoff = to_timestamp(lit("2024-01-22 00:00:00"))
+    scd2Incremental(
+      scd2(events.filter(col("ts") < cutoff), "user_id", "event_type"),
+      events.filter(col("ts") >= cutoff), key = "user_id",
+      state = "event_type")
+      .select(col("user_id"), col("state"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("valid_to"),
+        col("version"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** The reusable fold behind q145: (standing [[scd2]] dimension,
+    * arrival-batch event frame) → the maintained dimension. Requires
+    * every batch event's ts at or after every standing event's ts for
+    * its key (the load-boundary contract every incremental dimension
+    * load has); under it the result provably equals
+    * `scd2(history ∪ batch)`. */
+  def scd2Incremental(standing: DataFrame, batch: DataFrame,
+                      key: String, state: String): DataFrame = {
+    val hwm = to_timestamp(lit("2200-01-01 00:00:00"))
+    val touched = batch.select(col(key)).distinct()
+    val open = standing.filter(col("is_current")).join(touched, Seq(key))
+    val wOrd = Window.partitionBy(key).orderBy(col("ts"), col("event_id"))
+    // batch change chain: the first row's `prev` is the open version's
+    // state (null for a brand-new entity — then the first row is a
+    // change by the same rule scd2 applies to a first-ever event)
+    val changes = batch
+      .select(col(key), col("ts"), col("event_id"), col(state).as("state"))
+      .withColumn("lagst", lag(col("state"), 1).over(wOrd))
+      .join(open.select(col(key), col("state").as("open_state"),
+        col("version").as("open_version")), Seq(key), "left")
+      .withColumn("prev", coalesce(col("lagst"), col("open_state")))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+    val newRows = changes
+      .withColumn("valid_to", coalesce(lead(col("ts"), 1).over(wOrd), hwm))
+      .withColumn("version",
+        coalesce(col("open_version"), lit(0L)) +
+          row_number().over(wOrd).cast("long"))
+      .select(col(key), col("state"), col("ts").as("valid_from"),
+        col("valid_to"), col("version"), (col("valid_to") === hwm)
+          .as("is_current"))
+    val firstNew = changes.groupBy(key)
+      .agg(min(col("ts")).as("close_ts"))
+    val openAdj = open.join(firstNew, Seq(key), "left")
+      .select(col(key), col("state"), col("valid_from"),
+        coalesce(col("close_ts"), col("valid_to")).as("valid_to"),
+        col("version"),
+        (col("close_ts").isNull && col("is_current")).as("is_current"))
+    standing.join(touched, Seq(key), "left_anti")
+      .unionByName(standing.filter(!col("is_current"))
+        .join(touched, Seq(key)).select(standing.columns.map(col): _*))
+      .unionByName(openAdj)
+      .unionByName(newRows)
+  }
 }

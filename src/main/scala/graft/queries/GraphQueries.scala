@@ -107,45 +107,124 @@ object GraphQueries {
     * term for term). */
   def pageRankSeeded(edgesIn: DataFrame, nodesIn: DataFrame,
                      seedsIn: DataFrame, iters: Int): DataFrame = {
-    val edges = edgesIn.localCheckpoint()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    // seeds (and nodes) are deduplicated defensively: a duplicate row in
-    // either input would fan out the flagged table and double-count
-    // teleport/rank mass for that node — the operator is exported as a
-    // general API, so it must not depend on caller-side uniqueness.
-    val flagged = nodesIn.select(col("node")).distinct()
-      .join(seedsIn.select(col("node")).distinct()
-          .withColumn("is_seed", lit(1L)),
-        Seq("node"), "left")
-      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-      .localCheckpoint()
-    val ns = flagged.agg(sum("is_seed").as("ns"))
-    var r = flagged.crossJoin(broadcast(ns))
-      .select(col("node"), expr("is_seed * (1000000000 div ns)").as("r"))
+    val st = prInit(edgesIn, nodesIn, seedsIn)
+    var r = prStart(st)
     for (i <- 1 to iters) {
-      val contrib = edges
-        .join(r.select(col("node").as("src"), col("r")), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy("dst").agg(sum("c").as("contrib"))
-      val dang = r
-        .join(outdeg, r("node") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
       // Materialize the node-sized rank table per round (the q135 /
       // kmeansCentroids discipline): r is consumed TWICE next round
       // (contrib and dangling), so an unrolled plan would duplicate
       // every earlier round's subtree ~2× per round — 2^iters copies.
       // The LAST round stays unmaterialized so the returned plan is one
       // round's auditable shape (PlanPinsSpec / PLANS.md read it).
-      r = flagged.crossJoin(broadcast(ns)).crossJoin(broadcast(dang))
-        .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          expr("(150 * is_seed * (1000000000 div ns) + " +
-            "850 * (coalesce(contrib, 0) + is_seed * (dang div ns))) " +
-            "div 1000").as("r"))
+      r = prRound(st, r)
       if (i < iters) r = r.localCheckpoint()
     }
     r.select(col("node"), col("r").as("rank_ppb"))
+  }
+
+  /** CONVERGENCE-CHECKED seeded PageRank — the production dial on the
+    * same arithmetic: rounds run until the L1 rank delta
+    * Σ|r_i − r_{i−1}| drops below `epsPpb` (or `maxIters` caps it), and
+    * the result carries `rounds_taken` so the stopping decision itself
+    * is oracle-checked (the q128 "certify the production parameter"
+    * move: q139 registers the fixed-rounds dial, this registers the
+    * until-converged one). The per-round delta is a 1-row aggregate on
+    * the node-sized rank table — the trainer-loop artifact class
+    * (q104/q125), not a data-path collect; everything else is
+    * [[pageRankSeeded]]'s exact integer round, so the adaptive stop is
+    * reproducible bit for bit in any engine: both sides compute
+    * identical deltas and therefore stop at the identical round. */
+  def pageRankSeededConverged(edgesIn: DataFrame, nodesIn: DataFrame,
+                              seedsIn: DataFrame, epsPpb: Long,
+                              maxIters: Int): DataFrame = {
+    require(epsPpb >= 0 && maxIters >= 1)
+    val st = prInit(edgesIn, nodesIn, seedsIn)
+    var rPrev = prStart(st).localCheckpoint()
+    var rBase = rPrev // r_{k-1}: the final round is re-derived from it
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (rounds < maxIters && delta >= epsPpb) {
+      rBase = rPrev
+      val rNext = prRound(st, rPrev).localCheckpoint()
+      delta = rNext.as("a")
+        .join(rPrev.as("b"), col("a.node") === col("b.node"))
+        .agg(coalesce(sum(abs(col("a.r") - col("b.r"))), lit(0L)))
+        .collect()(0).getLong(0)
+      rPrev = rNext
+      rounds += 1
+    }
+    // Re-derive the last round unmaterialized from r_{k-1} so the
+    // registered plan keeps one auditable round shape (same values as
+    // the checkpointed rPrev — prRound is deterministic).
+    prRound(st, rBase)
+      .select(col("node"), col("r").as("rank_ppb"),
+        lit(rounds.toLong).as("rounds_taken"))
+  }
+
+  /** Shared iteration state: edges + out-degrees + seed-flagged nodes
+    * (each localCheckpointed once — every round reuses them) and the
+    * 1-row seed count. Seeds and nodes are deduplicated defensively: a
+    * duplicate row in either input would fan out the flagged table and
+    * double-count teleport/rank mass for that node — the operator is
+    * exported as a general API, so it must not depend on caller-side
+    * uniqueness. */
+  private final case class PrState(edges: DataFrame, outdeg: DataFrame,
+                                   flagged: DataFrame, ns: DataFrame)
+
+  private def prInit(edgesIn: DataFrame, nodesIn: DataFrame,
+                     seedsIn: DataFrame): PrState = {
+    val edges = edgesIn.localCheckpoint()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val flagged = nodesIn.select(col("node")).distinct()
+      .join(seedsIn.select(col("node")).distinct()
+          .withColumn("is_seed", lit(1L)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    PrState(edges, outdeg, flagged, flagged.agg(sum("is_seed").as("ns")))
+  }
+
+  /** r_0: all mass uniformly on the seed set. */
+  private def prStart(st: PrState): DataFrame =
+    st.flagged.crossJoin(broadcast(st.ns))
+      .select(col("node"), expr("is_seed * (1000000000 div ns)").as("r"))
+
+  /** One damped round: contrib = dst-keyed sum of r/deg over edges,
+    * dangling mass back to the seeds, exact ppb integer update. */
+  private def prRound(st: PrState, r: DataFrame): DataFrame = {
+    val contrib = st.edges
+      .join(r.select(col("node").as("src"), col("r")), Seq("src"))
+      .join(st.outdeg, Seq("src"))
+      .select(col("dst"), expr("r div deg").as("c"))
+      .groupBy("dst").agg(sum("c").as("contrib"))
+    val dang = r
+      .join(st.outdeg, r("node") === st.outdeg("src"), "left_anti")
+      .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+    st.flagged.crossJoin(broadcast(st.ns)).crossJoin(broadcast(dang))
+      .join(contrib, col("node") === col("dst"), "left")
+      .select(col("node"),
+        expr("(150 * is_seed * (1000000000 div ns) + " +
+          "850 * (coalesce(contrib, 0) + is_seed * (dang div ns))) " +
+          "div 1000").as("r"))
+  }
+
+  /** TRUSTRANK UNTIL CONVERGED (q146): q139's seeded trust propagation
+    * run to the ε = 10⁶ ppb (0.1 % of total mass) L1 fixed point, cap
+    * 10 — the dial a production ranking job actually ships (fixed
+    * 3-round PageRank is the oracle-friendly teaching dial; real jobs
+    * iterate until the ranking stabilizes). The seeded start (all mass
+    * on 4 seeds) is maximally far from the fixed point, so the delta
+    * decays geometrically and the stopping round genuinely varies with
+    * the graph (4 rounds at sf0.001, 3 at sf0.01 — measured), which is
+    * exactly what the `rounds_taken` column certifies cross-engine. */
+  def q146TrustrankConverged(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, nodes) = coSupplyGraph(spark, dir)
+    val seeds = nodes.orderBy("node").limit(4)
+    pageRankSeededConverged(edges, nodes, seeds,
+      epsPpb = 1000000L, maxIters = 10)
+      .select(col("node").as("suppkey"), col("rank_ppb").as("trust_ppb"),
+        col("rounds_taken"))
+      .orderBy(desc("trust_ppb"), asc("suppkey"))
   }
 }
