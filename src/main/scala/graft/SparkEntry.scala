@@ -3192,8 +3192,13 @@ object SparkEntry {
 
   /** q137's from-scratch SCD2 rebuild — shared verbatim by q145 (the
     * incremental fold provably equals the rebuild, so one oracle
-    * serves both; the asof-oracle / q58-q64 move). */
-  private val scd2RebuildOracle: String =
+    * serves both; the asof-oracle / q58-q64 move). Declared as `def`,
+    * NOT `val`: it is referenced from `mixCascadeOracles` which is
+    * declared earlier in this object, and a forward *val* reference
+    * initializes to null (this exact bug zeroed round 16's
+    * correctness artifact — see VERDICT r16 #1 and
+    * OracleRegistrySpec's null sweep). */
+  private def scd2RebuildOracle: String =
     """WITH e AS (
       |  SELECT user_id, ts, event_id, event_type AS state,
       |         lag(event_type) OVER (PARTITION BY user_id

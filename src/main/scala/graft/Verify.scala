@@ -44,8 +44,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Null-sweep BEFORE serializing: a Scala forward-val reference inside
+    // the oracle registry yields a silently-null entry; NPEing inside q()
+    // would abort the dump after the parquets but before oracle_sql.json,
+    // zeroing the WHOLE round's correctness (this happened in round 16).
+    // Name the offending keys, drop them from the dump, keep going.
+    val (nullEntries, liveEntries) = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
+      .partition { case (k, v) => k == null || v == null }
+    nullEntries.keys.foreach(k =>
+      System.err.println(s"[verify] FATAL: null oracle SQL for '$k' " +
+        "(forward val reference in SparkEntry?) — entry dropped"))
+    val json = liveEntries
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -3448,9 +3448,17 @@ object DocQueries {
     * weight table to the ingest gate). */
   def trainedPerceptron(tok: DataFrame, isPositive: Column, dims: Int,
                         epochs: Int): Map[Long, Long] =
+    // The label predicate is part of the key: q125/q130/q144 all train
+    // lang='en' so omitting it was benign, but this is the public
+    // train-once API — a second caller with a DIFFERENT predicate on
+    // the same corpus must get its own model, not a silent cache hit.
+    // Column.toString is the expression's rendered form — stable per
+    // construction and distinct across distinct predicates (Spark 4's
+    // Column no longer exposes the expression node directly).
     sharedPerceptron.getOrElseUpdate(
       (tok.sparkSession.sparkContext.applicationId,
-        tok.queryExecution.analyzed.canonicalized, (dims, epochs)),
+        tok.queryExecution.analyzed.canonicalized,
+        (isPositive.toString, dims, epochs)),
       trainPerceptron(tok, isPositive, dims, epochs))
 
   /** The q125 registered model (en-vs-rest, dims = 256, epochs = 3) for

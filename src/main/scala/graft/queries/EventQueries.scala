@@ -446,7 +446,10 @@ object EventQueries {
     * every batch event's ts at or after every standing event's ts for
     * its key (the load-boundary contract every incremental dimension
     * load has); under it the result provably equals
-    * `scd2(history ∪ batch)`. */
+    * `scd2(history ∪ batch)`. The contract is ENFORCED, not assumed:
+    * a batch change timestamped before the open version's valid_from
+    * raises (assert_true in the open-version close — see the guard
+    * below) rather than silently minting overlapping intervals. */
   def scd2Incremental(standing: DataFrame, batch: DataFrame,
                       key: String, state: String): DataFrame = {
     val hwm = to_timestamp(lit("2200-01-01 00:00:00"))
@@ -473,9 +476,22 @@ object EventQueries {
           .as("is_current"))
     val firstNew = changes.groupBy(key)
       .agg(min(col("ts")).as("close_ts"))
+    // Load-boundary guard: the fold is only rebuild-equal when every
+    // batch event is at or after the standing events for its key. A
+    // violation surfaces here as close_ts < the open version's
+    // valid_from — fail loudly instead of minting an overlapping
+    // interval. assert_true returns NULL on pass, so coalescing it in
+    // front of the real valid_to keeps the check inside the plan
+    // (column pruning can't drop it) at open-version cost only.
     val openAdj = open.join(firstNew, Seq(key), "left")
       .select(col(key), col("state"), col("valid_from"),
-        coalesce(col("close_ts"), col("valid_to")).as("valid_to"),
+        coalesce(
+          assert_true(col("close_ts").isNull ||
+              col("close_ts") >= col("valid_from"),
+            concat(lit("scd2Incremental: load-boundary contract violated" +
+              " — batch ts precedes the open version's valid_from for key="),
+              col(key).cast("string"))).cast("timestamp"),
+          col("close_ts"), col("valid_to")).as("valid_to"),
         col("version"),
         (col("close_ts").isNull && col("is_current")).as("is_current"))
     standing.join(touched, Seq(key), "left_anti")
