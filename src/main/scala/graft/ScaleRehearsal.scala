@@ -1060,6 +1060,83 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q141_cdc","chunks":${out.getLong(0)},"bytes":${out.getLong(1)},"uniq_bytes":${out.getLong(2)},"stored_ppm_band":[${out.getLong(4)},${out.getLong(3)}],"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // Sequence packing (q143, round 16): amplified docs are k
+      // independent copies with identical length distributions, so
+      // items grow EXACTLY ×k, windows ~×k (per class ceil(n_k/k) —
+      // at most one extra partial per class per factor), and the
+      // padding ppm stays in the same band (it is a property of the
+      // length distribution, not the corpus size). Zero overflow is
+      // structural (k·len ≤ cap), so the survival question is purely
+      // whether the census stays flat while wall grows ~linearly —
+      // the classing is map-only + exactStratumRank's √n rank.
+      if (on("pack")) {
+        val out = graft.queries.DocQueries.q143SequencePack(spark, dir)
+          .agg(sum("n_items").as("items"), sum("n_windows").as("windows"),
+            sum("item_tokens").as("toks"), sum("capacity_tokens").as("cap"))
+          .collect()(0)
+        val padPpm = (out.getLong(3) - out.getLong(2)) * 1000000L / out.getLong(3)
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q143SequencePack(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q143_pack","items":${out.getLong(0)},"windows":${out.getLong(1)},"padding_ppm":$padPpm,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Host curation gate (q144, round 16): amplification multiplies
+      // DOCS but not HOSTS (source passes through the copy), so the
+      // verdict table stays at the source count whatever the factor —
+      // the broadcast-gate claim measured: host rows constant, kept
+      // docs ~×k (the bars are mean-relative), wall dominated by the
+      // already-measured upstream aggregates (perceptron + overlap +
+      // pagerank), the gate join itself corpus-linear map-side.
+      // Deep factors only: the perceptron retrains per amplified plan.
+      if (on("hostgate") && deep) {
+        val out = graft.queries.DocQueries.q144HostCurationGate(spark, dir)
+          .agg(count(lit(1)).as("hosts"),
+            sum(when(col("verdict") === 1L, 1L).otherwise(0L)).as("kept_hosts"),
+            sum("docs_kept").as("kept_docs"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q144HostCurationGate(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q144_hostgate","hosts":${out.getLong(0)},"kept_hosts":${out.getLong(1)},"kept_docs":${out.getLong(2)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Incremental SCD2 (q145, round 16): amplified events shift users
+      // into disjoint ranges on the SAME timeline, so the fixed-date
+      // cutoff splits every copy identically — the standing dimension
+      // grows ×k AND the batch grows ×k, but the operator's claim is
+      // that work beyond the standing scan is batch-proportional: the
+      // fold's wall should track q137's rebuild (both scan everything
+      // once) while versions stay exactly ×k and match the rebuild's.
+      if (on("scd2incr")) {
+        import graft.queries.EventQueries
+        val ev = graft.sources.Tables(spark, dir, "events")
+        val cutoff = to_timestamp(lit("2024-01-22 00:00:00"))
+        def fold() = EventQueries.scd2Incremental(
+          EventQueries.scd2(ev.filter(col("ts") < cutoff),
+            "user_id", "event_type"),
+          ev.filter(col("ts") >= cutoff), "user_id", "event_type")
+        val folded = fold().agg(count(lit(1)).as("versions")).collect()(0)
+        val rebuilt = EventQueries.scd2(ev, "user_id", "event_type")
+          .agg(count(lit(1))).collect()(0)
+        val sec = timed(materialize(fold()))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q145_scd2incr","versions":${folded.getLong(0)},"rebuild_versions":${rebuilt.getLong(0)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Converged TrustRank (q146, round 16): amplified lineitem adds
+      // ORDERS over the same supplier set, so the co-supply node set is
+      // constant and the distinct edge set saturates toward the
+      // complete graph — rounds_taken is the claim under test: the
+      // adaptive stop must stay small (denser graph mixes FASTER) and
+      // per-round state stays node-sized whatever the factor.
+      if (on("trustconv") && deep) {
+        val out = graft.queries.GraphQueries
+          .q146TrustrankConverged(spark, dir)
+          .agg(count(lit(1)).as("nodes"), max("rounds_taken").as("rounds"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.GraphQueries.q146TrustrankConverged(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q146_trustconv","nodes":${out.getLong(0)},"rounds_taken":${out.getLong(1)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Release the per-dir caches before the next factor — both the
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every
