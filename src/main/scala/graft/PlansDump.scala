@@ -40,7 +40,8 @@ object PlansDump {
     "q128_embed_ivf_sqrt_n", "q131_ann_recall_eval", "q132_cluster_sample",
     "q133_source_overlap", "q134_pagerank_suppliers", "q136_cms_freq",
     "q137_scd2_build", "q138_edit_distance_join", "q139_trustrank_suppliers",
-    "q141_cdc_chunk_dedup")
+    "q141_cdc_chunk_dedup", "q143_sequence_pack", "q144_host_curation_gate",
+    "q145_scd2_incremental", "q146_trustrank_converged")
   // q79 is excluded by design: its label table is built by an ITERATIVE
   // loop whose final plan is (window over checkpointed RDD) — the
   // interesting shape is per-round and is asserted in PlanPinsSpec.
@@ -79,6 +80,14 @@ object PlansDump {
   // reference. q119 follows q104 (EM rounds of vocab-sized joins; the
   // registered result is the memoized driver-assembled vocab — a
   // LocalTableScan); its structural claims are UnigramSpec's.
+  // q143–q146 (round 16) ARE audited: q143 is map-only classing +
+  // exactStratumRank's two-level rank; q144's gate must show ONE
+  // broadcast join against the corpus (the verdict side is host-sized);
+  // q145 must show the semi/anti standing-dim split with batch-keyed
+  // windows (no global window); q146's registered plan is ONE re-derived
+  // round over the checkpointed r_{k-1} (the q134 last-round-
+  // unmaterialized discipline — the adaptive loop behind it is
+  // ConvergedRankSpec's).
 
   private val header =
     """# PLANS — physical-plan audit of flagship queries (sf0.001, local[4])

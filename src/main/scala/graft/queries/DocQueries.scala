@@ -3904,15 +3904,19 @@ object DocQueries {
         when(col("rank_ppb") <= expr("1000000000 div ns"), 1L).otherwise(0L)
           .as("a_pass"))
       .withColumn("verdict", col("q_pass") * col("a_pass"))
-    val kept = docs.select("doc_id", "source")
-      .join(broadcast(verdicts.select(col("source"), col("verdict"))),
-        "source")
-      .filter(col("verdict") === 1L)
-      .groupBy("source").agg(count(lit(1)).as("docs_kept"))
-    verdicts.join(kept, Seq("source"), "left")
+    // ONE corpus pass: the broadcast gate join feeds the census directly
+    // (verdict columns are constant per source, so they ride the groupBy
+    // key and the verdict subtree is referenced exactly once — a
+    // verdict-side re-reference would recompute the corpus-sized
+    // perceptron/overlap aggregates twice, measured in PLANS.md r17).
+    docs.select("doc_id", "source")
+      .join(broadcast(verdicts), "source")
+      .groupBy("source", "n_docs", "sum_score", "rank_ppb",
+        "q_pass", "a_pass", "verdict")
+      .agg(count(lit(1)).as("n_raw"))
       .select(col("source"), col("n_docs"), col("sum_score"),
         col("rank_ppb"), col("q_pass"), col("a_pass"), col("verdict"),
-        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"))
+        (col("n_raw") * col("verdict")).as("docs_kept"))
       .orderBy("source")
   }
 }
