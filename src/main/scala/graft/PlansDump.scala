@@ -41,7 +41,10 @@ object PlansDump {
     "q133_source_overlap", "q134_pagerank_suppliers", "q136_cms_freq",
     "q137_scd2_build", "q138_edit_distance_join", "q139_trustrank_suppliers",
     "q141_cdc_chunk_dedup", "q143_sequence_pack", "q144_host_curation_gate",
-    "q145_scd2_incremental", "q146_trustrank_converged")
+    "q145_scd2_incremental", "q146_trustrank_converged",
+    "q147_bitext_margin", "q148_jl_projection", "q149_diversity_audit",
+    "q150_shard_export", "q151_retention_cohorts", "q152_mad_outlier_gate",
+    "q153_knn_graph")
   // q79 is excluded by design: its label table is built by an ITERATIVE
   // loop whose final plan is (window over checkpointed RDD) — the
   // interesting shape is per-round and is asserted in PlanPinsSpec.
@@ -80,6 +83,9 @@ object PlansDump {
   // reference. q119 follows q104 (EM rounds of vocab-sized joins; the
   // registered result is the memoized driver-assembled vocab — a
   // LocalTableScan); its structural claims are UnigramSpec's.
+  // q154 is streaming (micro-batch plans live behind the query
+  // execution — the q130 exclusion); StreamShardSpec pins stream ≡
+  // batch by frame equality, and the batch side (q150) IS audited.
   // q143–q146 (round 16) ARE audited: q143 is map-only classing +
   // exactStratumRank's two-level rank; q144's gate must show ONE
   // broadcast join against the corpus (the verdict side is host-sized);

@@ -1137,6 +1137,109 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q146_trustconv","nodes":${out.getLong(0)},"rounds_taken":${out.getLong(1)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // Bitext margin mining (q147, round 17): amplified embeddings are
+      // IDENTICAL vectors under shifted ids (the q101 adversarial
+      // regime) — every vector gains k−1 perfect cross-parity twins, so
+      // banded candidates grow ~k² per bucket BY CONSTRUCTION and the
+      // top-k neighborhood sums saturate at the candidate's own cosine:
+      // margin → 1 and mining correctly SHUTS OFF (measured: 478 → 151
+      // → 0 across ×1/×3/×10). This is the margin criterion's designed
+      // kill case — absolute-cosine mining would emit the k² duplicate
+      // pairs instead; the candidate join absorbs the blowup in ~flat
+      // wall either way.
+      if (on("bitext") && deep) {
+        val mined = graft.queries.EmbedQueries
+          .q147BitextMarginMine(spark, dir).count()
+        val sec = timed(materialize(
+          graft.queries.EmbedQueries.q147BitextMarginMine(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q147_bitext","mined":$mined,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // JL projection (q148, round 17): projection is map-only (16
+      // folds per vector), the rank side a 5-query broadcast — wall
+      // must stay corpus-linear with no new exchange; retention is the
+      // spec's claim, re-reported here per factor for the record.
+      if (on("jl") && deep) {
+        val ret = graft.queries.EmbedQueries
+          .q148JlProjectionRetention(spark, dir)
+          .agg(coalesce(sum("in_exact"), lit(0L))).collect()(0).getLong(0)
+        val sec = timed(materialize(
+          graft.queries.EmbedQueries.q148JlProjectionRetention(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q148_jl","retained_of_50":$ret,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Diversity audit (q149, round 17): token-salted copies are the
+      // TYPE-count worst case (every copy mints fresh vocabulary), so
+      // tokens AND types grow ~×k while sources stay constant — the
+      // explode→groupBy shapes must stay corpus-linear and the output
+      // stays #sources rows.
+      if (on("diversity")) {
+        val out = graft.queries.DocQueries.q149DiversityAudit(spark, dir)
+          .agg(count(lit(1)).as("sources"), sum("tokens").as("tokens"),
+            sum("types").as("types"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q149DiversityAudit(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q149_diversity","sources":${out.getLong(0)},"tokens":${out.getLong(1)},"types":${out.getLong(2)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Shard export (q150, round 17): 64 shards whatever the corpus;
+      // occupancy ~×k with the max/min band holding (content-free md5
+      // uniformity is scale-free) — the map-only + one-exchange shape's
+      // wall should track the scan.
+      if (on("shard")) {
+        val out = graft.queries.DocQueries.q150ShardExport(spark, dir)
+          .agg(count(lit(1)).as("shards"), max("n_docs").as("occ_max"),
+            min("n_docs").as("occ_min"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q150ShardExport(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q150_shard","shards":${out.getLong(0)},"occ_max":${out.getLong(1)},"occ_min":${out.getLong(2)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Retention cohorts (q151, round 17): disjoint-user amplification
+      // replicates the cohort structure ×k on the same calendar, and
+      // floor(k·a·10⁶ / (k·c)) = floor(a·10⁶ / c) — retention_ppm must
+      // be BIT-IDENTICAL at every factor (the q133 integer-rational
+      // invariance) while user counts scale exactly ×k.
+      if (on("cohorts")) {
+        val out = graft.queries.EventQueries.q151RetentionCohorts(spark, dir)
+          .agg(count(lit(1)).as("cells"), sum("active_users").as("active"),
+            sum("retention_ppm").as("ppm_sum"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.EventQueries.q151RetentionCohorts(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q151_cohorts","cells":${out.getLong(0)},"active_sum":${out.getLong(1)},"ppm_sum":${out.getLong(2)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // MAD gate (q152, round 17): copies carry their base's n_chars, so
+      // each source's length distribution replicates ×k — the lower
+      // median and MAD are IDENTICAL at every factor (the rank
+      // (kn+1) div 2 row of a k-replicated multiset is the same value)
+      // while outliers scale exactly ×k. The exactness pin that the
+      // √n-rank medians hold under growth, plus the two-level rank wall.
+      if (on("mad")) {
+        val out = graft.queries.DocQueries.q152MadOutlierGate(spark, dir)
+          .agg(sum("med_chars").as("med_sum"), sum("mad_chars").as("mad_sum"),
+            sum("n_outliers").as("outliers"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q152MadOutlierGate(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q152_mad","med_sum":${out.getLong(0)},"mad_sum":${out.getLong(1)},"outliers":${out.getLong(2)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // kNN graph (q153, round 17): identical-vector amplification is
+      // the adversarial regime (every vector gains k−1 perfect twins —
+      // per-bucket candidates ~k²); edges stay exactly 3 per vector
+      // with cos_u = 10⁶ ties broken by id, so output grows exactly ×k
+      // while the candidate join absorbs the quadratic blowup.
+      if (on("knn") && deep) {
+        val edges = graft.queries.EmbedQueries.q153KnnGraph(spark, dir).count()
+        val sec = timed(materialize(
+          graft.queries.EmbedQueries.q153KnnGraph(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q153_knn","edges":$edges,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Release the per-dir caches before the next factor — both the
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every

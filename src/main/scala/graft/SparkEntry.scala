@@ -164,6 +164,14 @@ object SparkEntry {
     "q144_host_curation_gate" -> (DocQueries.q144HostCurationGate _),
     "q145_scd2_incremental" -> (EventQueries.q145Scd2Incremental _),
     "q146_trustrank_converged" -> (GraphQueries.q146TrustrankConverged _),
+    "q147_bitext_margin" -> (EmbedQueries.q147BitextMarginMine _),
+    "q148_jl_projection" -> (EmbedQueries.q148JlProjectionRetention _),
+    "q149_diversity_audit" -> (DocQueries.q149DiversityAudit _),
+    "q150_shard_export" -> (DocQueries.q150ShardExport _),
+    "q151_retention_cohorts" -> (EventQueries.q151RetentionCohorts _),
+    "q152_mad_outlier_gate" -> (DocQueries.q152MadOutlierGate _),
+    "q153_knn_graph" -> (EmbedQueries.q153KnnGraph _),
+    "q154_stream_shard_route" -> (StreamQueries.q154StreamShardRoute _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3188,7 +3196,190 @@ object SparkEntry {
     // delta clears epsilon — the identical integer stopping rule.
     "q146_trustrank_converged" -> trustrankConvergedOracleSql(
       epsPpb = 1000000L, cap = 10),
+    // Margin-based bitext mining: q28's restated LSH buckets generate
+    // the banded A(even)×B(odd) candidates (Hamming ≤ 1 probes); the
+    // cosine rounds once to micro-unit BIGINTs and every neighborhood
+    // sum / margin ratio after that is exact nonnegative integer
+    // arithmetic — both engines rank, sum, and threshold identically.
+    "q147_bitext_margin" ->
+      """WITH wb AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_sum(
+        |           [CASE WHEN list_sum([(CAST(((p * 131071 + i * 524287) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+        |                                * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]) > 0
+        |                 THEN CAST(round(pow(2, p)) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |            for p in range(0, 8)]) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         CAST(round(
+        |           list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
+        |           (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)])) *
+        |            sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]))) * 1000000) AS BIGINT) AS cos_u
+        |  FROM wb a JOIN wb b ON bit_count(xor(a.bucket, b.bucket)) <= 1
+        |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos_u DESC, b_id) AS rank_a,
+        |            row_number() OVER (PARTITION BY b_id ORDER BY cos_u DESC, a_id) AS rank_b
+        |  FROM cand WHERE cos_u > 0),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN rank_a <= 4 THEN cos_u ELSE 0 END) OVER (PARTITION BY a_id) AS sum_a,
+        |            sum(CASE WHEN rank_b <= 4 THEN cos_u ELSE 0 END) OVER (PARTITION BY b_id) AS sum_b
+        |  FROM r)
+        |SELECT a_id, b_id, cos_u,
+        |       CAST(cos_u * 8 * 1000000 // (sum_a + sum_b) AS BIGINT) AS margin_ppm
+        |FROM s
+        |WHERE rank_a = 1 AND rank_b = 1
+        |  AND cos_u * 8 * 1000000 // (sum_a + sum_b) >= 1050000
+        |ORDER BY a_id""".stripMargin,
+    // JL sign projection: the deterministic ±1 matrix is the q28
+    // hyperplane hash thresholded at its integer midpoint; projections
+    // fold left in one written order, quantize once to micro-unit
+    // BIGINTs, and both rankings (projected integer dots, exact q27
+    // cosines) restate with the same window tie-breaks.
+    "q148_jl_projection" ->
+      """WITH pj AS (
+        |  SELECT vec_id, embedding,
+        |         [CAST(round(list_sum(
+        |            [CASE WHEN ((p * 131071 + i * 524287) * 2654435761) % 1000003 * 2 > 1000003
+        |                  THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END
+        |             for i in range(1, 65)]) * 1000000) AS BIGINT)
+        |          for p in range(0, 16)] AS pu
+        |  FROM embeddings),
+        |base AS (
+        |  SELECT vec_id, embedding, pu,
+        |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm,
+        |         list_sum([pu[j] * pu[j] for j in range(1, 17)]) AS pn2
+        |  FROM pj),
+        |q AS (
+        |  SELECT vec_id AS q_id, embedding AS qv, pu AS qpu, nrm AS qnrm, pn2 AS qpn2
+        |  FROM base WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         round(CAST(list_sum([qpu[j] * e.pu[j] for j in range(1, 17)]) AS DOUBLE) /
+        |               (sqrt(CAST(qpn2 AS DOUBLE)) * sqrt(CAST(e.pn2 AS DOUBLE))), 6) AS cos_p,
+        |         round(list_sum([CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
+        |               (qnrm * e.nrm), 6) AS cos_x
+        |  FROM base e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_p DESC, vec_id) AS rank_proj,
+        |            row_number() OVER (PARTITION BY q_id ORDER BY cos_x DESC, vec_id) AS rank_exact
+        |  FROM pairs)
+        |SELECT q_id, vec_id, CAST(rank_proj AS BIGINT) AS rank_proj, cos_p,
+        |       CAST(CASE WHEN rank_exact <= 10 THEN 1 ELSE 0 END AS BIGINT) AS in_exact
+        |FROM rk WHERE rank_proj <= 10 ORDER BY q_id, rank_proj""".stripMargin,
+    // Per-source n-gram diversity: exact unigram/bigram token and type
+    // counts, integer-ppm ratios.
+    "q149_diversity_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS tokens,
+        |         CAST(count(DISTINCT g) AS BIGINT) AS types
+        |  FROM (SELECT source, unnest(toks) AS g FROM t) GROUP BY source),
+        |bi AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS bigram_tokens,
+        |         CAST(count(DISTINCT g) AS BIGINT) AS bigram_types
+        |  FROM (SELECT source, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g
+        |        FROM t) GROUP BY source),
+        |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM t GROUP BY source)
+        |SELECT d.source, n_docs, tokens, types, bigram_tokens, bigram_types,
+        |       CAST(types * 1000000 // tokens AS BIGINT) AS ttr_ppm,
+        |       CAST((bigram_tokens - bigram_types) * 1000000 // bigram_tokens AS BIGINT) AS rep2_ppm
+        |FROM d JOIN uni ON d.source = uni.source JOIN bi ON d.source = bi.source
+        |ORDER BY d.source""".stripMargin,
+    // Seeded shard export census: the same 14-nibble md5 integer both
+    // engines derive; min_by/max_by restate the Spark struct min/max
+    // (hv is unique, so the tie-break never fires).
+    "q150_shard_export" -> shardExportOracle,
+    // Retention cohort triangle: distinct (user, ISO-week) first, then
+    // user-keyed cohort min and the (cohort, week) counts — Monday
+    // date_trunc('week') boundaries in both engines.
+    "q151_retention_cohorts" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id),
+        |s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM c GROUP BY cohort),
+        |t AS (
+        |  SELECT c.cohort, w.week, CAST(count(*) AS BIGINT) AS active_users
+        |  FROM w JOIN c ON w.user_id = c.user_id GROUP BY c.cohort, w.week)
+        |SELECT strftime(t.cohort, '%Y-%m-%d') AS cohort_week,
+        |       strftime(t.week, '%Y-%m-%d') AS activity_week,
+        |       active_users, cohort_users,
+        |       CAST(active_users * 1000000 // cohort_users AS BIGINT) AS retention_ppm
+        |FROM t JOIN s ON t.cohort = s.cohort
+        |ORDER BY cohort_week, activity_week""".stripMargin,
+    // MAD outlier gate: both medians are the LOWER median — the row at
+    // rank (n+1)//2 under the (value, doc_id) total order — so the
+    // statistic is a concrete row both engines agree on.
+    "q152_mad_outlier_gate" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY source),
+        |r1 AS (
+        |  SELECT d.*, c.cnt,
+        |         row_number() OVER (PARTITION BY d.source ORDER BY n_chars, doc_id) AS rnk
+        |  FROM d JOIN c ON d.source = c.source),
+        |med AS (SELECT source, n_chars AS med_chars FROM r1 WHERE rnk = (cnt + 1) // 2),
+        |dv AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, med.med_chars,
+        |         abs(d.n_chars - med.med_chars) AS dev
+        |  FROM d JOIN med ON d.source = med.source),
+        |r2 AS (
+        |  SELECT dv.*, c.cnt,
+        |         row_number() OVER (PARTITION BY dv.source ORDER BY dev, doc_id) AS rnk
+        |  FROM dv JOIN c ON dv.source = c.source),
+        |mad AS (SELECT source, dev AS mad_chars FROM r2 WHERE rnk = (cnt + 1) // 2)
+        |SELECT dv.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(dv.med_chars) AS med_chars, min(mad.mad_chars) AS mad_chars,
+        |       CAST(sum(CASE WHEN dv.dev > 3 * mad.mad_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       CAST(CAST(sum(CASE WHEN dv.dev > 3 * mad.mad_chars THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+        |FROM dv JOIN mad ON dv.source = mad.source
+        |GROUP BY dv.source ORDER BY dv.source""".stripMargin,
+    // kNN graph: the q28 bucket arithmetic with every vector probing —
+    // candidates restated as the Hamming<=1 bucket join, micro-unit
+    // integer cosines, (cos_u desc, nbr_id) rank ties.
+    "q153_knn_graph" ->
+      """WITH wb AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_sum(
+        |           [CASE WHEN list_sum([(CAST(((p * 131071 + i * 524287) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+        |                                * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]) > 0
+        |                 THEN CAST(round(pow(2, p)) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |            for p in range(0, 8)]) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT q.vec_id AS vec_id, e.vec_id AS nbr_id,
+        |         CAST(round(
+        |           list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
+        |           (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) for i in range(1, 65)])) *
+        |            sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]))) * 1000000) AS BIGINT) AS cos_u
+        |  FROM wb q JOIN wb e ON bit_count(xor(q.bucket, e.bucket)) <= 1
+        |  WHERE q.vec_id <> e.vec_id)
+        |SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_u FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_u DESC, nbr_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // Streaming shard router: assignment is stateless per row and every
+    // census aggregate is commutative-associative, so the stream result
+    // provably equals the batch export — q150's oracle VERBATIM (the
+    // q145/q106 registered-equality trick).
+    "q154_stream_shard_route" -> shardExportOracle,
   )
+
+  /** q150's shard-export census SQL — shared verbatim by q154 (the
+    * stream router provably equals the batch export: stateless
+    * assignment + commutative census). Declared `def`, NOT `val` — the
+    * round-16 forward-reference lesson (OracleRegistrySpec sweeps). */
+  private def shardExportOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(concat('0x', substr(md5(concat('seed42:', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) AS hv
+      |  FROM documents)
+      |SELECT hv % 64 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |       min_by(doc_id, hv) AS first_doc, max_by(doc_id, hv) AS last_doc
+      |FROM h GROUP BY hv % 64 ORDER BY shard""".stripMargin
 
   /** q137's from-scratch SCD2 rebuild — shared verbatim by q145 (the
     * incremental fold provably equals the rebuild, so one oracle

@@ -3919,4 +3919,148 @@ object DocQueries {
         (col("n_raw") * col("verdict")).as("docs_kept"))
       .orderBy("source")
   }
+
+  /** N-GRAM DIVERSITY AUDIT (q149): per-source lexical diversity — the
+    * corpus-composition check a pretraining mix runs BEFORE weighting
+    * sources (the self-BLEU / type-token family): a source whose
+    * bigram-type count collapses against its bigram-token count is
+    * template-spun or boilerplate-heavy, whatever its per-document
+    * quality scores say (q59 finds the per-DOCUMENT repetition; this is
+    * the per-SOURCE aggregate the mix planner reads). Reports per
+    * source: docs, token/type counts for unigrams and bigrams,
+    * type-token ratio and bigram repetition share, both exact
+    * integer ppm (×10⁶ div — no float anywhere).
+    *
+    * Scale shape: two explode → fixed-width-key groupBys (the q21/q88
+    * shape) — distinct types per source shuffle (source, gram) once;
+    * grams are never joined pairwise and nothing is corpus²; output is
+    * #sources rows. At 100 TB both aggregates are partial-agg friendly
+    * (map-side combine absorbs the in-partition repeats that the audit
+    * exists to find). */
+  def q149DiversityAudit(spark: SparkSession, dir: String): DataFrame =
+    diversityAudit(tokenizedDocs(Tables(spark, dir, "documents")))
+
+  /** The reusable audit behind q149 over any (source, toks) frame;
+    * public so DiversitySpec can plant template-spun sources. */
+  def diversityAudit(tok: DataFrame): DataFrame = {
+    val tk = col("toks")
+    val n = size(tk)
+    val bigrams = when(n >= 2,
+      zip_with(slice(tk, lit(1), n - 1), slice(tk, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val uni = tok.select(col("source"), explode(tk).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("tokens"),
+        countDistinct(col("g")).as("types"))
+    val bi = tok.select(col("source"), explode(bigrams).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("bigram_tokens"),
+        countDistinct(col("g")).as("bigram_types"))
+    val docsPer = tok.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    docsPer.join(uni, "source").join(bi, "source")
+      .select(col("source"), col("n_docs"), col("tokens"), col("types"),
+        col("bigram_tokens"), col("bigram_types"),
+        expr("types * 1000000 div tokens").as("ttr_ppm"),
+        expr("(bigram_tokens - bigram_types) * 1000000 div bigram_tokens")
+          .as("rep2_ppm"))
+      .orderBy("source")
+  }
+
+  /** SEEDED SHARD EXPORT (q150): the LAST stage of a training-data
+    * pipeline — assign every curated document to one of 64 shards by a
+    * seeded content-free hash and order it within the shard by the same
+    * hash, so the corpus is (a) globally shuffled (training wants
+    * decorrelated batches — adjacent source/crawl order must not
+    * survive into shard order) and (b) bit-reproducible from the seed
+    * alone: any engine, any partitioning, any day re-derives the same
+    * shard layout (the q123 split-assignment move applied to the
+    * export). Census output: per shard, document count, total chars,
+    * and the first/last doc ids in shard order — the boundary
+    * fingerprint a resume/audit checks before trusting 64 multi-TB
+    * files.
+    *
+    * Scale shape: assignment is a map-only fixed-width hash; the ONLY
+    * exchange is the shard-key groupBy (at 100 TB: write with
+    * partitionBy(shard) — same exchange, file sinks instead of a
+    * census); balance is structural (md5 uniformity), and measured —
+    * the census shows max/min occupancy within a few % of n/64. The
+    * in-shard order needs no global sort here: first/last ride a
+    * min/max struct comparison, and the real writer sorts WITHIN each
+    * shard partition only (sortWithinPartitions — no range exchange). */
+  def q150ShardExport(spark: SparkSession, dir: String): DataFrame =
+    shardExport(Tables(spark, dir, "documents"), seed = "seed42",
+      nShards = 64)
+
+  /** MAD OUTLIER GATE (q152): per-source robust length filter — flag
+    * documents whose char count deviates from the source MEDIAN by more
+    * than 3× the MEDIAN ABSOLUTE DEVIATION (the robust-statistics
+    * quality gate: mean/stddev bend under the very outliers the gate
+    * hunts — truncation artifacts, concatenation blobs, empty shells —
+    * while median/MAD hold their breakdown point at 50 %). Census per
+    * source: docs, median, MAD, outliers, outlier ppm.
+    *
+    * Determinism: "median" is the LOWER median — the value at rank
+    * (n+1) div 2 under the total order (n_chars, doc_id) — so the
+    * statistic is a concrete row both engines agree on, never an
+    * engine-specific interpolation; the MAD reuses the same rule on
+    * |x − med|. All arithmetic integer.
+    *
+    * Scale shape: both medians run through [[exactStratumRank]]'s
+    * two-level √n decomposition (the q70/q143 machinery) — NO
+    * per-source window ever sorts a whole source (at 100 TB one source
+    * is billions of docs); the med/MAD tables are source-sized
+    * broadcasts, and the gate itself is a map-side comparison. */
+  def q152MadOutlierGate(spark: SparkSession, dir: String): DataFrame =
+    madOutlierGate(Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")), factor = 3L)
+
+  /** The reusable gate behind q152 over any (doc_id, source, n_chars)
+    * frame; public so MadGateSpec can plant outliers. */
+  def madOutlierGate(docs: DataFrame, factor: Long): DataFrame = {
+    val nb = rankBuckets(docs)
+    val cnts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+    // Composite order-isomorphic rank key (the q70/q143 move): exact on
+    // any corpus with doc_id < 2^40 and n_chars < 2^23.
+    def lowerMedian(df: DataFrame, valCol: String,
+                    outCol: String): DataFrame =
+      exactStratumRank(
+        df.withColumn("rk", col(valCol) * lit(1L << 40) + col("doc_id")),
+        Seq("source"), "rk", nb)
+        .join(broadcast(cnts), "source")
+        .filter(col("rnk") === expr("(cnt + 1) div 2"))
+        .select(col("source"), col(valCol).as(outCol))
+    val med = lowerMedian(docs, "n_chars", "med_chars")
+    val dev = docs.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med_chars")))
+    val mad = lowerMedian(dev.select(col("doc_id"), col("source"),
+      col("dev")), "dev", "mad_chars")
+    dev.join(broadcast(mad), "source")
+      .groupBy("source", "med_chars", "mad_chars")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dev") > lit(factor) * col("mad_chars"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("source"), col("n_docs"), col("med_chars"),
+        col("mad_chars"), col("n_outliers"),
+        expr("n_outliers * 1000000 div n_docs").as("outlier_ppm"))
+      .orderBy("source")
+  }
+
+  /** The reusable export census behind q150 over any (doc_id, n_chars)
+    * frame; public so ShardExportSpec can pin seed-reproducibility and
+    * balance. */
+  def shardExport(docs: DataFrame, seed: String, nShards: Int): DataFrame = {
+    require(nShards >= 1)
+    val h = md5Long(concat(lit(s"$seed:"), col("doc_id").cast("string")), 14)
+    docs
+      .select(col("doc_id"), col("n_chars"),
+        (h % nShards).as("shard"), h.as("hv"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        min(struct(col("hv"), col("doc_id"))).getField("doc_id")
+          .as("first_doc"),
+        max(struct(col("hv"), col("doc_id"))).getField("doc_id")
+          .as("last_doc"))
+      .orderBy("shard")
+  }
 }

@@ -1647,4 +1647,206 @@ object EmbedQueries {
       .agg(count(lit(1)).as("n_members"), sum("dist").as("inertia"))
       .orderBy("cid")
   }
+
+  /** MARGIN-BASED BITEXT MINING (q147): mine aligned pairs between two
+    * embedding collections by the RATIO-MARGIN criterion (Artetxe &
+    * Schwenk 2019, the CCMatrix/LASER mining rule): a candidate (x, y)
+    * is mined when cos(x, y) stands OUT of both sides' neighborhoods —
+    * margin = cos(x,y) · 2k / (Σ_{z∈NNk(x)} cos(x,z) + Σ_{z∈NNk(y)}
+    * cos(z,y)) — and x, y are MUTUAL best matches. The absolute-cosine
+    * rule overmines hubs (vectors near everything); the margin
+    * normalizes by local density, which is why production bitext
+    * pipelines use it. Collections here: even vs odd vec_id — the
+    * fixture's stand-in for two languages' encoder outputs.
+    *
+    * Scale shape: candidates come from the q28 sign-LSH bands — the
+    * A-side explodes to its Hamming≤1 probe keys (9 per vector,
+    * corpus-linear) and joins B on the bucket equi-key, so the pair
+    * set is band-occupancy-bounded, never |A|×|B|; neighborhoods and
+    * mutual-best are computed WITHIN the retrieved candidates (the
+    * FAISS-mining posture — the denominator's top-k is over what
+    * retrieval returned). At 100 TB the same plan runs with more
+    * planes / IVF lists; every downstream step is candidate-sized.
+    *
+    * Determinism/oracle parity: buckets are the q28 integer-hash
+    * hyperplanes (restated identically in DuckDB), cosines round once
+    * to integer MICRO-units, and every sum/ratio after that is exact
+    * BIGINT arithmetic on nonnegative operands (cos_u > 0 candidates
+    * only; margin_ppm = cos_u·2k·10⁶ div (sum_x + sum_y)) — no float
+    * leaves the per-pair cosine, so both engines rank and stop
+    * identically. */
+  def q147BitextMarginMine(spark: SparkSession, dir: String): DataFrame =
+    bitextMarginMine(Tables(spark, dir, "embeddings"), k = 4,
+      thresholdPpm = 1050000L)
+
+  /** The reusable miner behind q147 over any (vec_id, embedding) frame —
+    * collections are the vec_id parity split; public so BitextMineSpec
+    * can plant aligned pairs and hubs. */
+  def bitextMarginMine(embIn: DataFrame, k: Int,
+                       thresholdPpm: Long): DataFrame = {
+    withDot(embIn.sparkSession)
+    val emb = embIn
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"),
+        lshBucket(col("embedding"), 8).cast("long").as("bucket"))
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val flips = Seq(0L) ++ (0 until 8).map(p => 1L << p)
+    val probes = flips.map(m => col("bucket").bitwiseXOR(lit(m)))
+    val aProbed = a.select(col("vec_id").as("a_id"), col("embedding").as("av"),
+      col("nrm").as("anrm"), explode(array(probes: _*)).as("bucket"))
+    val cand = b.join(aProbed, Seq("bucket"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+        round(dot(col("av"), col("embedding")) /
+          (col("anrm") * col("nrm")) * 1e6).cast("long").as("cos_u"))
+      .filter(col("cos_u") > 0)
+    val wa = Window.partitionBy("a_id").orderBy(desc("cos_u"), asc("b_id"))
+    val wb = Window.partitionBy("b_id").orderBy(desc("cos_u"), asc("a_id"))
+    val ranked = cand
+      .withColumn("rank_a", row_number().over(wa).cast("long"))
+      .withColumn("rank_b", row_number().over(wb).cast("long"))
+    val sums = ranked
+      .withColumn("sum_a", sum(when(col("rank_a") <= k, col("cos_u"))
+        .otherwise(lit(0L))).over(Window.partitionBy("a_id")))
+      .withColumn("sum_b", sum(when(col("rank_b") <= k, col("cos_u"))
+        .otherwise(lit(0L))).over(Window.partitionBy("b_id")))
+    sums
+      .filter(col("rank_a") === 1 && col("rank_b") === 1)
+      .select(col("a_id"), col("b_id"), col("cos_u"),
+        expr(s"cos_u * ${2 * k} * 1000000 div (sum_a + sum_b)")
+          .as("margin_ppm"))
+      .filter(col("margin_ppm") >= thresholdPpm)
+      .orderBy("a_id")
+  }
+
+  /** K-NN GRAPH CONSTRUCTION (q153): every vector's top-k nearest
+    * neighbors as a directed edge list — the artifact the embedding
+    * pipeline builds ONCE and every downstream stage reads (SemDeDup's
+    * pair graph, NN-Descent refinement, cluster seeding, hard-negative
+    * pools q112-style). q27/q28 answer "neighbors of these 5 queries";
+    * this is the ALL-vectors version, which is exactly where brute
+    * force dies (n² at corpus scale) and banding is mandatory.
+    *
+    * Scale shape: the q28 posture with the PROBE side now the whole
+    * corpus — each vector explodes to its 9 Hamming≤1 probe keys
+    * (corpus-linear) and equi-joins the one-bucket-per-vector scan
+    * side; candidates are Σ_bucket 9·occ² — band-occupancy-bounded,
+    * never n². Per-vector top-k rides a rank window on the candidate
+    * set keyed by the probing vector. Vectors whose probed buckets
+    * hold fewer than k candidates emit fewer edges (the honest ANN
+    * answer; recall-vs-probe economics are q28/q131's measured story).
+    *
+    * Determinism: micro-unit integer cosines (the q147 move) — rank
+    * ties break on (cos_u, nbr_id), no float comparison crosses
+    * engines. */
+  def q153KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables(spark, dir, "embeddings"), kNbrs = 3)
+
+  /** The reusable builder behind q153 over any (vec_id, embedding)
+    * frame; public so KnnGraphSpec can pin recall on the clustered
+    * fixture. */
+  def knnGraph(embIn: DataFrame, kNbrs: Int): DataFrame = {
+    withDot(embIn.sparkSession)
+    val emb = embIn
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"),
+        lshBucket(col("embedding"), 8).cast("long").as("bucket"))
+    val flips = Seq(0L) ++ (0 until 8).map(p => 1L << p)
+    val probes = flips.map(m => col("bucket").bitwiseXOR(lit(m)))
+    val probed = emb.select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"), col("nrm").as("qnrm"),
+      explode(array(probes: _*)).as("bucket"))
+    val cand = emb.join(probed, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("vec_id_out"), col("vec_id").as("nbr_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (col("qnrm") * col("nrm")) * 1e6).cast("long").as("cos_u"))
+    val w = Window.partitionBy("vec_id_out")
+      .orderBy(desc("cos_u"), asc("nbr_id"))
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNbrs)
+      .select(col("vec_id_out").as("vec_id"), col("nbr_id"), col("rank"),
+        col("cos_u"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Deterministic ±1 sign for (plane p, component i) — the q28
+    * hyperplane hash thresholded at its midpoint, so the matrix is a
+    * seedless Achlioptas/JL sign matrix both engines rebuild from the
+    * same integer arithmetic (no RNG, no stored matrix). */
+  private def jlSign(p: Int, i: Column): Column =
+    when(((lit(p.toLong * 131071L) + i.cast("long") * 524287L)
+      * 2654435761L) % 1000003L * 2 > 1000003L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** JOHNSON–LINDENSTRAUSS SIGN PROJECTION + RECALL RETENTION (q148):
+    * project the 64-dim corpus onto 16 deterministic ±1-sign directions
+    * (Achlioptas 2003's database-friendly JL: signs, not Gaussians —
+    * hash-derived here, so the "matrix" is 0 bytes and any executor
+    * recomputes it) and measure what the 4× compression costs: the
+    * q27 query set's projected-space top-10, flagged row by row against
+    * the exact 64-dim top-10. This is the storage/shuffle-compression
+    * dial BEFORE the ANN ladder — q60 shrinks precision (int8), this
+    * shrinks DIMENSION; both compose with q46's IVF, and the judge of
+    * either is measured retention, not the JL bound. Measured on both
+    * regimes (JlProjectionSpec, the q28/AnnRecallSpec convention): the
+    * clustered fixture keeps 50/50 same-CLUSTER neighbors — the
+    * inter-cluster gap dwarfs the distortion, which is what 16 dims
+    * genuinely preserve — while exact-top-10 ORDER retention sits at
+    * the ~10/31 within-cluster shuffle floor; the near-uniform shipped
+    * corpus retains ≈ 0, because its cosine ordering is noise-level
+    * and the honest answer is that there is nothing for JL to keep.
+    *
+    * Determinism/oracle parity: projections are float folds in one
+    * written order (the q27/q28 list_sum ≡ aggregate convention), then
+    * quantize ONCE to micro-unit BIGINTs — every dot product after
+    * that is exact integer arithmetic, norms are the only doubles and
+    * they pass through the same sqrt/round(…,6) both engines run.
+    *
+    * Scale shape: projection is map-only (16 folds over each vector,
+    * once per corpus write); the demo's brute-force rank is the q27
+    * broadcast shape with a 4× narrower scan side — the actual 100 TB
+    * deployment stores pu alongside the vector and runs the existing
+    * IVF/LSH plans over it. */
+  def q148JlProjectionRetention(spark: SparkSession, dir: String): DataFrame =
+    jlRetention(Tables(spark, dir, "embeddings"))
+
+  /** The reusable retention harness behind q148 over any (vec_id,
+    * embedding) frame; queries are ids < 5 (the q27 convention). Public
+    * so JlProjectionSpec can run it on the clustered fixture. */
+  def jlRetention(emb: DataFrame): DataFrame = {
+    withDot(emb.sparkSession)
+    val proj = array((0 until 16).map { p =>
+      aggregate(sequence(lit(1), lit(64)), lit(0.0),
+        (acc, i) => acc + jlSign(p, i) *
+          element_at(col("embedding"), i).cast("double"))
+    }: _*)
+    val pu = emb.select(col("vec_id"), col("embedding"),
+      transform(proj, x => round(x * 1e6).cast("long")).as("pu"))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    // Norms (exact-space float, projected-space integer) project ONCE
+    // per row before the pair join — the q27 norm-hoisting rule.
+    val base = pu.select(col("vec_id"), col("embedding"), col("pu"),
+      l2(col("embedding")).as("nrm"),
+      idot(col("pu"), col("pu")).as("pn2"))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("pu").as("qpu"), col("nrm").as("qnrm"), col("pn2").as("qpn2"))
+    val pairs = base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(idot(col("qpu"), col("pu")).cast("double") /
+          (sqrt(col("qpn2").cast("double")) * sqrt(col("pn2").cast("double"))),
+          6).as("cos_p"),
+        round(dot(col("qv"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("cos_x"))
+    val wp = Window.partitionBy("q_id").orderBy(desc("cos_p"), asc("vec_id"))
+    val wx = Window.partitionBy("q_id").orderBy(desc("cos_x"), asc("vec_id"))
+    pairs
+      .withColumn("rank_proj", row_number().over(wp).cast("long"))
+      .withColumn("rank_exact", row_number().over(wx).cast("long"))
+      .filter(col("rank_proj") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rank_proj"), col("cos_p"),
+        when(col("rank_exact") <= 10, 1L).otherwise(0L).as("in_exact"))
+      .orderBy("q_id", "rank_proj")
+  }
 }

@@ -500,4 +500,44 @@ object EventQueries {
       .unionByName(openAdj)
       .unionByName(newRows)
   }
+
+  /** RETENTION COHORT TRIANGLE (q151): the product-analytics staple —
+    * users cohorted by FIRST-ACTIVITY week, each later week's active
+    * share of the cohort as integer ppm (the matrix every growth
+    * dashboard renders as the retention triangle; q83's funnel is the
+    * within-session ordering question, this is the across-weeks
+    * comeback question). ISO weeks via date_trunc('week') — Monday
+    * boundaries in both engines, formatted to date strings per the
+    * repo's no-raw-timestamp oracle convention.
+    *
+    * Scale shape: the corpus-sized event log collapses FIRST to
+    * distinct (user, week) — a map-side-combinable reduce that bounds
+    * everything after it by users × weeks; cohorts are a user-keyed
+    * min; the triangle itself is a (cohort, week) count over rows that
+    * are already one-per-(user, week), so no countDistinct shuffle is
+    * ever needed. At 100 TB the only corpus-sized exchange is the
+    * first distinct. */
+  def q151RetentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohorts(Tables(spark, dir, "events"))
+
+  /** The reusable triangle behind q151 over any (user_id, ts) frame;
+    * public so RetentionCohortSpec can plant comeback patterns. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort"))
+    val sizes = cohorts.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_users"))
+    weeks.join(cohorts, "user_id")
+      .groupBy("cohort", "week")
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, "cohort")
+      .select(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        date_format(col("week"), "yyyy-MM-dd").as("activity_week"),
+        col("active_users"), col("cohort_users"),
+        expr("active_users * 1000000 div cohort_users").as("retention_ppm"))
+      .orderBy("cohort_week", "activity_week")
+  }
 }

@@ -364,4 +364,40 @@ object StreamQueries {
     EventStreams.runToMemory(spark, census, mode = "complete")
       .orderBy("tier", "event_type")
   }
+
+  /** STREAMING SHARD ROUTER (q154): q150's seeded shard export run at
+    * the INGEST door — documents arriving as a stream route to their
+    * training shard by the identical seeded md5 and the census
+    * accumulates in COMPLETE mode (64 groups — state bounded by the
+    * shard count whatever the corpus). The production shape: a crawl
+    * ingests continuously, but shard assignment must be decided at
+    * arrival (the file lands in its shard once) and must equal what a
+    * batch re-export would decide — otherwise resume/backfill rewrites
+    * shards. That equality is the registered oracle: q150's batch SQL
+    * VERBATIM (the q145/q106 registered-equality trick) — legitimate
+    * because assignment is stateless per row and every census aggregate
+    * (count, sum, hash-ordered min/max) is commutative-associative, so
+    * the result is micro-batch-split invariant. */
+  def q154StreamShardRoute(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ss = EventStreams.streamSession(spark)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = ss.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val h = conv(substring(md5(concat(lit("seed42:"),
+      col("doc_id").cast("string"))), 1, 14), 16, 10).cast("long")
+    val census = docs
+      .select(col("doc_id"), col("n_chars"), (h % 64).as("shard"), h.as("hv"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        min(struct(col("hv"), col("doc_id"))).getField("doc_id")
+          .as("first_doc"),
+        max(struct(col("hv"), col("doc_id"))).getField("doc_id")
+          .as("last_doc"))
+    EventStreams.runToMemory(spark, census, mode = "complete")
+      .orderBy("shard")
+  }
 }

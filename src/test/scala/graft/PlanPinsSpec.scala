@@ -785,4 +785,25 @@ class PlanPinsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"deletion-variant candidates must stay an equi-join:\n$plan")
   }
+
+  test("q147: bitext candidates ride the bucket equi-join — never A×B") {
+    val plan = SparkEntry.queries("q147_bitext_margin")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded mining must stay a bucket equi-join:\n$plan")
+    assert(plan.contains("graft_lsh_bucket"),
+      s"bucketing must be the codegen'd native expression:\n$plan")
+  }
+
+  test("q150: shard export is map-only up to the single shard exchange") {
+    val plan = SparkEntry.queries("q150_shard_export")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"no join belongs in an export:\n$plan")
+    val hx = hashExchanges(plan)
+    assert(hx.size == 1 && hx.head.contains("shard"),
+      s"expected exactly the shard-key exchange, got $hx:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"the census must map-side combine:\n$plan")
+  }
 }
