@@ -1240,6 +1240,36 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q153_knn","edges":$edges,"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // nDCG eval (q155, round 17): the probe side stays 5 queries ×
+      // fixed budget whatever the corpus — wall tracks the bucket-scan
+      // arm; identical-copy amplification floods the exact top-10 with
+      // perfect duplicates that the probed arm also finds (same
+      // bucket), so nDCG RISES with k — the adversarial regime reads
+      // as easier retrieval, honestly reported.
+      if (on("ndcg") && deep) {
+        val out = graft.queries.EmbedQueries.q155NdcgEval(spark, dir)
+          .agg(min("ndcg_ppm").as("mn"), max("ndcg_ppm").as("mx"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.EmbedQueries.q155NdcgEval(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q155_ndcg","ndcg_min":${out.getLong(0)},"ndcg_max":${out.getLong(1)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Embedding drift (q156, round 17): identical copies preserve
+      // each (label, parity) mean EXACTLY (sum and count scale ×k
+      // together), so mean_cos must be BIT-IDENTICAL at every factor —
+      // the integer-mean invariance pin — while the component volume
+      // (rows × 64) grows ×k through one partial-agg exchange.
+      if (on("drift")) {
+        val out = graft.queries.EmbedQueries.q156EmbeddingDrift(spark, dir)
+          .agg(count(lit(1)).as("labels"),
+            sum((col("mean_cos") * 1e6).cast("long")).as("cos_sum"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.EmbedQueries.q156EmbeddingDrift(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q156_drift","labels":${out.getLong(0)},"cos_sum_u":${out.getLong(1)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Release the per-dir caches before the next factor — both the
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every

@@ -172,6 +172,8 @@ object SparkEntry {
     "q152_mad_outlier_gate" -> (DocQueries.q152MadOutlierGate _),
     "q153_knn_graph" -> (EmbedQueries.q153KnnGraph _),
     "q154_stream_shard_route" -> (StreamQueries.q154StreamShardRoute _),
+    "q155_ndcg_eval" -> (EmbedQueries.q155NdcgEval _),
+    "q156_embedding_drift" -> (EmbedQueries.q156EmbeddingDrift _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3365,6 +3367,92 @@ object SparkEntry {
     // provably equals the batch export — q150's oracle VERBATIM (the
     // q145/q106 registered-equality trick).
     "q154_stream_shard_route" -> shardExportOracle,
+    // nDCG@10: q131's exact/probed arms with integer gains (11 − rank)
+    // and ppb-literal discounts round(1e9/log2(r+1)) — no runtime log2,
+    // so DCG/IDCG are exact BIGINT sums in both engines.
+    "q155_ndcg_eval" ->
+      """WITH wb AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm,
+        |         CAST(list_sum(
+        |           [CASE WHEN list_sum([(CAST(((p * 131071 + i * 524287) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+        |                                * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]) > 0
+        |                 THEN CAST(round(pow(2, p)) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |            for p in range(0, 8)]) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm, bucket AS qbucket
+        |  FROM wb WHERE vec_id < 5),
+        |ex AS (
+        |  SELECT q_id, vec_id, 11 - ex_rank AS rel, ex_rank FROM (
+        |    SELECT q.q_id, e.vec_id,
+        |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |             round(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)])
+        |               / (q.qnrm * e.nrm), 6) DESC, e.vec_id) AS ex_rank
+        |    FROM wb e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+        |  WHERE ex_rank <= 10),
+        |an AS (
+        |  SELECT q_id, vec_id, an_rank FROM (
+        |    SELECT q.q_id, e.vec_id,
+        |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |             round(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)])
+        |               / (q.qnrm * e.nrm), 6) DESC, e.vec_id) AS an_rank
+        |    FROM wb e JOIN q ON bit_count(xor(e.bucket, q.qbucket)) <= 2
+        |    WHERE e.vec_id <> q.q_id)
+        |  WHERE an_rank <= 10),
+        |disc(r, d) AS (VALUES (1, 1000000000), (2, 630929754), (3, 500000000),
+        |  (4, 430676558), (5, 386852807), (6, 356207187), (7, 333333333),
+        |  (8, 315464877), (9, 301029996), (10, 289064826)),
+        |dcg AS (
+        |  SELECT an.q_id,
+        |         CAST(sum(COALESCE(ex.rel, 0) * disc.d) AS BIGINT) AS dcg_ppb
+        |  FROM an JOIN disc ON an.an_rank = disc.r
+        |  LEFT JOIN ex ON an.q_id = ex.q_id AND an.vec_id = ex.vec_id
+        |  GROUP BY an.q_id),
+        |idcg AS (
+        |  SELECT ex.q_id, CAST(sum(ex.rel * disc.d) AS BIGINT) AS idcg_ppb
+        |  FROM ex JOIN disc ON ex.ex_rank = disc.r GROUP BY ex.q_id)
+        |SELECT idcg.q_id, CAST(COALESCE(dcg.dcg_ppb, 0) AS BIGINT) AS dcg_ppb,
+        |       idcg.idcg_ppb,
+        |       CAST(COALESCE(dcg.dcg_ppb, 0) * 1000000 // idcg.idcg_ppb AS BIGINT) AS ndcg_ppm
+        |FROM idcg LEFT JOIN dcg ON idcg.q_id = dcg.q_id
+        |ORDER BY idcg.q_id""".stripMargin,
+    // Embedding drift: per-(label, parity, dim) micro-unit sums, sign-
+    // split integer means, one integer dot per label.
+    "q156_embedding_drift" ->
+      """WITH comp AS (
+        |  SELECT vec_id % 2 AS parity, label, j,
+        |         CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS u
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |               unnest(range(1, 65)) AS j FROM embeddings)),
+        |sums AS (
+        |  SELECT label, parity, j, CAST(sum(u) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM comp GROUP BY label, parity, j),
+        |m AS (
+        |  SELECT label, parity, j,
+        |         CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS m
+        |  FROM sums),
+        |means AS (
+        |  SELECT label, j,
+        |         sum(CASE WHEN parity = 0 THEN m END) AS ma,
+        |         sum(CASE WHEN parity = 1 THEN m END) AS mb
+        |  FROM m GROUP BY label, j),
+        |stats AS (
+        |  SELECT label, CAST(sum(ma * mb) AS BIGINT) AS dotab,
+        |         CAST(sum(ma * ma) AS BIGINT) AS na2,
+        |         CAST(sum(mb * mb) AS BIGINT) AS nb2
+        |  FROM means GROUP BY label),
+        |counts AS (
+        |  SELECT label,
+        |         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+        |         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+        |  FROM embeddings GROUP BY label)
+        |SELECT c.label, c.n_even, c.n_odd,
+        |       round(CAST(s.dotab AS DOUBLE) /
+        |             (sqrt(CAST(s.na2 AS DOUBLE)) * sqrt(CAST(s.nb2 AS DOUBLE))), 6) AS mean_cos
+        |FROM counts c JOIN stats s ON c.label = s.label
+        |ORDER BY c.label""".stripMargin,
   )
 
   /** q150's shard-export census SQL — shared verbatim by q154 (the

@@ -1769,6 +1769,129 @@ object EmbedQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** nDCG@10 position discounts as ppb integer LITERALS —
+    * round(10⁹ / log2(r+1)) precomputed once and embedded in BOTH the
+    * plan and the oracle SQL, so no runtime log2 (whose last ulp can
+    * differ between libm implementations) ever feeds a rounding. */
+  private val ndcgDiscPpb: Seq[(Long, Long)] = Seq(
+    1L -> 1000000000L, 2L -> 630929754L, 3L -> 500000000L,
+    4L -> 430676558L, 5L -> 386852807L, 6L -> 356207187L,
+    7L -> 333333333L, 8L -> 315464877L, 9L -> 301029996L,
+    10L -> 289064826L)
+
+  /** nDCG@10 RETRIEVAL EVALUATION (q155): the graded-relevance member
+    * of the eval family — q131 reports recall@10 (did the hit appear)
+    * and MRR (where did the single best land); nDCG grades the WHOLE
+    * ordering: gain rel = 11 − exact_rank for the true top-10, position
+    * discount 1/log2(r+1) over the LSH arm's ranking, normalized by
+    * the ideal ordering's DCG. The measurement production retrieval
+    * dashboards actually track, run as a registered query against the
+    * same q27-exact / q28-probed arms.
+    *
+    * Determinism: gains are integers, discounts are the precomputed
+    * ppb literals above, so DCG and IDCG are exact BIGINT sums (no
+    * float fold whose partial-aggregation order could wobble) and
+    * ndcg_ppm is one integer division. */
+  def q155NdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    withDot(spark)
+    val disc = typedlit(ndcgDiscPpb.toMap)
+    val emb = Tables(spark, dir, "embeddings")
+    val withBucket = emb.select(col("vec_id"), col("embedding"),
+      l2(col("embedding")).as("nrm"),
+      lshBucket(col("embedding"), 8).cast("long").as("bucket"))
+    val queries = withBucket.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+    val exact = withBucket.crossJoin(broadcast(queries.drop("qbucket")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("cosine"))
+      .withColumn("ex_rank", row_number().over(wRank).cast("long"))
+      .filter(col("ex_rank") <= 10)
+      .select(col("q_id"), col("vec_id"),
+        (lit(11L) - col("ex_rank")).as("rel"),
+        col("ex_rank"))
+    val flips = Seq(0L) ++
+      (0 until 8).map(p => 1L << p) ++
+      (for { a <- 0 until 8; b <- a + 1 until 8 } yield (1L << a) | (1L << b))
+    val probes = flips.map(m => col("qbucket").bitwiseXOR(lit(m)))
+    val probed = queries
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        explode(array(probes: _*)).as("bucket"))
+    val approx = withBucket.join(broadcast(probed), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("cosine"))
+      .withColumn("an_rank", row_number().over(wRank).cast("long"))
+      .filter(col("an_rank") <= 10)
+      .select("q_id", "vec_id", "an_rank")
+    val dcg = approx
+      .join(broadcast(exact.select("q_id", "vec_id", "rel")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("rel"), lit(0L)) *
+        element_at(disc, col("an_rank"))).as("dcg_ppb"))
+    val idcg = exact.groupBy("q_id")
+      .agg(sum(col("rel") * element_at(disc, col("ex_rank")))
+        .as("idcg_ppb"))
+    idcg.join(dcg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("dcg_ppb"), lit(0L)).as("dcg_ppb"),
+        col("idcg_ppb"),
+        expr("coalesce(dcg_ppb, 0) * 1000000 div idcg_ppb").as("ndcg_ppm"))
+      .orderBy("q_id")
+  }
+
+  /** EMBEDDING DRIFT MONITOR (q156): per-label mean-vector comparison
+    * between two corpus snapshots (even vs odd vec_id — the fixture's
+    * yesterday/today split) — the distribution-shift check an embedding
+    * pipeline runs before trusting a new batch (q90's TV-drift audits
+    * TOKENS; this audits the geometry the ANN/dedup stages live in: a
+    * label whose centroid moved is a re-embedded or contaminated
+    * slice). Means are exact micro-unit integers (component sums div
+    * count, SIGN-SPLIT so Spark `div` ≡ DuckDB `//` on the negative
+    * components), the cross-snapshot cosine one integer dot + rounded
+    * sqrt — deterministic across engines and partitionings.
+    *
+    * Scale shape: one posexplode → (label, parity, dim)-keyed partial
+    * agg (64 rows per label per side whatever the corpus), means
+    * pivot at label size, everything downstream label-sized. */
+  def q156EmbeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDrift(Tables(spark, dir, "embeddings"))
+
+  /** The reusable monitor behind q156 over any (vec_id, label,
+    * embedding) frame; public so DriftSpec can plant moved centroids. */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    val comp = emb.select(col("vec_id"), (col("vec_id") % 2).as("parity"),
+        col("label"), posexplode(col("embedding")).as(Seq("j", "v")))
+      .select(col("parity"), col("label"), col("j"),
+        round(col("v").cast("double") * 1e6).cast("long").as("u"))
+    val sums = comp.groupBy("label", "parity", "j")
+      .agg(sum("u").as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr(
+        "case when s >= 0 then s div n else -((-s) div n) end"))
+    val means = sums.groupBy("label", "j")
+      .agg(sum(when(col("parity") === 0, col("m"))).as("ma"),
+        sum(when(col("parity") === 1, col("m"))).as("mb"))
+    val stats = means.groupBy("label")
+      .agg(sum(col("ma") * col("mb")).as("dotab"),
+        sum(col("ma") * col("ma")).as("na2"),
+        sum(col("mb") * col("mb")).as("nb2"))
+    val counts = emb.groupBy("label")
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_even"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_odd"))
+    counts.join(stats, "label")
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(col("dotab").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))),
+          6).as("mean_cos"))
+      .orderBy("label")
+  }
+
   /** Deterministic ±1 sign for (plane p, component i) — the q28
     * hyperplane hash thresholded at its midpoint, so the matrix is a
     * seedless Achlioptas/JL sign matrix both engines rebuild from the
