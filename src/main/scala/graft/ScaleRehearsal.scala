@@ -1270,6 +1270,26 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q156_drift","labels":${out.getLong(0)},"cos_sum_u":${out.getLong(1)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // Incremental kNN maintenance (q157, round 17): a SPARSE delta
+      // (~1 ‰ of the corpus) dirties only its probe-ball buckets, so
+      // the fold re-ranks a bounded fraction while the rebuild ranks
+      // everyone — the incremental-economics measurement (probers =
+      // delta + touched, both reported; the registered 10 % predicate
+      // saturates the bucket space by design and is oracle-checked for
+      // CORRECTNESS, this row measures the SAVINGS regime).
+      if (on("knninc") && deep) {
+        import graft.queries.EmbedQueries
+        val emb = graft.sources.Tables(spark, dir, "embeddings")
+        val isDelta = col("vec_id") % 1000 === 7
+        val nDelta = emb.filter(isDelta).count()
+        val standing = EmbedQueries.knnGraph(emb.filter(!isDelta), 3)
+          .localCheckpoint()
+        val foldSec = timed(materialize(
+          EmbedQueries.knnIncremental(standing, emb, isDelta, 3)))
+        val rebuildSec = timed(materialize(EmbedQueries.knnGraph(emb, 3)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q157_knninc","delta":$nDelta,"fold_seconds":$foldSec,"rebuild_seconds":$rebuildSec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Release the per-dir caches before the next factor — both the
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every

@@ -174,6 +174,7 @@ object SparkEntry {
     "q154_stream_shard_route" -> (StreamQueries.q154StreamShardRoute _),
     "q155_ndcg_eval" -> (EmbedQueries.q155NdcgEval _),
     "q156_embedding_drift" -> (EmbedQueries.q156EmbeddingDrift _),
+    "q157_knn_incremental" -> (EmbedQueries.q157KnnIncremental _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3341,7 +3342,19 @@ object SparkEntry {
     // kNN graph: the q28 bucket arithmetic with every vector probing —
     // candidates restated as the Hamming<=1 bucket join, micro-unit
     // integer cosines, (cos_u desc, nbr_id) rank ties.
-    "q153_knn_graph" ->
+    "q153_knn_graph" -> knnGraphOracle,
+    // Incremental kNN maintenance: untouched vectors keep their stored
+    // edges and touched/delta vectors re-rank by the rebuild's own
+    // rule, so the fold provably equals the rebuild — q153's oracle
+    // VERBATIM (the q145/q154 registered-equality trick;
+    // KnnIncrementalSpec pins the frame equality).
+    "q157_knn_incremental" -> knnGraphOracle,
+  ) ++ streamAndEvalOracles
+
+  /** q153's kNN-graph SQL — shared verbatim by q157 (fold ≡ rebuild).
+    * Declared `def`, NOT `val` — the round-16 forward-reference lesson
+    * (OracleRegistrySpec sweeps for nulls). */
+  private def knnGraphOracle: String =
       """WITH wb AS (
         |  SELECT vec_id, embedding,
         |         CAST(list_sum(
@@ -3361,7 +3374,13 @@ object SparkEntry {
         |SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_u FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_u DESC, nbr_id) AS rank
         |  FROM cand)
-        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
+  /** q154–q156 oracle block, split out so q153's SQL can be shared
+    * with q157 above. `def`, not `val`: it is referenced from the
+    * oracleSql initializer ABOVE its declaration — a forward *val*
+    * reference would be null at init (the round-16 bug class). */
+  private def streamAndEvalOracles: Map[String, String] = Map(
     // Streaming shard router: assignment is stateless per row and every
     // census aggregate is commutative-associative, so the stream result
     // provably equals the batch export — q150's oracle VERBATIM (the

@@ -1744,14 +1744,24 @@ object EmbedQueries {
   /** The reusable builder behind q153 over any (vec_id, embedding)
     * frame; public so KnnGraphSpec can pin recall on the clustered
     * fixture. */
-  def knnGraph(embIn: DataFrame, kNbrs: Int): DataFrame = {
+  def knnGraph(embIn: DataFrame, kNbrs: Int): DataFrame =
+    knnEdges(embIn, None, kNbrs).orderBy("vec_id", "rank")
+
+  /** The shared edge builder: scan side is always the full frame;
+    * `probeIds` (when given) restricts WHICH vectors probe — the
+    * incremental path's lever: candidate generation, scoring, and the
+    * rank window all run over probe-set-sized rows only. */
+  private def knnEdges(embIn: DataFrame, probeIds: Option[DataFrame],
+                       kNbrs: Int): DataFrame = {
     withDot(embIn.sparkSession)
     val emb = embIn
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"),
         lshBucket(col("embedding"), 8).cast("long").as("bucket"))
     val flips = Seq(0L) ++ (0 until 8).map(p => 1L << p)
     val probes = flips.map(m => col("bucket").bitwiseXOR(lit(m)))
-    val probed = emb.select(col("vec_id").as("q_id"),
+    val probers = probeIds.fold(emb)(ids =>
+      emb.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    val probed = probers.select(col("vec_id").as("q_id"),
       col("embedding").as("qv"), col("nrm").as("qnrm"),
       explode(array(probes: _*)).as("bucket"))
     val cand = emb.join(probed, Seq("bucket"))
@@ -1766,7 +1776,66 @@ object EmbedQueries {
       .filter(col("rank") <= kNbrs)
       .select(col("vec_id_out").as("vec_id"), col("nbr_id"), col("rank"),
         col("cos_u"))
+  }
+
+  /** INCREMENTAL K-NN GRAPH MAINTENANCE (q157): fold a DELTA of newly
+    * arrived vectors into a standing [[knnGraph]] without re-ranking
+    * the whole corpus — the q74/q91/q106/q145 incremental-family member
+    * for the kNN artifact. Three parts, each bounded by the delta:
+    * (1) the delta's own edges rank against the FULL corpus (new
+    * vectors probe their 9 buckets like anyone else); (2) standing
+    * vectors are TOUCHED only if some delta vector landed within
+    * Hamming ≤ 1 of their bucket (a bucket-keyed semi join — the only
+    * vectors whose candidate set changed), and touched vectors re-rank
+    * against the full corpus; (3) untouched vectors keep their stored
+    * edges verbatim (an anti join — never re-scored, never re-ranked).
+    *
+    * PROVABLY rebuild-equal: a standing vector's banded candidate set
+    * changes iff a delta vector's bucket falls inside its probe ball,
+    * which is exactly the touched predicate — so untouched rows are
+    * bit-identical to the rebuild's and touched/delta rows are computed
+    * BY the rebuild's rank. The registered oracle is therefore q153's
+    * SQL verbatim (the q145/q154 registered-equality trick);
+    * KnnIncrementalSpec pins the frame equality and that the touched
+    * set actually bounds the recompute. */
+  def q157KnnIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val isDelta = col("vec_id") % 10 === 7
+    // The standing graph is YESTERDAY'S STORED ARTIFACT (the q106
+    // posture — in production it is read, not computed).
+    knnIncremental(knnGraph(emb.filter(!isDelta), kNbrs = 3),
+      emb, isDelta, kNbrs = 3)
       .orderBy("vec_id", "rank")
+  }
+
+  /** The reusable fold behind q157: (standing kNN edge list, the FULL
+    * corpus frame, the delta predicate, k) → the maintained graph.
+    * Public so KnnIncrementalSpec can assert fold ≡ rebuild. */
+  def knnIncremental(standing: DataFrame, embAll: DataFrame,
+                     isDelta: Column, kNbrs: Int): DataFrame = {
+    withDot(embAll.sparkSession)
+    val withBucket = embAll.select(col("vec_id"), col("embedding"),
+      isDelta.as("is_delta"),
+      lshBucket(col("embedding"), 8).cast("long").as("bucket"))
+    // Buckets whose probe ball gained a delta vector: every bucket
+    // within Hamming <= 1 of a delta bucket (delta-sized ×9 keys).
+    val flips = Seq(0L) ++ (0 until 8).map(p => 1L << p)
+    val dirty = withBucket.filter(col("is_delta"))
+      .select(explode(array(flips.map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      .distinct()
+    val standingVecs = withBucket.filter(!col("is_delta"))
+    val touched = standingVecs.join(dirty, Seq("bucket"), "left_semi")
+      .select(col("vec_id"))
+    // Re-rank ONLY delta + touched vectors: they alone probe; the scan
+    // side stays the full corpus (as in the rebuild — a prober's
+    // candidates must come from everywhere).
+    val reranked = knnEdges(embAll,
+      Some(withBucket.filter(col("is_delta")).select(col("vec_id"))
+        .unionByName(touched).distinct()),
+      kNbrs)
+    standing.join(touched, Seq("vec_id"), "left_anti")
+      .unionByName(reranked)
   }
 
   /** nDCG@10 position discounts as ppb integer LITERALS —
