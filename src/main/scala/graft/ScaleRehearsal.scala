@@ -1290,6 +1290,35 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q157_knninc","delta":$nDelta,"fold_seconds":$foldSec,"rebuild_seconds":$rebuildSec,"loadavg":${loadavg1m()}}""")
       }
 
+      // Label-noise audit (q158, round 17): identical copies carry
+      // their base's label, so every twin neighborhood votes its own
+      // label unanimously — flags can only come from the base corpus's
+      // genuine disagreement structure, and the flag COUNT should stay
+      // ~constant while n_vecs grows ×k (flag_ppm falls ~1/k): the
+      // duplicate regime reads as cleaner labels, honestly.
+      if (on("labelnoise") && deep) {
+        val out = graft.queries.EmbedQueries.q158LabelNoiseAudit(spark, dir)
+          .agg(sum("n_vecs").as("n"), sum("n_flagged").as("f"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.EmbedQueries.q158LabelNoiseAudit(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q158_labelnoise","n_vecs":${out.getLong(0)},"n_flagged":${out.getLong(1)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Corpus diff (q159, round 17): the snapshot-B construction is
+      // id-modulo-driven, so every verdict count is EXACTLY ×k by
+      // construction — the manifests are fixed-width whatever the doc
+      // size, and the full-outer join carries 32-byte hashes only.
+      if (on("diff")) {
+        val out = graft.queries.DocQueries.q159CorpusDiff(spark, dir)
+          .agg(sum("n_added").as("a"), sum("n_deleted").as("d"),
+            sum("n_changed").as("c"), sum("n_unchanged").as("u"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q159CorpusDiff(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q159_diff","added":${out.getLong(0)},"deleted":${out.getLong(1)},"changed":${out.getLong(2)},"unchanged":${out.getLong(3)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Release the per-dir caches before the next factor — both the
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every

@@ -175,6 +175,8 @@ object SparkEntry {
     "q155_ndcg_eval" -> (EmbedQueries.q155NdcgEval _),
     "q156_embedding_drift" -> (EmbedQueries.q156EmbeddingDrift _),
     "q157_knn_incremental" -> (EmbedQueries.q157KnnIncremental _),
+    "q158_label_noise_audit" -> (EmbedQueries.q158LabelNoiseAudit _),
+    "q159_corpus_diff" -> (DocQueries.q159CorpusDiff _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3349,32 +3351,81 @@ object SparkEntry {
     // VERBATIM (the q145/q154 registered-equality trick;
     // KnnIncrementalSpec pins the frame equality).
     "q157_knn_incremental" -> knnGraphOracle,
+    // Label-noise audit: the kNN CTE + two label joins; flagged when
+    // agreeing neighbors are a strict minority.
+    "q158_label_noise_audit" ->
+      s"""WITH $knnRankedCte,
+        |knn AS (SELECT vec_id, nbr_id FROM rk WHERE rank <= 3),
+        |v AS (
+        |  SELECT k.vec_id, e1.label,
+        |         CAST(count(*) AS BIGINT) AS degree,
+        |         CAST(sum(CASE WHEN e2.label = e1.label THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM knn k
+        |  JOIN embeddings e1 ON k.vec_id = e1.vec_id
+        |  JOIN embeddings e2 ON k.nbr_id = e2.vec_id
+        |  GROUP BY k.vec_id, e1.label)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(CASE WHEN agree * 2 < degree THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       CAST(sum(CASE WHEN agree * 2 < degree THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS flag_ppm
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
+    // Corpus snapshot diff: both snapshots reduce to (doc_id, md5,
+    // source) manifests, full-outer join on doc_id, verdict census.
+    // NOTE the snapshot-B construction references the PRE-shift doc_id
+    // for the edit predicate, exactly as the Spark side does (the %5
+    // test runs on the original id, the %7 shift happens in the same
+    // projection).
+    "q159_corpus_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN doc_id % 10 = 7 THEN doc_id + 1000000000 ELSE doc_id END AS doc_id,
+        |         source,
+        |         md5(CASE WHEN doc_id % 10 = 5 THEN text || ' rev2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |j AS (
+        |  SELECT COALESCE(a.source, b.source) AS source,
+        |         CASE WHEN a.h IS NULL THEN 'added'
+        |              WHEN b.h IS NULL THEN 'deleted'
+        |              WHEN a.h = b.h THEN 'unchanged'
+        |              ELSE 'changed' END AS verdict
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source,
+        |       CAST(sum(CASE WHEN verdict = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |       CAST(sum(CASE WHEN verdict = 'deleted' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |       CAST(sum(CASE WHEN verdict = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       CAST(sum(CASE WHEN verdict = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
   ) ++ streamAndEvalOracles
 
-  /** q153's kNN-graph SQL — shared verbatim by q157 (fold ≡ rebuild).
-    * Declared `def`, NOT `val` — the round-16 forward-reference lesson
-    * (OracleRegistrySpec sweeps for nulls). */
+  /** The banded-kNN ranked-candidate CTE chain, shared by the q153/q157
+    * oracle and q158's audit oracle. All `def`s here, never forward
+    * `val`s — the round-16 lesson (OracleRegistrySpec sweeps). */
+  private def knnRankedCte: String =
+    """wb AS (
+      |  SELECT vec_id, embedding,
+      |         CAST(list_sum(
+      |           [CASE WHEN list_sum([(CAST(((p * 131071 + i * 524287) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+      |                                * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]) > 0
+      |                 THEN CAST(round(pow(2, p)) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+      |            for p in range(0, 8)]) AS BIGINT) AS bucket
+      |  FROM embeddings),
+      |cand AS (
+      |  SELECT q.vec_id AS vec_id, e.vec_id AS nbr_id,
+      |         CAST(round(
+      |           list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
+      |           (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) for i in range(1, 65)])) *
+      |            sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]))) * 1000000) AS BIGINT) AS cos_u
+      |  FROM wb q JOIN wb e ON bit_count(xor(q.bucket, e.bucket)) <= 1
+      |  WHERE q.vec_id <> e.vec_id),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_u DESC, nbr_id) AS rank
+      |  FROM cand)""".stripMargin
+
+  /** q153's kNN-graph SQL — shared verbatim by q157 (fold ≡ rebuild). */
   private def knnGraphOracle: String =
-      """WITH wb AS (
-        |  SELECT vec_id, embedding,
-        |         CAST(list_sum(
-        |           [CASE WHEN list_sum([(CAST(((p * 131071 + i * 524287) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
-        |                                * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]) > 0
-        |                 THEN CAST(round(pow(2, p)) AS BIGINT) ELSE CAST(0 AS BIGINT) END
-        |            for p in range(0, 8)]) AS BIGINT) AS bucket
-        |  FROM embeddings),
-        |cand AS (
-        |  SELECT q.vec_id AS vec_id, e.vec_id AS nbr_id,
-        |         CAST(round(
-        |           list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
-        |           (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) for i in range(1, 65)])) *
-        |            sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]))) * 1000000) AS BIGINT) AS cos_u
-        |  FROM wb q JOIN wb e ON bit_count(xor(q.bucket, e.bucket)) <= 1
-        |  WHERE q.vec_id <> e.vec_id)
-        |SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_u FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_u DESC, nbr_id) AS rank
-        |  FROM cand)
-        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+    s"""WITH $knnRankedCte
+      |SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_u FROM rk
+      |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 
   /** q154–q156 oracle block, split out so q153's SQL can be shared
     * with q157 above. `def`, not `val`: it is referenced from the

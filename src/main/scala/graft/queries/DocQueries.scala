@@ -4046,6 +4046,62 @@ object DocQueries {
       .orderBy("source")
   }
 
+  /** CORPUS SNAPSHOT DIFF (q159): dataset-versioning's core operation —
+    * diff two corpus snapshots by (doc_id, content hash) into
+    * added / deleted / changed / unchanged, censused per source. Every
+    * managed training corpus ships this (Delta/LakeFS-style data
+    * versioning; q47's manifest is the single-snapshot artifact, q74
+    * consumes the delta — this PRODUCES it from two manifests). The
+    * fixture's "today" snapshot derives deterministically from the one
+    * shipped table: docs ≡3 (mod 10) deleted, ≡5 re-edited (content
+    * change under the same id), ≡7 re-keyed to a new id range (reads
+    * as delete + add — the mover case every id-keyed diff must
+    * classify), the rest untouched.
+    *
+    * Scale shape: both sides reduce to fixed-width manifests
+    * (doc_id, md5, source) BEFORE the diff — the full-outer equi-join
+    * on doc_id carries 32-byte hashes, never text; the census is one
+    * source-keyed aggregate. At 100 TB the manifests are the stored
+    * artifacts (q47) and the text columns are never read at all —
+    * ReadSchema prunes to (doc_id, text → hash) once per snapshot
+    * write, (doc_id, hash) thereafter. */
+  def q159CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val snapA = docs.select(col("doc_id"), col("source"), col("text"))
+    val snapB = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(
+        when(col("doc_id") % 10 === 7, col("doc_id") + 1000000000L)
+          .otherwise(col("doc_id")).as("doc_id"),
+        col("source"),
+        when(col("doc_id") % 10 === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    corpusDiff(snapA, snapB)
+  }
+
+  /** The reusable diff behind q159 over any two (doc_id, source, text)
+    * snapshots; public so CorpusDiffSpec can plant each verdict. */
+  def corpusDiff(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    def manifest(df: DataFrame, h: String, s: String) = df.select(
+      col("doc_id"), md5(col("text")).as(h), col("source").as(s))
+    val joined = manifest(snapA, "ha", "src_a")
+      .join(manifest(snapB, "hb", "src_b"), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "deleted")
+          .when(col("ha") === col("hb"), "unchanged")
+          .otherwise("changed").as("verdict"))
+    joined.groupBy("source")
+      .agg(sum(when(col("verdict") === "added", 1L).otherwise(0L))
+        .as("n_added"),
+        sum(when(col("verdict") === "deleted", 1L).otherwise(0L))
+          .as("n_deleted"),
+        sum(when(col("verdict") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("verdict") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .orderBy("source")
+  }
+
   /** The reusable export census behind q150 over any (doc_id, n_chars)
     * frame; public so ShardExportSpec can pin seed-reproducibility and
     * balance. */

@@ -1838,6 +1838,49 @@ object EmbedQueries {
       .unionByName(reranked)
   }
 
+  /** LABEL-NOISE AUDIT (q158): flag vectors whose label DISAGREES with
+    * the strict majority of their kNN neighborhood — the
+    * confident-learning / neighborhood-voting label-QA pass a training
+    * pipeline runs before trusting a labeled corpus (Cleanlab-style:
+    * mislabeled examples sit in the wrong label's neighborhood; on a
+    * clustered corpus a clean vector's neighbors vote its own label).
+    * Composes [[knnGraph]] (the stored artifact — built once, read by
+    * every downstream stage) with the label column: one
+    * neighbor-label join, one per-vector vote count, a label-sized
+    * census. Strictness: flagged when agreeing neighbors are a strict
+    * MINORITY (2·agree < degree) — abstaining on ties keeps the audit
+    * conservative, the right default for a gate that deletes data.
+    *
+    * Scale shape: the expensive part IS q153 (banded, measured); the
+    * audit adds one edge-sized equi-join against the label table and
+    * two integer aggregates. All-integer output (flag ppm). */
+  def q158LabelNoiseAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    labelNoiseAudit(knnGraph(emb, kNbrs = 3),
+      emb.select(col("vec_id"), col("label")))
+  }
+
+  /** The reusable audit behind q158 over any (vec_id, nbr_id) edge
+    * frame + (vec_id, label) table; public so LabelNoiseSpec can plant
+    * mislabels. */
+  def labelNoiseAudit(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = edges
+      .join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), Seq("nbr_id"))
+      .groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("degree"),
+        sum(when(col("nbr_label") === col("label"), 1L).otherwise(0L))
+          .as("agree"))
+      .withColumn("flagged",
+        when(col("agree") * 2 < col("degree"), 1L).otherwise(0L))
+    votes.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("flagged").as("n_flagged"))
+      .select(col("label"), col("n_vecs"), col("n_flagged"),
+        expr("n_flagged * 1000000 div n_vecs").as("flag_ppm"))
+      .orderBy("label")
+  }
+
   /** nDCG@10 position discounts as ppb integer LITERALS —
     * round(10⁹ / log2(r+1)) precomputed once and embedded in BOTH the
     * plan and the oracle SQL, so no runtime log2 (whose last ulp can
