@@ -1319,6 +1319,19 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q159_diff","added":${out.getLong(0)},"deleted":${out.getLong(1)},"changed":${out.getLong(2)},"unchanged":${out.getLong(3)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // Curation funnel (q160, round 17): every stage is its own
+      // measured operator — the funnel row records the COMPOSED wall
+      // and the stage censuses (docs through the gates must scale ~×k;
+      // the salted copies are exact-dedup-distinct by construction, so
+      // stage 1 keeps them all).
+      if (on("funnel")) {
+        val rows = graft.queries.DocQueries.q160CurationFunnel(spark, dir)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q160CurationFunnel(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q160_funnel","raw":${rows("0_raw")},"dedup":${rows("1_exact_dedup")},"gated":${rows("2_length_gate")},"clean":${rows("3_decontam")},"windows":${rows("4_pack_windows")},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Release the per-dir caches before the next factor — both the
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every

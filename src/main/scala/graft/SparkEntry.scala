@@ -177,6 +177,7 @@ object SparkEntry {
     "q157_knn_incremental" -> (EmbedQueries.q157KnnIncremental _),
     "q158_label_noise_audit" -> (EmbedQueries.q158LabelNoiseAudit _),
     "q159_corpus_diff" -> (DocQueries.q159CorpusDiff _),
+    "q160_curation_funnel" -> (DocQueries.q160CurationFunnel _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3395,6 +3396,69 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN verdict = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |       CAST(sum(CASE WHEN verdict = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // End-to-end curation funnel: every stage restated — q20's keep-min
+    // dedup, q152's lower-median/MAD gate at 3 MAD, q51's shingle
+    // decontamination vs the src19 held-out split, q143's harmonic
+    // window count, q150's shard count.
+    "q160_curation_funnel" ->
+      """WITH d AS (SELECT doc_id, source, n_chars, text FROM documents),
+        |dd AS (
+        |  SELECT d.* FROM d JOIN (
+        |    SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(lower(trim(text)))
+        |  ) k ON d.doc_id = k.doc_id),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM dd GROUP BY source),
+        |r1 AS (
+        |  SELECT dd.*, c.cnt,
+        |         row_number() OVER (PARTITION BY dd.source ORDER BY n_chars, doc_id) AS rnk
+        |  FROM dd JOIN c ON dd.source = c.source),
+        |med AS (SELECT source, n_chars AS med FROM r1 WHERE rnk = (cnt + 1) // 2),
+        |dv AS (
+        |  SELECT dd.*, abs(dd.n_chars - med.med) AS dev
+        |  FROM dd JOIN med ON dd.source = med.source),
+        |r2 AS (
+        |  SELECT dv.*, c.cnt,
+        |         row_number() OVER (PARTITION BY dv.source ORDER BY dev, doc_id) AS rnk
+        |  FROM dv JOIN c ON dv.source = c.source),
+        |mad AS (SELECT source, dev AS mad FROM r2 WHERE rnk = (cnt + 1) // 2),
+        |lg AS (
+        |  SELECT dv.doc_id, dv.source, dv.n_chars, dv.text
+        |  FROM dv JOIN mad ON dv.source = mad.source WHERE dv.dev <= 3 * mad.mad),
+        |tok AS (
+        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks FROM lg),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct([CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 14)) AS BIGINT)
+        |                               for i in range(1, len(toks) - 1)])) AS h
+        |  FROM tok WHERE len(toks) >= 3),
+        |train AS (SELECT DISTINCT h FROM sh WHERE source <> 'src19'),
+        |contaminated AS (
+        |  SELECT s.doc_id FROM sh s JOIN train t ON s.h = t.h
+        |  WHERE s.source = 'src19'
+        |  GROUP BY s.doc_id HAVING count(*) >= 10),
+        |clean AS (
+        |  SELECT lg.* FROM lg WHERE lg.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |ct AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n
+        |  FROM clean),
+        |items AS (
+        |  SELECT doc_id, CASE WHEN n <= 256 THEN n ELSE n % 256 END AS len
+        |  FROM ct WHERE (CASE WHEN n <= 256 THEN n ELSE n % 256 END) >= 1),
+        |packed AS (
+        |  SELECT CAST(sum((cnt2 + k - 1) // k) AS BIGINT) AS wp FROM (
+        |    SELECT 256 // len AS k, count(*) AS cnt2 FROM items GROUP BY 256 // len)),
+        |fulls AS (SELECT CAST(COALESCE(sum(n // 256), 0) AS BIGINT) AS wf FROM ct WHERE n > 256),
+        |shards AS (
+        |  SELECT CAST(count(DISTINCT CAST(concat('0x', substr(md5(concat('seed42:', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 64) AS BIGINT) AS ns
+        |  FROM clean)
+        |SELECT stage, n FROM (
+        |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n FROM d
+        |  UNION ALL SELECT '1_exact_dedup', CAST(count(*) AS BIGINT) FROM dd
+        |  UNION ALL SELECT '2_length_gate', CAST(count(*) AS BIGINT) FROM lg
+        |  UNION ALL SELECT '3_decontam', CAST(count(*) AS BIGINT) FROM clean
+        |  UNION ALL SELECT '4_pack_windows', CAST(packed.wp + fulls.wf AS BIGINT) FROM packed, fulls
+        |  UNION ALL SELECT '5_shards', ns FROM shards)
+        |ORDER BY stage""".stripMargin,
   ) ++ streamAndEvalOracles
 
   /** The banded-kNN ranked-candidate CTE chain, shared by the q153/q157

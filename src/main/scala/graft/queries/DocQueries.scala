@@ -4015,9 +4015,11 @@ object DocQueries {
     madOutlierGate(Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars")), factor = 3L)
 
-  /** The reusable gate behind q152 over any (doc_id, source, n_chars)
-    * frame; public so MadGateSpec can plant outliers. */
-  def madOutlierGate(docs: DataFrame, factor: Long): DataFrame = {
+  /** The per-doc deviation table behind q152/q160 over any (doc_id,
+    * source, n_chars) frame: (doc_id, source, n_chars, med_chars,
+    * dev, mad_chars). Medians through [[exactStratumRank]]'s √n
+    * decomposition — never a whole-source window sort. */
+  def madDeviations(docs: DataFrame): DataFrame = {
     val nb = rankBuckets(docs)
     val cnts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
     // Composite order-isomorphic rank key (the q70/q143 move): exact on
@@ -4036,6 +4038,12 @@ object DocQueries {
     val mad = lowerMedian(dev.select(col("doc_id"), col("source"),
       col("dev")), "dev", "mad_chars")
     dev.join(broadcast(mad), "source")
+  }
+
+  /** The reusable gate behind q152 over any (doc_id, source, n_chars)
+    * frame; public so MadGateSpec can plant outliers. */
+  def madOutlierGate(docs: DataFrame, factor: Long): DataFrame =
+    madDeviations(docs)
       .groupBy("source", "med_chars", "mad_chars")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("dev") > lit(factor) * col("mad_chars"), 1L)
@@ -4044,7 +4052,6 @@ object DocQueries {
         col("mad_chars"), col("n_outliers"),
         expr("n_outliers * 1000000 div n_docs").as("outlier_ppm"))
       .orderBy("source")
-  }
 
   /** CORPUS SNAPSHOT DIFF (q159): dataset-versioning's core operation —
     * diff two corpus snapshots by (doc_id, content hash) into
@@ -4100,6 +4107,69 @@ object DocQueries {
         sum(when(col("verdict") === "unchanged", 1L).otherwise(0L))
           .as("n_unchanged"))
       .orderBy("source")
+  }
+
+  /** END-TO-END CURATION FUNNEL (q160): the whole pipeline as ONE
+    * registered query — the capstone proof that the operators COMPOSE:
+    * raw corpus → exact dedup (q20's keep-min rule) → MAD length gate
+    * (q152 at 3 MAD, per source on the deduped set) → decontamination
+    * (q51's ≥ 10-shared-shingle rule against the src19 held-out split)
+    * → harmonic context-window packing (q143 at cap 256) → seeded
+    * 64-shard export (q150). Output is the funnel census every
+    * curation run logs: one row per stage with the surviving count
+    * (docs for the gates, windows for the pack, shards for the
+    * export) — the at-a-glance answer to "where did my corpus go".
+    *
+    * Scale shape: nothing new — each stage is its own audited
+    * operator (q20/q152/q51/q143/q150 carry the plans, specs, and
+    * rehearsal rows); the funnel chains them with semi/anti joins on
+    * doc_id (fixed-width keys, never text) and the census rows are
+    * 1-row aggregates unioned at the end. The per-stage ID MANIFESTS
+    * (keep/gate/contaminated doc-id sets) are localCheckpoint-
+    * materialized — exactly what a production funnel persists between
+    * stages — and necessarily so: left unmaterialized, each census
+    * row re-expands the upstream stage subtrees and the COMPOSED tree
+    * grows multiplicatively, which round-17 measured as minutes of
+    * Catalyst analysis before a single task ran (planner time is part
+    * of the 100 TB budget too). */
+  def q160CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val keepIds = docs
+      .groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+      .localCheckpoint()
+    val dedup = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    val lgIds = madDeviations(
+        dedup.select(col("doc_id"), col("source"), col("n_chars")))
+      .filter(col("dev") <= lit(3L) * col("mad_chars"))
+      .select("doc_id")
+      .localCheckpoint()
+    val lg = dedup.join(lgIds, Seq("doc_id"), "left_semi")
+    val contaminated = decontaminate(lg, col("source") === "src19", 10)
+      .select("doc_id")
+      .localCheckpoint()
+    val clean = lg.join(contaminated, Seq("doc_id"), "left_anti")
+    val tokClean = tokenizedDocs(clean)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    val wPacked = packSequences(tokClean, 256)
+      .groupBy("k").agg(countDistinct("window_id").as("w"))
+      .agg(coalesce(sum("w"), lit(0L)).as("wp"))
+    val wFulls = tokClean
+      .select(size(col("toks")).cast("long").as("n"))
+      .filter(col("n") > 256)
+      .agg(coalesce(sum(expr("n div 256")), lit(0L)).as("wf"))
+    val packRow = wPacked.crossJoin(wFulls)
+      .select(lit("4_pack_windows").as("stage"),
+        (col("wp") + col("wf")).as("n"))
+    val shardRow = stage("5_shards", shardExport(clean, "seed42", 64))
+    stage("0_raw", docs)
+      .unionByName(stage("1_exact_dedup", dedup))
+      .unionByName(stage("2_length_gate", lg))
+      .unionByName(stage("3_decontam", clean))
+      .unionByName(packRow)
+      .unionByName(shardRow)
+      .orderBy("stage")
   }
 
   /** The reusable export census behind q150 over any (doc_id, n_chars)
