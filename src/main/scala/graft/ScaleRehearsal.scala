@@ -1332,6 +1332,21 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q160_funnel","raw":${rows("0_raw")},"dedup":${rows("1_exact_dedup")},"gated":${rows("2_length_gate")},"clean":${rows("3_decontam")},"windows":${rows("4_pack_windows")},"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // Split-leakage audit (q161, round 17): amplified copies are
+      // near-dup-DISTINCT (token salting), so verified pairs grow ~×k
+      // (the q25 row) and the split census redistributes them by the
+      // hash split of the new ids — leaked pairs stay proportional to
+      // the pair volume, the audit's cost rides q25's measured shape.
+      if (on("leakage")) {
+        val out = graft.queries.DocQueries.q161SplitLeakageAudit(spark, dir)
+          .agg(sum("n_pairs").as("pairs"),
+            sum(col("n_pairs") * col("is_leak")).as("leaked"))
+          .collect()(0)
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q161SplitLeakageAudit(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q161_leakage","pairs":${out.getLong(0)},"leaked_pairs":${out.getLong(1)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Release the per-dir caches before the next factor — both the
       // doc-family derived relations and the Tables-level persisted
       // inputs. Without the latter, the ×30 pass still holds every

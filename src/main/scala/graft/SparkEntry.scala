@@ -178,6 +178,7 @@ object SparkEntry {
     "q158_label_noise_audit" -> (EmbedQueries.q158LabelNoiseAudit _),
     "q159_corpus_diff" -> (DocQueries.q159CorpusDiff _),
     "q160_curation_funnel" -> (DocQueries.q160CurationFunnel _),
+    "q161_split_leakage_audit" -> (DocQueries.q161SplitLeakageAudit _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -451,36 +452,8 @@ object SparkEntry {
         |         (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint
         |FROM t ORDER BY doc_id""".stripMargin,
     "q25_docs_minhash_neardup" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |                        for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM t WHERE len(toks) >= 3),
-        |hs AS (
-        |  SELECT doc_id,
-        |         list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)) AS hv
-        |  FROM s),
-        |bd AS (
-        |  SELECT doc_id,
-        |         unnest([concat_ws('|', CAST(b AS VARCHAR),
-        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b) + 1) + (2 * b) * 7919) % 1000000007)) AS VARCHAR),
-        |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b + 1) + 1) + (2 * b + 1) * 7919) % 1000000007)) AS VARCHAR))
-        |                 for b in range(0, 4)]) AS band_key
-        |  FROM hs),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-        |SELECT * FROM (
-        |  SELECT doc_a, doc_b,
-        |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        |               len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
-        |  FROM cand
-        |  JOIN s sa ON cand.doc_a = sa.doc_id
-        |  JOIN s sb ON cand.doc_b = sb.doc_id)
-        |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $minhashPairsCte
+        |SELECT doc_a, doc_b, jaccard FROM vp ORDER BY doc_a, doc_b""".stripMargin,
     "q26_docs_simhash" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -3459,7 +3432,62 @@ object SparkEntry {
         |  UNION ALL SELECT '4_pack_windows', CAST(packed.wp + fulls.wf AS BIGINT) FROM packed, fulls
         |  UNION ALL SELECT '5_shards', ns FROM shards)
         |ORDER BY stage""".stripMargin,
+    // Split-leakage audit: q25's verified pairs + q123's split rule,
+    // censused per unordered split pair.
+    "q161_split_leakage_audit" ->
+      s"""WITH $minhashPairsCte,
+        |sp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |               CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b
+        |        FROM documents)),
+        |j AS (
+        |  SELECT least(a.split, b.split) AS split_a,
+        |         greatest(a.split, b.split) AS split_b
+        |  FROM vp JOIN sp a ON vp.doc_a = a.doc_id
+        |          JOIN sp b ON vp.doc_b = b.doc_id)
+        |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT) AS is_leak
+        |FROM j GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
   ) ++ streamAndEvalOracles
+
+  /** q25's banded-MinHash verified-pair CTE chain (ends in
+    * `vp(doc_a, doc_b, jaccard)` at threshold 0.7) — shared by the q25
+    * oracle and q161's split-leakage audit. `def`, never a forward
+    * `val` (round-16 lesson). */
+  private def minhashPairsCte: String =
+    """t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                        for i in range(1, len(toks) - 1)]) AS sh
+      |  FROM t WHERE len(toks) >= 3),
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)) AS hv
+      |  FROM s),
+      |bd AS (
+      |  SELECT doc_id,
+      |         unnest([concat_ws('|', CAST(b AS VARCHAR),
+      |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b) + 1) + (2 * b) * 7919) % 1000000007)) AS VARCHAR),
+      |                   CAST(list_min(list_transform(hv, h -> (h * (2 * (2 * b + 1) + 1) + (2 * b + 1) * 7919) % 1000000007)) AS VARCHAR))
+      |                 for b in range(0, 4)]) AS band_key
+      |  FROM hs),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |vp AS (
+      |  SELECT * FROM (
+      |    SELECT doc_a, doc_b,
+      |           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |                 len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+      |    FROM cand
+      |    JOIN s sa ON cand.doc_a = sa.doc_id
+      |    JOIN s sb ON cand.doc_b = sb.doc_id)
+      |  WHERE jaccard >= 0.7)""".stripMargin
 
   /** The banded-kNN ranked-candidate CTE chain, shared by the q153/q157
     * oracle and q158's audit oracle. All `def`s here, never forward

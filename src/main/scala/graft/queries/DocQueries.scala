@@ -4109,6 +4109,47 @@ object DocQueries {
       .orderBy("source")
   }
 
+  /** SPLIT-LEAKAGE AUDIT (q161): count near-duplicate pairs that
+    * STRADDLE the train/val/test boundary — the reason dedup runs
+    * BEFORE splitting: a test document whose near-twin sits in train is
+    * leaked eval signal, and no amount of exact-id decontamination
+    * (q51 catches shared content, q123 keeps ids stable) sees it if
+    * the split was drawn before near-dup resolution. Composes q25's
+    * verified MinHash pairs (banded, never all-pairs) with q123's
+    * deterministic split assignment: census per unordered split pair
+    * with an is_leak flag — the numbers an eval-hygiene dashboard
+    * shows before anyone trusts a benchmark delta.
+    *
+    * Scale shape: the pair table is q25's (its plans/SCALE rows carry
+    * the cost); the audit adds two broadcast-able split lookups (the
+    * split table is (doc_id, split) — fixed width) and a 6-row census.
+    * All within-split pairs appear too (is_leak = 0): the same audit
+    * doubles as the dedup-debt census per split. */
+  def q161SplitLeakageAudit(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageAudit(Tables(spark, dir, "documents"), 0.7, 90, 95)
+
+  /** The reusable audit behind q161 over any (doc_id, text) frame;
+    * public so SplitLeakageSpec can plant a cross-split twin. */
+  def splitLeakageAudit(docs: DataFrame, threshold: Double,
+                        trainPct: Int, valPct: Int): DataFrame = {
+    val pairs = minhashNeardup(docs.select(col("doc_id"), col("text")),
+      threshold)
+    val splits = splitAssign(docs, trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"),
+        col("split").as("sp_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"),
+        col("split").as("sp_b")), "doc_b")
+      .select(least(col("sp_a"), col("sp_b")).as("split_a"),
+        greatest(col("sp_a"), col("sp_b")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak",
+        when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+      .orderBy("split_a", "split_b")
+  }
+
   /** END-TO-END CURATION FUNNEL (q160): the whole pipeline as ONE
     * registered query — the capstone proof that the operators COMPOSE:
     * raw corpus → exact dedup (q20's keep-min rule) → MAD length gate
