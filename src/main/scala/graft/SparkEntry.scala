@@ -3418,7 +3418,7 @@ object SparkEntry {
         |  SELECT doc_id, CASE WHEN n <= 256 THEN n ELSE n % 256 END AS len
         |  FROM ct WHERE (CASE WHEN n <= 256 THEN n ELSE n % 256 END) >= 1),
         |packed AS (
-        |  SELECT CAST(sum((cnt2 + k - 1) // k) AS BIGINT) AS wp FROM (
+        |  SELECT CAST(COALESCE(sum((cnt2 + k - 1) // k), 0) AS BIGINT) AS wp FROM (
         |    SELECT 256 // len AS k, count(*) AS cnt2 FROM items GROUP BY 256 // len)),
         |fulls AS (SELECT CAST(COALESCE(sum(n // 256), 0) AS BIGINT) AS wf FROM ct WHERE n > 256),
         |shards AS (

@@ -48,14 +48,22 @@ object Verify {
     // the oracle registry yields a silently-null entry; NPEing inside q()
     // would abort the dump after the parquets but before oracle_sql.json,
     // zeroing the WHOLE round's correctness (this happened in round 16).
-    // Name the offending keys, drop them from the dump, keep going.
+    // A null entry must turn the gate RED, not merely be skipped: the
+    // driver's compare iterates oracle keys, so a DROPPED key would read
+    // as "not checked" while everything else stays green (the quiet twin
+    // of the round-16 failure). Substitute a sentinel SQL that is a
+    // guaranteed DuckDB error — the affected query then FAILS in the
+    // correctness artifact by name instead of vanishing from it.
     val (nullEntries, liveEntries) = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .partition { case (k, v) => k == null || v == null }
     nullEntries.keys.foreach(k =>
       System.err.println(s"[verify] FATAL: null oracle SQL for '$k' " +
-        "(forward val reference in SparkEntry?) — entry dropped"))
-    val json = liveEntries
+        "(forward val reference in SparkEntry?) — emitting failing sentinel"))
+    val sentinels = nullEntries.keys.filter(_ != null).map { k =>
+      k -> s"SELECT error('null oracle SQL for $k — forward val reference in SparkEntry')"
+    }
+    val json = (liveEntries ++ sentinels)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -41,4 +41,18 @@ class OracleRegistrySpec extends AnyFunSuite {
     assert(orphans.isEmpty,
       s"oracle entries with no matching query: ${orphans.mkString(", ")}")
   }
+
+  /** The other direction (round-17 advice): a query registered WITHOUT an
+    * oracle entry is dumped to parquet but never compared by the driver —
+    * a silently-unchecked query. The only sanctioned exception is q18,
+    * whose HLL output is engine-specific by design (documented in
+    * COVERAGE.md); anything else added here needs the same documentation
+    * trail. */
+  test("every registered query has an oracle entry (q18 is the one documented exception)") {
+    val noOracleAllowed = Set("q18_windowed_approx_distinct")
+    val unchecked =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleAllowed
+    assert(unchecked.isEmpty,
+      s"queries with no oracle entry (driver would never compare them): ${unchecked.mkString(", ")}")
+  }
 }
