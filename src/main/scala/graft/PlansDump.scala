@@ -88,6 +88,12 @@ object PlansDump {
   // q154 is streaming (micro-batch plans live behind the query
   // execution — the q130 exclusion); StreamShardSpec pins stream ≡
   // batch by frame equality, and the batch side (q150) IS audited.
+  // q162/q163 are streaming folds (foreachBatch plans live inside the
+  // micro-batch, behind the query execution — the q130/q154 exclusion);
+  // their batch-side folds ARE the audited q145/q157 plans (semi/anti
+  // standing split + batch-keyed windows; banded probe join + anti-join
+  // edge carry-over), and Streaming{Scd2,Knn}FoldSpec pin stream ≡
+  // batch-rebuild by frame equality.
   // q143–q146 (round 16) ARE audited: q143 is map-only classing +
   // exactStratumRank's two-level rank; q144's gate must show ONE
   // broadcast join against the corpus (the verdict side is host-sized);

@@ -1121,6 +1121,25 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q145_scd2incr","versions":${folded.getLong(0)},"rebuild_versions":${rebuilt.getLong(0)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // Streaming SCD2 fold (q162, round 18): the ingest-door twin of
+      // q145 — the claim is that the versioned-store stream path adds
+      // only the micro-batch floor + one store write/read cycle on top
+      // of the batch fold, and that the maintained dimension's version
+      // count equals the rebuild's at every factor (the oracle equality,
+      // re-checked here under amplification).
+      if (on("scd2stream")) {
+        import graft.queries.{EventQueries, StreamQueries}
+        val rebuilt = EventQueries.scd2(
+          graft.sources.Tables(spark, dir, "events"),
+          "user_id", "event_type")
+          .agg(count(lit(1))).collect()(0).getLong(0)
+        var versions = 0L
+        val sec = timed {
+          versions = StreamQueries.q162StreamScd2Fold(spark, dir).count()
+        }
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q162_scd2stream","versions":$versions,"rebuild_versions":$rebuilt,"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Converged TrustRank (q146, round 16): amplified lineitem adds
       // ORDERS over the same supplier set, so the co-supply node set is
       // constant and the distinct edge set saturates toward the
@@ -1288,6 +1307,26 @@ object ScaleRehearsal {
           EmbedQueries.knnIncremental(standing, emb, isDelta, 3)))
         val rebuildSec = timed(materialize(EmbedQueries.knnGraph(emb, 3)))
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q157_knninc","delta":$nDelta,"fold_seconds":$foldSec,"rebuild_seconds":$rebuildSec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // Streaming kNN fold (q163, round 18): the ingest-door twin of
+      // q157 — per micro-batch the fold's candidate work is (batch ∪
+      // probe-ball-touched) × occupancy, and the stream path adds the
+      // micro-batch floor + the versioned edge-store write/read on top.
+      // Edge count must equal the rebuild's at every factor (the oracle
+      // equality under amplification); wall is reported against the
+      // q153 rebuild.
+      if (on("knnstream") && deep) {
+        import graft.queries.{EmbedQueries, StreamQueries}
+        var edges = 0L
+        val foldSec = timed {
+          edges = StreamQueries.q163StreamKnnFold(spark, dir).count()
+        }
+        val rebuild = EmbedQueries.knnGraph(
+          graft.sources.Tables(spark, dir, "embeddings"), 3)
+        val rebuildEdges = rebuild.count()
+        val rebuildSec = timed(materialize(rebuild))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q163_knnstream","edges":$edges,"rebuild_edges":$rebuildEdges,"fold_seconds":$foldSec,"rebuild_seconds":$rebuildSec,"loadavg":${loadavg1m()}}""")
       }
 
       // Label-noise audit (q158, round 17): identical copies carry

@@ -179,6 +179,8 @@ object SparkEntry {
     "q159_corpus_diff" -> (DocQueries.q159CorpusDiff _),
     "q160_curation_funnel" -> (DocQueries.q160CurationFunnel _),
     "q161_split_leakage_audit" -> (DocQueries.q161SplitLeakageAudit _),
+    "q162_stream_scd2_fold" -> (StreamQueries.q162StreamScd2Fold _),
+    "q163_stream_knn_fold" -> (StreamQueries.q163StreamKnnFold _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3529,6 +3531,17 @@ object SparkEntry {
     // provably equals the batch export — q150's oracle VERBATIM (the
     // q145/q106 registered-equality trick).
     "q154_stream_shard_route" -> shardExportOracle,
+    // Streaming SCD2 fold: each micro-batch folds into the standing
+    // dimension via scd2Incremental under the closed-batch restriction
+    // (enforced in-plan by the load-boundary guard), so the stream-
+    // maintained dimension provably equals the batch rebuild — q137/
+    // q145's oracle VERBATIM (StreamingScd2FoldSpec pins multi-batch).
+    "q162_stream_scd2_fold" -> scd2RebuildOracle,
+    // Streaming kNN fold: banded candidate sets depend on bucket
+    // membership, not arrival order, so the per-micro-batch fold equals
+    // the rebuild under ANY batch slicing — q153's oracle VERBATIM
+    // (StreamingKnnFoldSpec pins 2-batch ≡ 1-batch ≡ rebuild).
+    "q163_stream_knn_fold" -> knnGraphOracle,
     // nDCG@10: q131's exact/probed arms with integer gains (11 − rank)
     // and ppb-literal discounts round(1e9/log2(r+1)) — no runtime log2,
     // so DCG/IDCG are exact BIGINT sums in both engines.

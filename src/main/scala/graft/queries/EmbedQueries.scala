@@ -1838,6 +1838,52 @@ object EmbedQueries {
       .unionByName(reranked)
   }
 
+  /** The STREAMING kNN store frame (q163): the standing edge list plus one
+    * rank-0 MARKER row per folded vector (nbr_id = −1, cos_u = 0). The
+    * markers are the fold's only state beyond the edges themselves: the
+    * next micro-batch must know WHICH vectors are already in the corpus to
+    * rebuild the scan side, and "appears in the edge list" cannot answer
+    * that — a vector whose probe ball held no other vector emits zero
+    * edges yet is still a candidate for every later arrival. One fixed-
+    * width row per vector, stored next to the edges in the same versioned
+    * parquet snapshot — no driver-side state anywhere. */
+  def knnFoldSeed(standingVecs: DataFrame, kNbrs: Int): DataFrame =
+    knnEdges(standingVecs, None, kNbrs)
+      .unionByName(knnMarkers(standingVecs.select(col("vec_id"))))
+
+  private def knnMarkers(ids: DataFrame): DataFrame =
+    ids.select(col("vec_id"), lit(-1L).as("nbr_id"), lit(0L).as("rank"),
+      lit(0L).as("cos_u"))
+
+  /** One micro-batch of the STREAMING kNN fold (q163): [[knnIncremental]]
+    * applied at the ingest door. `base` is the previous store snapshot
+    * (edges + markers), `batchVecs` the arriving (vec_id, embedding) rows.
+    * The scan-side corpus is rebuilt as marker-set vectors (from the
+    * static frame) ∪ the batch's own rows — the arriving embedding comes
+    * from the STREAM, as it would in production; `embStatic` only
+    * re-supplies the embeddings of already-folded vectors, standing in for
+    * the vector store a deployment would read them from. Sequential
+    * per-batch application equals the one-shot rebuild for the same reason
+    * q157's fold does: after batch i the store equals rebuild(seen_i), and
+    * a vector untouched by batch i+1's probe balls has an identical banded
+    * candidate set in rebuild(seen_{i+1}) — so induction carries the
+    * equality through any batch slicing (StreamingKnnFoldSpec pins it). */
+  def knnStreamFold(base: DataFrame, batchVecs: DataFrame,
+                    embStatic: DataFrame, kNbrs: Int): DataFrame = {
+    val seen = base.filter(col("rank") === 0L).select(col("vec_id"))
+    val standingEdges = base.filter(col("rank") > 0L)
+    val newVecs = batchVecs.select(col("vec_id"), col("embedding"))
+      .join(seen, Seq("vec_id"), "left_anti") // re-delivery of a folded vec is a no-op
+      .withColumn("is_new", lit(true))
+    val seenVecs = embStatic.select(col("vec_id"), col("embedding"))
+      .join(seen, Seq("vec_id"), "left_semi")
+      .withColumn("is_new", lit(false))
+    val folded = knnIncremental(standingEdges,
+      seenVecs.unionByName(newVecs), col("is_new"), kNbrs)
+    folded.unionByName(knnMarkers(
+      seen.unionByName(newVecs.select(col("vec_id")))))
+  }
+
   /** LABEL-NOISE AUDIT (q158): flag vectors whose label DISAGREES with
     * the strict majority of their kNN neighborhood — the
     * confident-learning / neighborhood-voting label-QA pass a training

@@ -400,4 +400,89 @@ object StreamQueries {
     EventStreams.runToMemory(spark, census, mode = "complete")
       .orderBy("shard")
   }
+
+  /** STREAMING SCD2 DIMENSION MAINTENANCE (q162): q145's incremental fold
+    * run AT THE INGEST DOOR — post-cutoff events arrive as a stream and
+    * each micro-batch folds into the standing dimension through
+    * [[EventStreams.runVersionedFold]] + [[EventQueries.scd2Incremental]],
+    * closing the loop the batch family left open: q137 builds the
+    * dimension, q145 maintains it per load, q142 reads it — this is the
+    * continuous write path between them (the reference's Kafka-Streams
+    * deployments maintain exactly such state stores on the live topic).
+    *
+    * Batch-order contract (the CLOSED-BATCH restriction): the fold is
+    * rebuild-equal when each micro-batch is a closed time slab per key —
+    * trivially true for this single-file AvailableNow replay (one batch),
+    * asserted across explicitly time-sliced multi-batch runs in
+    * StreamingScd2FoldSpec, and ENFORCED rather than assumed: an
+    * out-of-order batch trips scd2Incremental's in-plan load-boundary
+    * guard (assert_true) instead of minting overlapping intervals.
+    *
+    * The registered oracle is the FULL-REBUILD SQL verbatim (q137/q145's
+    * scd2RebuildOracle — the registered-equality trick): a hash match
+    * certifies stream-fold ≡ batch rebuild over the whole history.
+    *
+    * 100 TB shape: per batch, ONE pass over the standing dimension (semi/
+    * anti split on the touched-key set), batch-bounded windows, and the
+    * dimension lives as versioned parquet on shared storage — the driver
+    * never holds a row, and a restart resumes from the last committed
+    * version. */
+  def q162StreamScd2Fold(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventStreams.streamSession(spark)
+    val cutoff = to_timestamp(lit("2024-01-22 00:00:00"))
+    // Yesterday's stored artifact: the dimension as of the load boundary.
+    val standing = EventQueries.scd2(
+      Tables(spark, dir, "events").filter(col("ts") < cutoff),
+      "user_id", "event_type")
+    val arrivals = EventStreams.fileReplaySource(ss, dir)
+      .filter(col("ts") >= cutoff)
+    EventStreams.runVersionedFold(ss, arrivals, standing,
+        "target/fold-store/q162")((base, batch) =>
+        EventQueries.scd2Incremental(base, batch,
+          key = "user_id", state = "event_type"))
+      .select(col("user_id"), col("state"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("valid_to"),
+        col("version"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** STREAMING kNN GRAPH MAINTENANCE (q163): q157's incremental fold run
+    * at the ingest door — newly embedded vectors arrive as a stream and
+    * each micro-batch folds into the standing q153 graph through
+    * [[EventStreams.runVersionedFold]] + [[EmbedQueries.knnStreamFold]].
+    * The arriving embedding rides the STREAM (as in production); the
+    * static table only re-supplies already-folded vectors' embeddings,
+    * standing in for the deployment's vector store. Unlike q162 there is
+    * NO batch-order contract: the fold is rebuild-equal under ANY batch
+    * slicing (banded candidate sets depend on bucket membership, not
+    * arrival order — StreamingKnnFoldSpec pins 2-batch ≡ 1-batch ≡
+    * rebuild), so the registered oracle is q153's graph SQL verbatim.
+    *
+    * 100 TB shape: per batch, candidate work is (batch ∪ probe-ball-
+    * touched) × bucket-occupancy — never corpus²; the graph lives as
+    * versioned parquet (edges + one fixed-width marker row per folded
+    * vector), and the 2.2×-cheaper-than-rebuild economics q157 measured
+    * apply per micro-batch. */
+  def q163StreamKnnFold(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ss = EventStreams.streamSession(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val isDelta = col("vec_id") % 10 === 7
+    val seed = EmbedQueries.knnFoldSeed(emb.filter(!isDelta), kNbrs = 3)
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val arrivals = ss.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(isDelta)
+    EventStreams.runVersionedFold(ss, arrivals, seed,
+        "target/fold-store/q163")((base, batch) =>
+        EmbedQueries.knnStreamFold(base, batch, emb, kNbrs = 3))
+      .filter(col("rank") > 0L) // markers are store state, not output
+      .orderBy("vec_id", "rank")
+  }
 }

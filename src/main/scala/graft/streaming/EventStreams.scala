@@ -410,6 +410,58 @@ object EventStreams {
     latestCommittedVersion(spark, storeDir)
       .map(p => spark.read.parquet(p.toString))
 
+  /** VERSIONED-STORE FOLD SINK: foreachBatch folds each micro-batch into a
+    * STANDING ARTIFACT kept as a versioned parquet store — the
+    * [[runUpsertLastWindowWins]] machinery generalized to an arbitrary
+    * incremental fold. `seed` is written as v0 (yesterday's stored
+    * artifact — the dimension, the kNN graph); each micro-batch reads the
+    * latest COMMITTED snapshot, applies `fold(base, batch)` — a pure
+    * batch-DataFrame function, so the q145/q157-style incremental
+    * operators plug in unchanged — and writes `v<batchId+1>`.
+    *
+    * Crash-safety and retry idempotence are the upsert sink's: a killed
+    * batch leaves the previous committed version intact (torn versions
+    * carry no _SUCCESS and are invisible to [[latestCommittedVersion]]),
+    * and re-running batch N rewrites the same v<N+1> from the same
+    * committed parent. The fold itself must make SEQUENTIAL per-batch
+    * application equal the one-shot fold of the union — each caller's
+    * registered-equality oracle (q162's scd2 rebuild, q163's kNN rebuild)
+    * certifies exactly that, and each caller documents the batch-order
+    * contract its fold needs (q162: time-closed batches per key, enforced
+    * in-plan by scd2Incremental's load-boundary guard).
+    *
+    * 100 TB shape: the store IS the output dataset (a dimension table, an
+    * edge list) — parquet on shared storage, written by executor-parallel
+    * jobs; the driver never holds a row, and state across restarts lives
+    * in the store, not the checkpoint. */
+  def runVersionedFold(spark: SparkSession, streamed: DataFrame,
+                       seed: DataFrame, storeDir: String)
+                      (fold: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(hconf)
+    if (fs.exists(root)) fs.delete(root, true)
+    seed.write.mode("overwrite").parquet(s"$storeDir/v0")
+    val q = streamed.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val base = latestCommittedVersion(s, storeDir)
+          .map(p => s.read.parquet(p.toString))
+          .getOrElse(throw new IllegalStateException(
+            s"versioned fold store lost its seed: $storeDir"))
+        fold(base, batch)
+          .write.mode("overwrite").parquet(s"$storeDir/v${batchId + 1}")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    latestCommittedVersion(spark, storeDir)
+      .map(p => spark.read.parquet(p.toString))
+      .getOrElse(seed.limit(0))
+  }
+
   def runUpsertLastWindowWins(spark: SparkSession, streamed: DataFrame,
                               keyCol: String, storeDir: String): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
