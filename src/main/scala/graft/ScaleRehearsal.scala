@@ -1121,6 +1121,31 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q145_scd2incr","versions":${folded.getLong(0)},"rebuild_versions":${rebuilt.getLong(0)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // Bottom-k quantile sketch (q164, round 18): the one-pass sketch
+      // arm vs the exact per-group rank — the economics that justify
+      // the fourth sketch. The sketch pass is a regular partial
+      // aggregation (≤ 64 pairs per map task) while the exact arm pays
+      // a per-group sort; err_ppm is the measured price, which must
+      // stay inside the bottom-k band (rank O(1/√k)) at every factor.
+      if (on("btk")) {
+        graft.functions.QuantileSketch.register(spark)
+        val docs = graft.sources.Tables(spark, dir, "documents")
+        val hv = expr("CAST(conv(substring(md5(concat('btk:', CAST(doc_id AS STRING))), 1, 14), 16, 10) AS BIGINT)")
+        val sketchSec = timed(materialize(
+          docs.select(col("source"), hv.as("hv"), col("n_chars"))
+            .groupBy("source")
+            .agg(expr("graft_btk_pairs(hv, n_chars, 64)").as("pairs"))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+        val exactSec = timed(materialize(
+          docs.select(col("source"), col("n_chars"), col("doc_id"))
+            .withColumn("r", row_number().over(w))
+            .groupBy("source").agg(max(when(col("r") === 1, col("n_chars"))))))
+        val errMax = graft.queries.DocQueries.q164QuantileSketch(spark, dir)
+          .agg(max("err_ppm")).collect()(0).getLong(0)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q164_btk","sketch_seconds":$sketchSec,"exact_seconds":$exactSec,"err_ppm_max":$errMax,"loadavg":${loadavg1m()}}""")
+      }
+
       // Streaming SCD2 fold (q162, round 18): the ingest-door twin of
       // q145 — the claim is that the versioned-store stream path adds
       // only the micro-batch floor + one store write/read cycle on top

@@ -181,6 +181,7 @@ object SparkEntry {
     "q161_split_leakage_audit" -> (DocQueries.q161SplitLeakageAudit _),
     "q162_stream_scd2_fold" -> (StreamQueries.q162StreamScd2Fold _),
     "q163_stream_knn_fold" -> (StreamQueries.q163StreamKnnFold _),
+    "q164_quantile_sketch" -> (DocQueries.q164QuantileSketch _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3452,6 +3453,53 @@ object SparkEntry {
         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
         |       CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT) AS is_leak
         |FROM j GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
+    // Bottom-k quantile sketch: the retained sample is a DETERMINISTIC
+    // function of the data (k smallest distinct (hash, value) pairs), so
+    // DuckDB restates it relationally — DISTINCT pairs, rank by (hv,
+    // value), keep 64, rank-pick the value-sorted sample at ceil(m·q) —
+    // next to the exact per-source quartiles, and the whole row
+    // (estimates + exacts + err_ppm) hash-matches.
+    "q164_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT source, n_chars, doc_id,
+        |         CAST(concat('0x', substr(md5(concat('btk:', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) AS hv
+        |  FROM documents),
+        |dp AS (SELECT DISTINCT source, hv, n_chars FROM h),
+        |samp AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY hv, n_chars) AS rh
+        |  FROM dp),
+        |sk AS (SELECT source, n_chars FROM samp WHERE rh <= 64),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS m FROM sk GROUP BY source),
+        |sv AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rv
+        |  FROM sk),
+        |est AS (
+        |  SELECT sv.source,
+        |         max(CASE WHEN rv = (m.m * 25 + 99) // 100 THEN n_chars END) AS p25_est,
+        |         max(CASE WHEN rv = (m.m * 50 + 99) // 100 THEN n_chars END) AS p50_est,
+        |         max(CASE WHEN rv = (m.m * 75 + 99) // 100 THEN n_chars END) AS p75_est
+        |  FROM sv JOIN m ON sv.source = m.source GROUP BY sv.source),
+        |ex0 AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+        |         count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents),
+        |ex AS (
+        |  SELECT source,
+        |         max(CASE WHEN r = (cnt * 25 + 99) // 100 THEN n_chars END) AS p25_exact,
+        |         max(CASE WHEN r = (cnt * 50 + 99) // 100 THEN n_chars END) AS p50_exact,
+        |         max(CASE WHEN r = (cnt * 75 + 99) // 100 THEN n_chars END) AS p75_exact
+        |  FROM ex0 GROUP BY source),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+        |SELECT est.source, nd.n_docs, m.m,
+        |       est.p25_est, est.p50_est, est.p75_est,
+        |       ex.p25_exact, ex.p50_exact, ex.p75_exact,
+        |       CAST(abs(est.p50_est - ex.p50_exact) * 1000000 // ex.p50_exact AS BIGINT) AS err_ppm
+        |FROM est JOIN m ON est.source = m.source
+        |JOIN ex ON est.source = ex.source JOIN nd ON est.source = nd.source
+        |ORDER BY est.source""".stripMargin,
   ) ++ streamAndEvalOracles
 
   /** q25's banded-MinHash verified-pair CTE chain (ends in

@@ -3295,6 +3295,65 @@ object DocQueries {
       .orderBy("source")
   }
 
+  /** BOTTOM-K QUANTILE SKETCH vs EXACT (q164): per-source n_chars
+    * quartiles through the fourth native sketch — `graft_btk_pairs`
+    * completes the quartet (q57 Misra–Gries = WHICH items are frequent,
+    * q121 KMV = HOW MANY distinct, q136 CMS = HOW frequent, this = WHAT
+    * DISTRIBUTION), the q121 two-pass discipline applied to quantiles.
+    * The sketch keeps the k smallest DISTINCT (hash, value) pairs per
+    * group — a deterministic bottom-k uniform sample (Cohen & Kaplan
+    * 2007; mergeable per Agarwal et al.) — and quartiles are rank-picks
+    * from the value-sorted sample at ⌈m·q⌉. Unlike KLL (randomized,
+    * merge-order-dependent compactions) the retained set is a pure
+    * function of the data, so DuckDB restates it relationally (DISTINCT
+    * pairs → rank by (hash, value) → keep 64 → rank-pick) and the whole
+    * output hash-matches — the property that makes an approximate-
+    * quantile operator oracle-checkable at all.
+    *
+    * 100 TB shape: the sketch pass is a regular partial aggregation —
+    * ≤ k pairs per map task, #partitions × k merged per group, one pass
+    * — where the exact arm needs a per-group sort (or q152/q76's √n
+    * two-level rank: two passes). The exact arm here is the
+    * certification, not the production path; err_ppm is the measured
+    * price of the one-pass answer (O(1/√k) per quantile — and the
+    * estimate is EXACT whenever the group holds ≤ k distinct pairs,
+    * QuantileSketchSpec's small-group pin). */
+  def q164QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.QuantileSketch.register(spark)
+    val k = 64
+    val docs = Tables(spark, dir, "documents")
+    val hv = md5Long(concat(lit("btk:"), col("doc_id").cast("string")), 14)
+    val sk = docs
+      .select(col("source"), hv.as("hv"), col("n_chars"))
+      .groupBy("source")
+      .agg(expr(s"graft_btk_pairs(hv, n_chars, $k)").as("pairs"),
+        count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        size(col("pairs")).as("m"),
+        expr("array_sort(transform(pairs, p -> p.v))").as("vs"))
+    def pick(pct: Int): Column =
+      element_at(col("vs"), expr(s"(m * $pct + 99) div 100").cast("int"))
+    val est = sk.select(col("source"), col("n_docs"),
+      col("m").cast("long").as("m"),
+      pick(25).as("p25_est"), pick(50).as("p50_est"), pick(75).as("p75_est"))
+    // Certification arm: exact quartiles by per-source rank (the cost
+    // the sketch avoids at scale).
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs.select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1))
+        .over(Window.partitionBy("source")))
+    def exact(pct: Int): Column =
+      max(when(col("r") === expr(s"(cnt * $pct + 99) div 100"),
+        col("n_chars"))).as(s"p${pct}_exact")
+    val ex = ranked.groupBy("source")
+      .agg(exact(25), exact(50), exact(75))
+    est.join(ex, "source")
+      .withColumn("err_ppm",
+        expr("abs((p50_est - p50_exact) * 1000000) div p50_exact"))
+      .orderBy("source")
+  }
+
   /** PARAGRAPH-LEVEL BOILERPLATE REMOVAL + DOC RECONSTRUCTION (q115):
     * the CCNet/RefinedWeb curation stage the dedup family still lacked —
     * drop every PARAGRAPH that appears verbatim in more than one
