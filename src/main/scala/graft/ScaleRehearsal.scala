@@ -1121,6 +1121,35 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q145_scd2incr","versions":${folded.getLong(0)},"rebuild_versions":${rebuilt.getLong(0)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // Incremental shard publishing (q165, round 18): verdict totals
+      // must scale exactly ×k (the q159 id-modulo construction) while
+      // the wall stays flat (fixed-width manifests + one full-outer
+      // join + a 64-group census); republished-shard count saturates
+      // toward 64 as the delta grows — the shards-touched economics a
+      // publisher banks on only at SMALL deltas, measured honestly.
+      if (on("shardpub")) {
+        val out = graft.queries.DocQueries
+          .q165IncrementalShardPublish(spark, dir)
+          .agg(sum("n_added").as("a"), sum("n_deleted").as("d"),
+            sum("n_changed").as("c"), sum("republish").as("r"))
+          .collect()(0)
+        val sec = timed(materialize(graft.queries.DocQueries
+          .q165IncrementalShardPublish(spark, dir)))
+        // The economics regime: a SPARSE (~1 ‰) edit delta touches only
+        // its own shards — the republish count the incremental publish
+        // banks on (the registered 20 % delta saturates all 64 by
+        // design and is the correctness regime).
+        val docs = graft.sources.Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        val sparseB = docs.select(col("doc_id"),
+          when(col("doc_id") % 1000 === 5, concat(col("text"), lit(" e")))
+            .otherwise(col("text")).as("text"), col("n_chars"))
+        val sparse = graft.queries.DocQueries
+          .incrementalShardPublish(docs, sparseB, "seed42", 64)
+          .agg(sum("republish"), sum("n_changed")).collect()(0)
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q165_shardpub","added":${out.getLong(0)},"deleted":${out.getLong(1)},"changed":${out.getLong(2)},"republished_shards":${out.getLong(3)},"sparse_changed":${sparse.getLong(1)},"sparse_republished":${sparse.getLong(0)},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Bottom-k quantile sketch (q164, round 18): the one-pass sketch
       // arm vs the exact per-group rank — the economics that justify
       // the fourth sketch. The sketch pass is a regular partial

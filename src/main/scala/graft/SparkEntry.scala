@@ -182,6 +182,7 @@ object SparkEntry {
     "q162_stream_scd2_fold" -> (StreamQueries.q162StreamScd2Fold _),
     "q163_stream_knn_fold" -> (StreamQueries.q163StreamKnnFold _),
     "q164_quantile_sketch" -> (DocQueries.q164QuantileSketch _),
+    "q165_incr_shard_publish" -> (DocQueries.q165IncrementalShardPublish _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3500,6 +3501,40 @@ object SparkEntry {
         |FROM est JOIN m ON est.source = m.source
         |JOIN ex ON est.source = ex.source JOIN nd ON est.source = nd.source
         |ORDER BY est.source""".stripMargin,
+    // Incremental shard publishing: q159's snapshot derivation (NOTE the
+    // b0 inner query applies every CASE to the PRE-shift doc_id, exactly
+    // as the Spark side's single projection does) + q150's seeded shard
+    // hash + per-shard verdict census with the republish flag.
+    "q165_incr_shard_publish" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS h, n_chars,
+        |         CAST(concat('0x', substr(md5(concat('seed42:', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 64 AS shard
+        |  FROM documents),
+        |b0 AS (
+        |  SELECT CASE WHEN doc_id % 10 = 7 THEN doc_id + 1000000000 ELSE doc_id END AS doc_id,
+        |         md5(CASE WHEN doc_id % 10 = 5 THEN text || ' rev2' ELSE text END) AS h,
+        |         CASE WHEN doc_id % 10 = 5 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |b AS (
+        |  SELECT doc_id, h, n_chars,
+        |         CAST(concat('0x', substr(md5(concat('seed42:', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 64 AS shard
+        |  FROM b0),
+        |j AS (
+        |  SELECT COALESCE(a.shard, b.shard) AS shard,
+        |         CASE WHEN a.h IS NULL THEN 'added'
+        |              WHEN b.h IS NULL THEN 'deleted'
+        |              WHEN a.h = b.h THEN 'unchanged'
+        |              ELSE 'changed' END AS verdict,
+        |         b.n_chars AS nc_b
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT shard,
+        |       CAST(sum(CASE WHEN verdict = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |       CAST(sum(CASE WHEN verdict = 'deleted' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |       CAST(sum(CASE WHEN verdict = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       CAST(sum(CASE WHEN verdict <> 'deleted' THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |       CAST(COALESCE(sum(nc_b), 0) AS BIGINT) AS n_chars,
+        |       CAST(CASE WHEN sum(CASE WHEN verdict <> 'unchanged' THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS republish
+        |FROM j GROUP BY shard ORDER BY shard""".stripMargin,
   ) ++ streamAndEvalOracles
 
   /** q25's banded-MinHash verified-pair CTE chain (ends in

@@ -4298,6 +4298,79 @@ object DocQueries {
   private val funnelKeys = scala.collection.concurrent.TrieMap
     .empty[String, Set[(String, Any, String)]]
 
+  /** INCREMENTAL SHARD PUBLISHING (q165): q159's snapshot diff composed
+    * with q150's seeded shard layout — given yesterday's published
+    * corpus (snapshot A) and today's (snapshot B), decide PER SHARD
+    * whether it must be republished (any member added, deleted, or
+    * content-changed) or whether yesterday's files stand. The
+    * Delta-style incremental dataset publish: at 100 TB you never
+    * rewrite 64 corpus-sized shards for a 1‰ delta — republish work is
+    * delta-touched shards only, and the decision provably reproduces
+    * the full re-export (republished shards re-export from B; standing
+    * shards' A-census ≡ B-census because an untouched shard has the
+    * identical member set and content — ShardPublishSpec pins
+    * fold ≡ full-export).
+    *
+    * Scale shape: both snapshots reduce to fixed-width manifests
+    * (doc_id, md5, n_chars, shard) before ONE full-outer equi-join on
+    * doc_id (32-byte hashes cross the exchange, never text — the q159
+    * posture); shard is a pure function of doc_id so it needs no join
+    * to agree across snapshots; the census is one 64-group aggregate. */
+  def q165IncrementalShardPublish(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val snapA = docs.select(col("doc_id"), col("text"), col("n_chars"))
+    // Today's snapshot: q159's deterministic derivation, n_chars tracking
+    // the edit (' rev2' adds 5 chars) so the census is content-honest.
+    val snapB = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(
+        when(col("doc_id") % 10 === 7, col("doc_id") + 1000000000L)
+          .otherwise(col("doc_id")).as("doc_id"),
+        when(col("doc_id") % 10 === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 10 === 5, col("n_chars") + 5L)
+          .otherwise(col("n_chars")).as("n_chars"))
+    incrementalShardPublish(snapA, snapB, "seed42", 64)
+  }
+
+  /** The reusable publisher behind q165 over any two (doc_id, text,
+    * n_chars) snapshots; public so ShardPublishSpec can pin the
+    * fold ≡ full-export equality and plant per-verdict shards. */
+  def incrementalShardPublish(snapA: DataFrame, snapB: DataFrame,
+                              seed: String, nShards: Int): DataFrame = {
+    require(nShards >= 1)
+    def manifest(df: DataFrame, tag: String) = df.select(
+      col("doc_id"),
+      md5(col("text")).as(s"h_$tag"),
+      col("n_chars").as(s"nc_$tag"),
+      (md5Long(concat(lit(s"$seed:"), col("doc_id").cast("string")), 14)
+        % nShards).as(s"shard_$tag"))
+    val j = manifest(snapA, "a")
+      .join(manifest(snapB, "b"), Seq("doc_id"), "full_outer")
+      .select(
+        // shard is doc_id-pure, so whichever side is present agrees
+        coalesce(col("shard_a"), col("shard_b")).as("shard"),
+        when(col("h_a").isNull, lit("added"))
+          .when(col("h_b").isNull, lit("deleted"))
+          .when(col("h_a") === col("h_b"), lit("unchanged"))
+          .otherwise(lit("changed")).as("verdict"),
+        col("nc_b"))
+    j.groupBy("shard")
+      .agg(
+        sum(when(col("verdict") === "added", 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("verdict") === "deleted", 1L).otherwise(0L))
+          .as("n_deleted"),
+        sum(when(col("verdict") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("verdict") =!= "deleted", 1L).otherwise(0L))
+          .as("n_docs"),
+        coalesce(sum(col("nc_b")), lit(0L)).as("n_chars"))
+      .withColumn("republish",
+        when(col("n_added") + col("n_deleted") + col("n_changed") > 0, 1L)
+          .otherwise(0L))
+      .orderBy("shard")
+  }
+
   /** The reusable export census behind q150 over any (doc_id, n_chars)
     * frame; public so ShardExportSpec can pin seed-reproducibility and
     * balance. */
