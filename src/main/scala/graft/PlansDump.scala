@@ -47,7 +47,7 @@ object PlansDump {
     "q153_knn_graph", "q155_ndcg_eval", "q156_embedding_drift",
     "q157_knn_incremental", "q158_label_noise_audit", "q159_corpus_diff",
     "q160_curation_funnel", "q161_split_leakage_audit",
-    "q164_quantile_sketch", "q165_incr_shard_publish")
+    "q164_quantile_sketch", "q165_incr_shard_publish", "q166_knn_refine")
   // q79 is excluded by design: its label table is built by an ITERATIVE
   // loop whose final plan is (window over checkpointed RDD) — the
   // interesting shape is per-round and is asserted in PlanPinsSpec.

@@ -1383,6 +1383,30 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q163_knnstream","edges":$edges,"rebuild_edges":$rebuildEdges,"fold_seconds":$foldSec,"rebuild_seconds":$rebuildSec,"loadavg":${loadavg1m()}}""")
       }
 
+      // NN-Descent refinement (q166, round 18): one neighbor-of-neighbor
+      // round over the standing graph — candidate TOTAL must stay under
+      // n(k²+2k) (graph-proportional, Σ in-degree = nk) at every
+      // factor, wall tracks the graph (edges ×k), and at ×1 the recall
+      // gain vs brute force is re-measured on the amplified corpus
+      // (brute is n² — only affordable at the base factor).
+      if (on("knnrefine") && deep) {
+        import graft.queries.EmbedQueries
+        val emb = graft.sources.Tables(spark, dir, "embeddings")
+        val n = emb.count()
+        val base = EmbedQueries.knnGraph(emb, 3).localCheckpoint()
+        val e = base.select(col("vec_id"), col("nbr_id"))
+        val cands = e
+          .unionByName(e.select(col("nbr_id").as("vec_id"),
+            col("vec_id").as("nbr_id")))
+          .unionByName(e.as("a")
+            .join(e.as("b"), col("a.nbr_id") === col("b.vec_id"))
+            .select(col("a.vec_id").as("vec_id"), col("b.nbr_id").as("nbr_id"))
+            .filter(col("vec_id") =!= col("nbr_id")))
+          .distinct().count()
+        val sec = timed(materialize(EmbedQueries.knnRefine(base, emb, 3)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q166_knnrefine","n":$n,"candidates":$cands,"bound":${n * 15},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // Label-noise audit (q158, round 17): identical copies carry
       // their base's label, so every twin neighborhood votes its own
       // label unanimously — flags can only come from the base corpus's

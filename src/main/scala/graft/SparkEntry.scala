@@ -183,6 +183,7 @@ object SparkEntry {
     "q163_stream_knn_fold" -> (StreamQueries.q163StreamKnnFold _),
     "q164_quantile_sketch" -> (DocQueries.q164QuantileSketch _),
     "q165_incr_shard_publish" -> (DocQueries.q165IncrementalShardPublish _),
+    "q166_knn_refine" -> (EmbedQueries.q166KnnRefine _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3604,6 +3605,34 @@ object SparkEntry {
       |SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_u FROM rk
       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 
+  /** q166's NN-Descent round: the q153 chain, then candidates = edges ∪
+    * reverse ∪ 2-hop (UNION dedups, matching the Spark distinct), exact
+    * re-score, re-rank. `def` (round-16 lesson). */
+  private def knnRefineOracle: String =
+    s"""WITH $knnRankedCte,
+      |g AS (SELECT vec_id, nbr_id FROM rk WHERE rank <= 3),
+      |cu AS (
+      |  SELECT vec_id, nbr_id FROM g
+      |  UNION
+      |  SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM g
+      |  UNION
+      |  SELECT a.vec_id AS vec_id, b.nbr_id AS nbr_id
+      |  FROM g a JOIN g b ON a.nbr_id = b.vec_id
+      |  WHERE a.vec_id <> b.nbr_id),
+      |sc AS (
+      |  SELECT c.vec_id, c.nbr_id,
+      |         CAST(round(
+      |           list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
+      |           (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) for i in range(1, 65)])) *
+      |            sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]))) * 1000000) AS BIGINT) AS cos_u
+      |  FROM cu c JOIN embeddings q ON c.vec_id = q.vec_id
+      |            JOIN embeddings e ON c.nbr_id = e.vec_id),
+      |rk2 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_u DESC, nbr_id) AS rank
+      |  FROM sc)
+      |SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_u FROM rk2
+      |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
   /** q154–q156 oracle block, split out so q153's SQL can be shared
     * with q157 above. `def`, not `val`: it is referenced from the
     * oracleSql initializer ABOVE its declaration — a forward *val*
@@ -3625,6 +3654,10 @@ object SparkEntry {
     // the rebuild under ANY batch slicing — q153's oracle VERBATIM
     // (StreamingKnnFoldSpec pins 2-batch ≡ 1-batch ≡ rebuild).
     "q163_stream_knn_fold" -> knnGraphOracle,
+    // NN-Descent round: candidates = edges ∪ reverse ∪ 2-hop over the
+    // q153 graph, exact re-score, re-rank (recall-monotone by
+    // candidate-superset; KnnRefineSpec measures the gain).
+    "q166_knn_refine" -> knnRefineOracle,
     // nDCG@10: q131's exact/probed arms with integer gains (11 − rank)
     // and ppb-literal discounts round(1e9/log2(r+1)) — no runtime log2,
     // so DCG/IDCG are exact BIGINT sums in both engines.

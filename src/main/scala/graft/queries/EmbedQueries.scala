@@ -1884,6 +1884,65 @@ object EmbedQueries {
       seen.unionByName(newVecs.select(col("vec_id")))))
   }
 
+  /** NN-DESCENT REFINEMENT ROUND (q166): one neighbor-of-neighbor
+    * expansion + exact re-rank over the standing q153 graph — the
+    * classic graph-ANN improvement step (Dong, Moses & Li, WWW 2011:
+    * "a neighbor of a neighbor is likely a neighbor"). The banded build
+    * trades recall for candidates; NN-Descent buys recall back WITHOUT
+    * touching the bucket knobs: each vector's candidate set becomes its
+    * current neighbors ∪ REVERSE neighbors ∪ 2-hop neighbors, re-scored
+    * by exact cosine, top-k re-picked.
+    *
+    * PROVABLY recall-monotone: the candidate set contains every current
+    * edge, so the re-ranked top-k weakly dominates the old top-k
+    * per vector (KnnRefineSpec pins per-vector cos-sum monotonicity AND
+    * measures the recall gain against brute force on both corpus
+    * regimes). Candidates total ≤ n·(k² + 2k) — per vector: k own +
+    * reverse in-degree + k² two-hop, and Σ in-degree = nk —
+    * graph-bounded, never corpus²; everything is the q153 determinism
+    * discipline (micro-unit integer cosines, (cos_u desc, nbr_id)
+    * ties).
+    *
+    * 100 TB shape: two edge-list self-joins (k-bounded fan-out) + one
+    * embedding lookup per candidate endpoint + a per-vector rank window
+    * on ≤ k²+2k rows — the whole round is proportional to the GRAPH,
+    * not the corpus pair space; iterate rounds to taste (each one
+    * monotone), exactly how production graph-ANN builds converge. */
+  def q166KnnRefine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    knnRefine(knnGraph(emb, kNbrs = 3), emb, kNbrs = 3)
+  }
+
+  /** The reusable refinement behind q166 over any (vec_id, nbr_id) edge
+    * frame + embedding table; public so KnnRefineSpec can measure the
+    * recall gain. */
+  def knnRefine(graph: DataFrame, embIn: DataFrame, kNbrs: Int): DataFrame = {
+    withDot(embIn.sparkSession)
+    val e = graph.select(col("vec_id"), col("nbr_id"))
+    val rev = e.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))
+    val twoHop = e.as("a")
+      .join(e.as("b"), col("a.nbr_id") === col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.nbr_id").as("nbr_id"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+    val cands = e.unionByName(rev).unionByName(twoHop).distinct()
+    val emb = embIn.select(col("vec_id"), col("embedding"),
+      l2(col("embedding")).as("nrm"))
+    val scored = cands
+      .join(emb.select(col("vec_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm")), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("ev"), col("nrm").as("enrm")), Seq("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(dot(col("qv"), col("ev")) /
+          (col("qnrm") * col("enrm")) * 1e6).cast("long").as("cos_u"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos_u"), asc("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNbrs)
+      .select(col("vec_id"), col("nbr_id"), col("rank"), col("cos_u"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** LABEL-NOISE AUDIT (q158): flag vectors whose label DISAGREES with
     * the strict majority of their kNN neighborhood — the
     * confident-learning / neighborhood-voting label-QA pass a training
