@@ -401,6 +401,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     FreqSketch.inject(extensions)
     KmvSketch.inject(extensions)
     CmsSketch.inject(extensions)
+    QuantileSketch.inject(extensions)
     extensions.injectOptimizerRule(_ => graft.plans.GeoGridJoinRule)
   }
 }

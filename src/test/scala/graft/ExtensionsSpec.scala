@@ -34,6 +34,14 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT graft_lsh_bucket(array_repeat(cast(1.0 as float), 64), 8) AS b")
         .collect().head.getLong(0)
       assert(b >= 0 && b < 256)
+      // the round-18 quartet completion resolves through the extension too
+      val q = s.sql(
+        """SELECT graft_btk_pairs(h, v, 2) AS p FROM
+          |  (SELECT cast(id * 7 % 5 AS bigint) AS h, cast(id AS bigint) AS v
+          |   FROM range(5))""".stripMargin)
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(x => (x.getLong(0), x.getLong(1))).toList
+      assert(q == List((0L, 0L), (1L, 3L)))
 
       // the injected optimizer rule rewrites a naive haversine join
       def pts(ss: SparkSession, n: Int) = ss.range(n).select(
