@@ -47,7 +47,8 @@ object PlansDump {
     "q153_knn_graph", "q155_ndcg_eval", "q156_embedding_drift",
     "q157_knn_incremental", "q158_label_noise_audit", "q159_corpus_diff",
     "q160_curation_funnel", "q161_split_leakage_audit",
-    "q164_quantile_sketch", "q165_incr_shard_publish", "q166_knn_refine")
+    "q164_quantile_sketch", "q165_incr_shard_publish", "q166_knn_refine",
+    "q167_sketch_rollup")
   // q79 is excluded by design: its label table is built by an ITERATIVE
   // loop whose final plan is (window over checkpointed RDD) — the
   // interesting shape is per-round and is asserted in PlanPinsSpec.
@@ -95,6 +96,16 @@ object PlansDump {
   // standing split + batch-keyed windows; banded probe join + anti-join
   // edge carry-over), and Streaming{Scd2,Knn}FoldSpec pin stream ≡
   // batch-rebuild by frame equality.
+  // q168 is streaming (the q130/q154 exclusion); its batch shape is
+  // exactly q164's audited sketch arm (ObjectHashAggregate over one
+  // source exchange), and StreamingQuantileSpec pins stream ≡ batch by
+  // frame equality plus micro-batch slicing invariance.
+  // q169 is iterative (one 1-row argmax collect per greedy round over a
+  // localCheckpointed min-distance frame — the q135 kmeans idiom); its
+  // registered result is the driver-assembled trajectory (a
+  // LocalTableScan — nothing to audit); the per-round shape is a
+  // map-only projection + 1-row aggregate, and KcenterSpec pins the
+  // trajectory by value under every partitioning.
   // q143–q146 (round 16) ARE audited: q143 is map-only classing +
   // exactStratumRank's two-level rank; q144's gate must show ONE
   // broadcast join against the corpus (the verdict side is host-sized);

@@ -1172,7 +1172,13 @@ object ScaleRehearsal {
             .groupBy("source").agg(max(when(col("r") === 1, col("n_chars"))))))
         val errMax = graft.queries.DocQueries.q164QuantileSketch(spark, dir)
           .agg(max("err_ppm")).collect()(0).getLong(0)
-        println(s"""{"rehearsal":true,"factor":$k,"metric":"q164_btk","sketch_seconds":$sketchSec,"exact_seconds":$exactSec,"err_ppm_max":$errMax,"loadavg":${loadavg1m()}}""")
+        // q167: the rollup answers from 8 × 64 STORED pairs — its wall
+        // must stay flat whatever the corpus (the artifact-reuse
+        // economics; the corpus pass is the per-shard build, shared
+        // with the sketch arm above).
+        val rollupSec = timed(materialize(
+          graft.queries.DocQueries.q167SketchRollup(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q164_btk","sketch_seconds":$sketchSec,"exact_seconds":$exactSec,"err_ppm_max":$errMax,"rollup_seconds":$rollupSec,"loadavg":${loadavg1m()}}""")
       }
 
       // Streaming SCD2 fold (q162, round 18): the ingest-door twin of
@@ -1405,6 +1411,23 @@ object ScaleRehearsal {
           .distinct().count()
         val sec = timed(materialize(EmbedQueries.knnRefine(base, emb, 3)))
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q166_knnrefine","n":$n,"candidates":$cands,"bound":${n * 15},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
+      // k-center greedy coreset (q169, round 18): identical-twin
+      // amplification must leave the RADIUS TRAJECTORY bit-identical
+      // (a duplicate vector changes no max-min distance — either twin
+      // wins the argmax with the same radius), while wall grows with
+      // the k corpus passes. The strongest invariance pin the greedy
+      // admits.
+      if (on("kcenter") && deep) {
+        import graft.queries.EmbedQueries
+        val emb = graft.sources.Tables(spark, dir, "embeddings")
+        var radii = Seq.empty[Long]
+        val sec = timed {
+          radii = EmbedQueries.kcenterGreedy(emb, 6)
+            .collect().map(_.getLong(2)).toSeq
+        }
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q169_kcenter","radii":[${radii.mkString(",")}],"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
       // Label-noise audit (q158, round 17): identical copies carry

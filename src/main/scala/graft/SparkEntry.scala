@@ -184,6 +184,9 @@ object SparkEntry {
     "q164_quantile_sketch" -> (DocQueries.q164QuantileSketch _),
     "q165_incr_shard_publish" -> (DocQueries.q165IncrementalShardPublish _),
     "q166_knn_refine" -> (EmbedQueries.q166KnnRefine _),
+    "q167_sketch_rollup" -> (DocQueries.q167SketchRollup _),
+    "q168_stream_quantile_monitor" -> (StreamQueries.q168StreamQuantileMonitor _),
+    "q169_kcenter_coreset" -> (EmbedQueries.q169KcenterCoreset _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3502,6 +3505,39 @@ object SparkEntry {
         |FROM est JOIN m ON est.source = m.source
         |JOIN ex ON est.source = ex.source JOIN nd ON est.source = nd.source
         |ORDER BY est.source""".stripMargin,
+    // Sketch rollup: per-shard bottom-64 samples re-aggregated to the
+    // global sketch. The oracle computes the DIRECT global bottom-64 —
+    // a hash match is the cross-engine mergeability proof (the global
+    // bottom-k is contained in the union of per-shard bottom-k's).
+    "q167_sketch_rollup" ->
+      """WITH h AS (
+        |  SELECT n_chars,
+        |         CAST(concat('0x', substr(md5(concat('btk:', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) AS hv,
+        |         CAST(concat('0x', substr(md5(concat('seed42:', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |dp AS (SELECT DISTINCT shard, hv, n_chars FROM h),
+        |ranked AS (
+        |  SELECT shard, hv, n_chars,
+        |         row_number() OVER (PARTITION BY shard ORDER BY hv, n_chars) AS rh
+        |  FROM dp),
+        |shardsk AS (SELECT CAST(shard AS VARCHAR) AS scope, hv, n_chars FROM ranked WHERE rh <= 64),
+        |globalsk AS (
+        |  SELECT 'global' AS scope, hv, n_chars FROM (
+        |    SELECT hv, n_chars,
+        |           row_number() OVER (ORDER BY hv, n_chars) AS rh
+        |    FROM (SELECT DISTINCT hv, n_chars FROM h)) WHERE rh <= 64),
+        |sk AS (SELECT * FROM shardsk UNION ALL SELECT * FROM globalsk),
+        |m AS (SELECT scope, CAST(count(*) AS BIGINT) AS m FROM sk GROUP BY scope),
+        |sv AS (
+        |  SELECT scope, n_chars,
+        |         row_number() OVER (PARTITION BY scope ORDER BY n_chars) AS rv
+        |  FROM sk)
+        |SELECT sv.scope, m.m,
+        |       max(CASE WHEN rv = (m.m * 25 + 99) // 100 THEN n_chars END) AS p25_est,
+        |       max(CASE WHEN rv = (m.m * 50 + 99) // 100 THEN n_chars END) AS p50_est,
+        |       max(CASE WHEN rv = (m.m * 75 + 99) // 100 THEN n_chars END) AS p75_est
+        |FROM sv JOIN m ON sv.scope = m.scope
+        |GROUP BY sv.scope, m.m ORDER BY sv.scope""".stripMargin,
     // Incremental shard publishing: q159's snapshot derivation (NOTE the
     // b0 inner query applies every CASE to the PRE-shift doc_id, exactly
     // as the Spark side's single projection does) + q150's seeded shard
@@ -3605,6 +3641,42 @@ object SparkEntry {
       |SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_u FROM rk
       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 
+  /** q169's k-center greedy, unrolled as one MATERIALIZED CTE per round
+    * (the q134 pagerank idiom): round 1 seeds at the smallest vec_id;
+    * each later round picks the (d DESC, vec_id) argmax from the
+    * previous min-distance table — chosen centers sit at d = 0 and can
+    * never re-win — and folds the new center's distances in with
+    * least(). Distances are the q153 micro-unit cosine expression, so
+    * the whole trajectory (centers and radii) hash-matches. */
+  private def kcenterOracle(k: Int): String = {
+    def cos(c: String): String =
+      s"CAST(round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST($c.embedding[i] AS DOUBLE) for i in range(1, 65)]) / (e.nrm * $c.nrm) * 1000000) AS BIGINT)"
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])) AS nrm
+        |  FROM embeddings),
+        |c1 AS MATERIALIZED (SELECT * FROM e ORDER BY vec_id LIMIT 1),
+        |d1 AS MATERIALIZED (
+        |  SELECT e.vec_id, 1000000 - """.stripMargin + cos("c") +
+        """ AS d
+        |  FROM e, c1 c)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""c$r AS MATERIALIZED (
+         |  SELECT e.* FROM e JOIN (
+         |    SELECT vec_id FROM d${r - 1} ORDER BY d DESC, vec_id LIMIT 1
+         |  ) p USING (vec_id)),
+         |d$r AS MATERIALIZED (
+         |  SELECT dd.vec_id, least(dd.d, 1000000 - ${cos("c")}) AS d
+         |  FROM d${r - 1} dd JOIN e ON dd.vec_id = e.vec_id, c$r c)""".stripMargin
+    }
+    val finalRows = (1 to k).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, (SELECT vec_id FROM c$r) AS center_id, (SELECT max(d) FROM d$r) AS radius_u"
+    }.mkString("\nUNION ALL ")
+    (Seq(head) ++ rounds).mkString(",\n") +
+      s"\nSELECT round, center_id, radius_u FROM (\n$finalRows\n) ORDER BY round"
+  }
+
   /** q166's NN-Descent round: the q153 chain, then candidates = edges ∪
     * reverse ∪ 2-hop (UNION dedups, matching the Spark distinct), exact
     * re-score, re-rank. `def` (round-16 lesson). */
@@ -3658,6 +3730,34 @@ object SparkEntry {
     // q153 graph, exact re-score, re-rank (recall-monotone by
     // candidate-superset; KnnRefineSpec measures the gain).
     "q166_knn_refine" -> knnRefineOracle,
+    // k-center greedy coreset: the full trajectory unrolled (6 rounds).
+    "q169_kcenter_coreset" -> kcenterOracle(6),
+    // Streaming quantile monitor: the bottom-k set is order-free, so
+    // the stream census under ANY micro-batch slicing equals the batch
+    // sketch — restated relationally (the q164 sampling CTE, sketch
+    // arm only).
+    "q168_stream_quantile_monitor" ->
+      """WITH h AS (
+        |  SELECT source, n_chars,
+        |         CAST(concat('0x', substr(md5(concat('btk:', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) AS hv
+        |  FROM documents),
+        |dp AS (SELECT DISTINCT source, hv, n_chars FROM h),
+        |samp AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY hv, n_chars) AS rh
+        |  FROM dp),
+        |sk AS (SELECT source, n_chars FROM samp WHERE rh <= 64),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS m FROM sk GROUP BY source),
+        |sv AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rv
+        |  FROM sk)
+        |SELECT sv.source, m.m,
+        |       max(CASE WHEN rv = (m.m * 25 + 99) // 100 THEN n_chars END) AS p25_est,
+        |       max(CASE WHEN rv = (m.m * 50 + 99) // 100 THEN n_chars END) AS p50_est,
+        |       max(CASE WHEN rv = (m.m * 75 + 99) // 100 THEN n_chars END) AS p75_est
+        |FROM sv JOIN m ON sv.source = m.source
+        |GROUP BY sv.source, m.m ORDER BY sv.source""".stripMargin,
     // nDCG@10: q131's exact/probed arms with integer gains (11 − rank)
     // and ppb-literal discounts round(1e9/log2(r+1)) — no runtime log2,
     // so DCG/IDCG are exact BIGINT sums in both engines.

@@ -3354,6 +3354,58 @@ object DocQueries {
       .orderBy("source")
   }
 
+  /** SKETCH ROLLUP (q167): per-shard bottom-k sketches RE-AGGREGATED to
+    * the global sketch without touching raw data — the property that
+    * makes a sketch a warehouse artifact rather than a query-local
+    * trick (Agarwal et al., "Mergeable Summaries": build per
+    * shard/day/partition once, answer corpus-wide questions from the
+    * stored sketches forever). Each q150-style shard holds its own
+    * `graft_btk_pairs` sample of n_chars; the rollup explodes the
+    * STORED pair arrays and re-selects bottom-k over them — provably
+    * equal to the direct global sketch, because any pair in the global
+    * bottom-k ranks ≤ k within its own shard (fewer competitors), so
+    * the union of per-shard bottom-k's contains the global bottom-k.
+    * The DuckDB oracle computes the DIRECT global bottom-k: a hash
+    * match is the cross-engine proof of mergeability, not just a
+    * Spark-side assertion (QuantileSketchSpec pins the Spark-side
+    * equality too).
+    *
+    * 100 TB shape: the rollup reads 8 × k pairs — bytes — where the
+    * direct global answer would re-scan the corpus; this is how a
+    * production pipeline answers "what's the corpus length
+    * distribution" daily from per-shard artifacts written once. */
+  def q167SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.QuantileSketch.register(spark)
+    val k = 64
+    val docs = Tables(spark, dir, "documents")
+    val hv = md5Long(concat(lit("btk:"), col("doc_id").cast("string")), 14)
+    val shard = md5Long(concat(lit("seed42:"), col("doc_id").cast("string")),
+      14) % 8
+    // The stored per-shard artifacts (one pass over the corpus).
+    val perShard = docs
+      .select(shard.as("shard"), hv.as("hv"), col("n_chars"))
+      .groupBy("shard")
+      .agg(expr(s"graft_btk_pairs(hv, n_chars, $k)").as("pairs"))
+    // Rollup: re-aggregate the stored pairs — 8 × k rows, no raw data.
+    val global = perShard
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p").getField("h").as("hv"), col("p").getField("v").as("v"))
+      .agg(expr(s"graft_btk_pairs(hv, v, $k)").as("pairs"))
+      .select(lit("global").as("scope"), col("pairs"))
+    val all = perShard
+      .select(col("shard").cast("string").as("scope"), col("pairs"))
+      .unionByName(global)
+    def pick(pct: Int): Column =
+      element_at(col("vs"), expr(s"(m * $pct + 99) div 100").cast("int"))
+    all
+      .select(col("scope"), size(col("pairs")).as("m"),
+        expr("array_sort(transform(pairs, p -> p.v))").as("vs"))
+      .select(col("scope"), col("m").cast("long").as("m"),
+        pick(25).as("p25_est"), pick(50).as("p50_est"),
+        pick(75).as("p75_est"))
+      .orderBy("scope")
+  }
+
   /** PARAGRAPH-LEVEL BOILERPLATE REMOVAL + DOC RECONSTRUCTION (q115):
     * the CCNet/RefinedWeb curation stage the dedup family still lacked —
     * drop every PARAGRAPH that appears verbatim in more than one

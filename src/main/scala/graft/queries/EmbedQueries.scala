@@ -1884,6 +1884,68 @@ object EmbedQueries {
       seen.unionByName(newVecs.select(col("vec_id")))))
   }
 
+  /** K-CENTER GREEDY CORESET (q169): Gonzalez's farthest-point
+    * traversal over the embedding corpus — the coreset-selection /
+    * data-pruning primitive (pick the k points that COVER the corpus:
+    * every vector is within the final radius of some center; the greedy
+    * is a provable 2-approximation to the optimal k-center cover).
+    * Training pipelines run exactly this to pick maximally-diverse
+    * exemplars (facility location / herding family) and to seed
+    * quantizers; the per-round RADIUS CURVE the query outputs is the
+    * coverage-vs-budget answer ("how many exemplars until the corpus is
+    * covered at radius r").
+    *
+    * Determinism: integer micro-unit cosine DISTANCE (10⁶ − cos_u, the
+    * q153 discipline), argmax ties broken by vec_id — so the whole
+    * greedy trajectory (centers AND radii) is engine-exact and the
+    * DuckDB oracle unrolls the k rounds as MATERIALIZED CTEs (the
+    * q134 pagerank idiom).
+    *
+    * Scale shape: each round is ONE map-only pass (distance to the one
+    * new center — its 64 floats ride the plan as a literal, the
+    * broadcast-of-one-row degenerate case) + a 1-row argmax aggregate;
+    * the running min-distance frame localCheckpoints between rounds
+    * (the q134/q135 iterative discipline). k rounds = k corpus passes,
+    * the textbook greedy cost; the driver holds k center rows and
+    * nothing else (bounded trainer-loop collects — the kmeans/BPE
+    * idiom). */
+  def q169KcenterCoreset(spark: SparkSession, dir: String): DataFrame =
+    kcenterGreedy(Tables(spark, dir, "embeddings"), 6)
+
+  /** The reusable greedy behind q169 over any (vec_id, embedding)
+    * frame; public so KcenterSpec can pin the trajectory properties. */
+  def kcenterGreedy(embIn: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    withDot(embIn.sparkSession)
+    val spark = embIn.sparkSession
+    import spark.implicits._
+    val emb = embIn.select(col("vec_id"), col("embedding"),
+      l2(col("embedding")).as("nrm")).localCheckpoint()
+    def distTo(cVec: Array[Float], cNrm: Double): Column =
+      lit(1000000L) - round(dot(col("embedding"), typedlit(cVec)) /
+        (col("nrm") * lit(cNrm)) * 1e6).cast("long")
+    def centerOf(row: org.apache.spark.sql.Row): (Long, Array[Float], Double) =
+      (row.getLong(0), row.getSeq[Float](1).toArray, row.getDouble(2))
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    // round 1: the deterministic seed is the smallest vec_id
+    var (cId, cVec, cNrm) = centerOf(
+      emb.orderBy("vec_id").limit(1).collect()(0))
+    var cur = emb.withColumn("d", distTo(cVec, cNrm)).localCheckpoint()
+    rows += ((1L, cId, cur.agg(max("d")).collect()(0).getLong(0)))
+    for (r <- 2 to k) {
+      // next center = the vector farthest from its nearest chosen
+      // center (1-row argmax; chosen centers sit at d = 0 and can
+      // never re-win)
+      val pick = centerOf(cur.orderBy(desc("d"), asc("vec_id")).limit(1)
+        .select(col("vec_id"), col("embedding"), col("nrm")).collect()(0))
+      cId = pick._1; cVec = pick._2; cNrm = pick._3
+      cur = cur.withColumn("d", least(col("d"), distTo(cVec, cNrm)))
+        .localCheckpoint()
+      rows += ((r.toLong, cId, cur.agg(max("d")).collect()(0).getLong(0)))
+    }
+    rows.toSeq.toDF("round", "center_id", "radius_u").orderBy("round")
+  }
+
   /** NN-DESCENT REFINEMENT ROUND (q166): one neighbor-of-neighbor
     * expansion + exact re-rank over the standing q153 graph — the
     * classic graph-ANN improvement step (Dong, Moses & Li, WWW 2011:

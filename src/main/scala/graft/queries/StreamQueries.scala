@@ -401,6 +401,49 @@ object StreamQueries {
       .orderBy("shard")
   }
 
+  /** STREAMING QUANTILE MONITOR (q168): per-source n_chars quartiles
+    * maintained AT THE INGEST DOOR by the q164 bottom-k sketch running
+    * as streaming aggregation state — the length-distribution monitor a
+    * continuous crawl shows next to q124's quality gate. The point is
+    * the STATE BOUND: exact streaming percentiles would buffer every
+    * value ever seen (unbounded state — the thing Structured Streaming
+    * exists to forbid); the sketch keeps ≤ k (hash, value) pairs per
+    * source in the state store, whatever the corpus, and COMPLETE mode
+    * re-emits the census per micro-batch (sources × 5 integers).
+    *
+    * Oracle-checkable because the bottom-k set is ORDER-FREE: any
+    * micro-batch slicing, any merge tree, the same k pairs — so the
+    * DuckDB restatement of the batch sketch (the q164 sampling CTE,
+    * sketch arm only) hash-matches the stream's final census.
+    * QuantileSketchSpec pins the partitioning invariance; q164 carries
+    * the exact-arm certification of the estimates themselves. */
+  def q168StreamQuantileMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ss = EventStreams.streamSession(spark)
+    graft.functions.QuantileSketch.register(ss)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = ss.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val hv = expr("CAST(conv(substring(md5(concat('btk:', CAST(doc_id AS STRING))), 1, 14), 16, 10) AS BIGINT)")
+    val sk = docs
+      .select(col("source"), hv.as("hv"), col("n_chars"))
+      .groupBy("source")
+      .agg(expr("graft_btk_pairs(hv, n_chars, 64)").as("pairs"))
+    def pick(pct: Int) =
+      element_at(col("vs"), expr(s"(m * $pct + 99) div 100").cast("int"))
+    val census = sk
+      .select(col("source"), size(col("pairs")).as("m"),
+        expr("array_sort(transform(pairs, p -> p.v))").as("vs"))
+      .select(col("source"), col("m").cast("long").as("m"),
+        pick(25).as("p25_est"), pick(50).as("p50_est"),
+        pick(75).as("p75_est"))
+    EventStreams.runToMemory(spark, census, mode = "complete")
+      .orderBy("source")
+  }
+
   /** STREAMING SCD2 DIMENSION MAINTENANCE (q162): q145's incremental fold
     * run AT THE INGEST DOOR — post-cutoff events arrive as a stream and
     * each micro-batch folds into the standing dimension through

@@ -69,6 +69,25 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("per-shard sketches re-aggregate to the direct global sketch (q167)") {
+    graft.functions.QuantileSketch.register(spark)
+    val rows = (0L until 4000L)
+      .map(i => (i % 8, (i * 2654435761L) % 1000003L, i % 733L))
+      .toDF("shard", "h", "v")
+    val perShard = rows.groupBy("shard")
+      .agg(expr("graft_btk_pairs(h, v, 64)").as("pairs"))
+    val rolled = perShard.select(explode(col("pairs")).as("p"))
+      .select(col("p.h").as("h"), col("p.v").as("v"))
+      .agg(expr("graft_btk_pairs(h, v, 64)").as("pairs"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getLong(0), x.getLong(1))).toList
+    val direct = rows.agg(expr("graft_btk_pairs(h, v, 64)").as("pairs"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getLong(0), x.getLong(1))).toList
+    assert(rolled == direct,
+      "rollup of stored per-shard sketches must equal the direct sketch")
+  }
+
   test("rank-pick estimates on a known uniform distribution are tight") {
     graft.functions.QuantileSketch.register(spark)
     // values 1..10000 uniformly; true quartiles 2500/5000/7500. k=256 →
