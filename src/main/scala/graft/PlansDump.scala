@@ -48,7 +48,7 @@ object PlansDump {
     "q157_knn_incremental", "q158_label_noise_audit", "q159_corpus_diff",
     "q160_curation_funnel", "q161_split_leakage_audit",
     "q164_quantile_sketch", "q165_incr_shard_publish", "q166_knn_refine",
-    "q167_sketch_rollup")
+    "q167_sketch_rollup", "q170_bootstrap_ci")
   // q79 is excluded by design: its label table is built by an ITERATIVE
   // loop whose final plan is (window over checkpointed RDD) — the
   // interesting shape is per-round and is asserted in PlanPinsSpec.

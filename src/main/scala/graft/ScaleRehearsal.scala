@@ -1413,6 +1413,21 @@ object ScaleRehearsal {
         println(s"""{"rehearsal":true,"factor":$k,"metric":"q166_knnrefine","n":$n,"candidates":$cands,"bound":${n * 15},"seconds":$sec,"loadavg":${loadavg1m()}}""")
       }
 
+      // Poisson bootstrap (q170, round 18): amplification means MORE
+      // DATA, so the measured law is the statistician's — CI width
+      // shrinks ~1/√k while the point estimates stay put (identical
+      // copies don't move a mean); wall grows with the ×B exploded
+      // map side only (no shuffle carries the ×200).
+      if (on("bootstrap")) {
+        import org.apache.spark.sql.functions.{avg, expr => fexpr}
+        val out = graft.queries.DocQueries.q170BootstrapCi(spark, dir)
+          .agg(avg(fexpr("ci_hi_u - ci_lo_u")).as("w"),
+            avg("point_mean_u").as("p")).collect()(0)
+        val sec = timed(materialize(
+          graft.queries.DocQueries.q170BootstrapCi(spark, dir)))
+        println(s"""{"rehearsal":true,"factor":$k,"metric":"q170_bootstrap","avg_width_u":${out.getDouble(0).round},"avg_point_u":${out.getDouble(1).round},"seconds":$sec,"loadavg":${loadavg1m()}}""")
+      }
+
       // k-center greedy coreset (q169, round 18): identical-twin
       // amplification must leave the RADIUS TRAJECTORY bit-identical
       // (a duplicate vector changes no max-min distance — either twin

@@ -187,6 +187,7 @@ object SparkEntry {
     "q167_sketch_rollup" -> (DocQueries.q167SketchRollup _),
     "q168_stream_quantile_monitor" -> (StreamQueries.q168StreamQuantileMonitor _),
     "q169_kcenter_coreset" -> (EmbedQueries.q169KcenterCoreset _),
+    "q170_bootstrap_ci" -> (DocQueries.q170BootstrapCi _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3732,6 +3733,47 @@ object SparkEntry {
     "q166_knn_refine" -> knnRefineOracle,
     // k-center greedy coreset: the full trajectory unrolled (6 rounds).
     "q169_kcenter_coreset" -> kcenterOracle(6),
+    // Poisson bootstrap: the same integer inverse-CDF ladder (floor of
+    // CDF·2^56 literals), integer ppm replicate means, rank-picked
+    // percentile CI — fully deterministic, so the CI table hash-matches.
+    "q170_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT d.source, d.doc_id, d.n_chars, t.b
+        |  FROM documents d, range(0, 200) t(b)),
+        |cnts AS (
+        |  SELECT source, b, n_chars,
+        |         CASE WHEN u < 26508507426831584 THEN 0
+        |              WHEN u < 53017014853663168 THEN 1
+        |              WHEN u < 66271268567078960 THEN 2
+        |              WHEN u < 70689353138217560 THEN 3
+        |              WHEN u < 71793874281002208 THEN 4
+        |              WHEN u < 72014778509559136 THEN 5
+        |              WHEN u < 72051595880985288 THEN 6
+        |              WHEN u < 72056855505474736 THEN 7
+        |              ELSE 8 END AS cnt
+        |  FROM (SELECT *,
+        |          CAST(concat('0x', substr(md5(concat('boot:', CAST(b AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) AS u
+        |        FROM reps)),
+        |rm AS (
+        |  SELECT source, b, sum(cnt * n_chars) * 1000000 // sum(cnt) AS mean_u
+        |  FROM cnts GROUP BY source, b HAVING sum(cnt) > 0),
+        |rk AS (
+        |  SELECT source, mean_u,
+        |         row_number() OVER (PARTITION BY source ORDER BY mean_u, b) AS r,
+        |         count(*) OVER (PARTITION BY source) AS nb
+        |  FROM rm),
+        |ci AS (
+        |  SELECT source,
+        |         CAST(max(CASE WHEN r = (nb * 25 + 999) // 1000 THEN mean_u END) AS BIGINT) AS ci_lo_u,
+        |         CAST(max(CASE WHEN r = (nb * 975 + 999) // 1000 THEN mean_u END) AS BIGINT) AS ci_hi_u,
+        |         CAST(max(nb) AS BIGINT) AS n_replicates
+        |  FROM rk GROUP BY source),
+        |pt AS (
+        |  SELECT source, CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS point_mean_u
+        |  FROM documents GROUP BY source)
+        |SELECT pt.source, pt.point_mean_u, ci.ci_lo_u, ci.ci_hi_u,
+        |       ci.n_replicates
+        |FROM pt JOIN ci ON pt.source = ci.source ORDER BY pt.source""".stripMargin,
     // Streaming quantile monitor: the bottom-k set is order-free, so
     // the stream census under ANY micro-batch slicing equals the batch
     // sketch — restated relationally (the q164 sampling CTE, sketch

@@ -3406,6 +3406,79 @@ object DocQueries {
       .orderBy("scope")
   }
 
+  /** POISSON BOOTSTRAP CONFIDENCE INTERVALS (q170): percentile CIs for
+    * the per-source mean document length — the statistical-significance
+    * layer an eval pipeline needs before trusting any per-slice metric
+    * delta ("is source A really longer than B, or is that noise?").
+    * Classic bootstrap resampling is a COORDINATED multinomial draw —
+    * impossible to distribute; the Poisson bootstrap (Chamandy et al.,
+    * Google 2012, "Estimating uncertainty for massive data streams")
+    * replaces it with an INDEPENDENT Poisson(1) count per (row,
+    * replicate): one map over the corpus, no coordination, provably the
+    * same limiting distribution. Here even the Poisson draw is
+    * deterministic and engine-exact: u = 56-bit md5 of (replicate,
+    * doc_id), count = the inverse-CDF CASE ladder over PRECOMPUTED
+    * integer thresholds (floor(CDF_Poisson(1)(k) · 2^56) — no runtime
+    * exp/random anywhere), so the full CI table hash-matches DuckDB.
+    *
+    * B = 200 replicates; percentile CI at ranks ⌈0.025·B⌉ / ⌈0.975·B⌉
+    * of the value-sorted replicate means (integer ppm means, positive
+    * operands, `div`-safe).
+    *
+    * 100 TB shape: the corpus pass is ONE projection exploded ×B
+    * (map-only — no shuffle carries the ×B) into a (source, replicate)
+    * partial aggregate; everything after is sources × B rows. This is
+    * exactly how planet-scale A/B pipelines bootstrap. */
+  def q170BootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCi(Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars")), 200)
+
+  /** Poisson(1) inverse-CDF thresholds at 2^56 scale:
+    * floor(P(X ≤ k) · 2^56) for k = 0..7; u below threshold k (first
+    * match) draws count k, else 8 (P ≈ 1.1e-6 — the ladder cap). */
+  private val poissonLadder: Seq[Long] = Seq(
+    26508507426831584L, 53017014853663168L, 66271268567078960L,
+    70689353138217560L, 71793874281002208L, 72014778509559136L,
+    72051595880985288L, 72056855505474736L)
+
+  /** The reusable bootstrap behind q170 over any (source, doc_id,
+    * n_chars) frame; public so BootstrapSpec can pin determinism,
+    * Poisson concentration, CI coverage, and the 1/√n width law. */
+  def bootstrapCi(docs: DataFrame, nReplicates: Int): DataFrame = {
+    val u = md5Long(concat(lit("boot:"), col("b").cast("string"),
+      lit(":"), col("doc_id").cast("string")), 14)
+    val cnt = poissonLadder.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (t, k)) =>
+        Some(acc.fold(when(u < t, k.toLong))(_.when(u < t, k.toLong)))
+      }.get.otherwise(lit(8L))
+    val repMeans = docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(nReplicates - 1))).as("b"))
+      .withColumn("cnt", cnt)
+      .groupBy("source", "b")
+      .agg(sum(col("cnt") * col("n_chars")).as("ws"), sum("cnt").as("w"))
+      .filter(col("w") > 0) // a zero-weight replicate has no mean
+      .select(col("source"), col("b"),
+        expr("ws * 1000000 div w").as("mean_u"))
+    val wRank = Window.partitionBy("source").orderBy(col("mean_u"), col("b"))
+    val ranked = repMeans
+      .withColumn("r", row_number().over(wRank).cast("long"))
+      .withColumn("nb", count(lit(1))
+        .over(Window.partitionBy("source")))
+    val ci = ranked.groupBy("source").agg(
+      max(when(col("r") === expr("(nb * 25 + 999) div 1000"),
+        col("mean_u"))).as("ci_lo_u"),
+      max(when(col("r") === expr("(nb * 975 + 999) div 1000"),
+        col("mean_u"))).as("ci_hi_u"),
+      max("nb").as("n_replicates"))
+    val point = docs.groupBy("source")
+      .agg(expr("sum(n_chars) * 1000000 div count(*)").as("point_mean_u"))
+    point.join(ci, "source")
+      .select(col("source"), col("point_mean_u"), col("ci_lo_u"),
+        col("ci_hi_u"), col("n_replicates"))
+      .orderBy("source")
+  }
+
   /** PARAGRAPH-LEVEL BOILERPLATE REMOVAL + DOC RECONSTRUCTION (q115):
     * the CCNet/RefinedWeb curation stage the dedup family still lacked —
     * drop every PARAGRAPH that appears verbatim in more than one
