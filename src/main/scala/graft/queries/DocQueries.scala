@@ -3458,8 +3458,13 @@ object DocQueries {
       .groupBy("source", "b")
       .agg(sum(col("cnt") * col("n_chars")).as("ws"), sum("cnt").as("w"))
       .filter(col("w") > 0) // a zero-weight replicate has no mean
+      // ppm scaling in decimal(38,0): DuckDB computes the oracle in
+      // HUGEINT, and a Long `ws * 1000000` would wrap once a source's
+      // weighted char total passes ~9.2e12 — decimal keeps the two
+      // engines exactly equal out to 1e32 chars (div returns Long, so
+      // the output schema is unchanged; the mean itself always fits).
       .select(col("source"), col("b"),
-        expr("ws * 1000000 div w").as("mean_u"))
+        expr("cast(ws as decimal(38,0)) * 1000000 div w").as("mean_u"))
     val wRank = Window.partitionBy("source").orderBy(col("mean_u"), col("b"))
     val ranked = repMeans
       .withColumn("r", row_number().over(wRank).cast("long"))
@@ -3472,7 +3477,8 @@ object DocQueries {
         col("mean_u"))).as("ci_hi_u"),
       max("nb").as("n_replicates"))
     val point = docs.groupBy("source")
-      .agg(expr("sum(n_chars) * 1000000 div count(*)").as("point_mean_u"))
+      .agg(expr("cast(sum(n_chars) as decimal(38,0)) * 1000000 div count(*)")
+        .as("point_mean_u"))
     point.join(ci, "source")
       .select(col("source"), col("point_mean_u"), col("ci_lo_u"),
         col("ci_hi_u"), col("n_replicates"))

@@ -1931,18 +1931,23 @@ object EmbedQueries {
     var (cId, cVec, cNrm) = centerOf(
       emb.orderBy("vec_id").limit(1).collect()(0))
     var cur = emb.withColumn("d", distTo(cVec, cNrm)).localCheckpoint()
-    rows += ((1L, cId, cur.agg(max("d")).collect()(0).getLong(0)))
     for (r <- 2 to k) {
       // next center = the vector farthest from its nearest chosen
       // center (1-row argmax; chosen centers sit at d = 0 and can
-      // never re-win)
-      val pick = centerOf(cur.orderBy(desc("d"), asc("vec_id")).limit(1)
-        .select(col("vec_id"), col("embedding"), col("nrm")).collect()(0))
+      // never re-win). Its own `d` IS round r-1's radius — it is
+      // max(d) by construction — so the one round-trip serves both
+      // the pick and the previous round's radius row.
+      val top = cur.orderBy(desc("d"), asc("vec_id")).limit(1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("d"))
+        .collect()(0)
+      rows += (((r - 1).toLong, cId, top.getLong(3)))
+      val pick = centerOf(top)
       cId = pick._1; cVec = pick._2; cNrm = pick._3
       cur = cur.withColumn("d", least(col("d"), distTo(cVec, cNrm)))
         .localCheckpoint()
-      rows += ((r.toLong, cId, cur.agg(max("d")).collect()(0).getLong(0)))
     }
+    // round k has no successor pick to ride — one final 1-row max
+    rows += ((k.toLong, cId, cur.agg(max("d")).collect()(0).getLong(0)))
     rows.toSeq.toDF("round", "center_id", "radius_u").orderBy("round")
   }
 

@@ -419,16 +419,29 @@ object EventStreams {
     * batch-DataFrame function, so the q145/q157-style incremental
     * operators plug in unchanged — and writes `v<batchId+1>`.
     *
-    * Crash-safety and retry idempotence are the upsert sink's: a killed
-    * batch leaves the previous committed version intact (torn versions
-    * carry no _SUCCESS and are invisible to [[latestCommittedVersion]]),
-    * and re-running batch N rewrites the same v<N+1> from the same
-    * committed parent. The fold itself must make SEQUENTIAL per-batch
-    * application equal the one-shot fold of the union — each caller's
-    * registered-equality oracle (q162's scd2 rebuild, q163's kNN rebuild)
-    * certifies exactly that, and each caller documents the batch-order
-    * contract its fold needs (q162: time-closed batches per key, enforced
-    * in-plan by scd2Incremental's load-boundary guard).
+    * Crash-safety and retry idempotence are the upsert sink's, with one
+    * strengthening: batch N reads its parent PINNED as `v<N>` (verifying
+    * `_SUCCESS`), not "latest committed" — so even if batch N is
+    * re-attempted AFTER v<N+1> committed (commit-log failure after a
+    * successful fold write, or a later-added checkpointLocation replaying
+    * a batch), the retry folds onto the same parent and rewrites the same
+    * v<N+1> rather than double-applying a non-idempotent fold onto its own
+    * output. A killed batch leaves the previous committed version intact
+    * (torn versions carry no _SUCCESS and are never a parent). The fold
+    * itself must make SEQUENTIAL per-batch application equal the one-shot
+    * fold of the union — each caller's registered-equality oracle (q162's
+    * scd2 rebuild, q163's kNN rebuild) certifies exactly that, and each
+    * caller documents the batch-order contract its fold needs (q162:
+    * time-closed batches per key, enforced in-plan by scd2Incremental's
+    * load-boundary guard).
+    *
+    * Invocation semantics: each CALL is one complete fold run — the store
+    * is wiped and re-seeded as v0, then the AvailableNow stream folds
+    * every pending batch (no checkpointLocation is set, so a re-invocation
+    * reprocesses the source from batch 0 against the fresh seed; "resume"
+    * means intra-run batch retries, not cross-invocation restart). A
+    * deployment wanting cross-restart resume would pass yesterday's
+    * committed version as `seed` — exactly how q162/q163 chain days.
     *
     * 100 TB shape: the store IS the output dataset (a dimension table, an
     * edge list) — parquet on shared storage, written by executor-parallel
@@ -447,10 +460,15 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val base = latestCommittedVersion(s, storeDir)
-          .map(p => s.read.parquet(p.toString))
-          .getOrElse(throw new IllegalStateException(
-            s"versioned fold store lost its seed: $storeDir"))
+        // Parent pinned to THIS batch's version, not "latest committed":
+        // a batch-N retry after v<N+1> committed must fold onto v<N>
+        // again (idempotent rewrite), never onto its own output.
+        val parent = new org.apache.hadoop.fs.Path(s"$storeDir/v$batchId")
+        val pfs = parent.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!pfs.exists(new org.apache.hadoop.fs.Path(parent, "_SUCCESS")))
+          throw new IllegalStateException(
+            s"versioned fold parent missing or uncommitted: $parent")
+        val base = s.read.parquet(parent.toString)
         fold(base, batch)
           .write.mode("overwrite").parquet(s"$storeDir/v${batchId + 1}")
         ()
