@@ -188,6 +188,11 @@ object SparkEntry {
     "q168_stream_quantile_monitor" -> (StreamQueries.q168StreamQuantileMonitor _),
     "q169_kcenter_coreset" -> (EmbedQueries.q169KcenterCoreset _),
     "q170_bootstrap_ci" -> (DocQueries.q170BootstrapCi _),
+    "q171_incr_curation_funnel" -> (DocQueries.q171IncrementalCurationFunnel _),
+    "q172_knn_refine_converged" -> (EmbedQueries.q172KnnRefineConverged _),
+    "q173_stream_shard_publish" -> (StreamQueries.q173StreamShardPublish _),
+    "q174_bootstrap_delta_ci" -> (DocQueries.q174BootstrapDeltaCi _),
+    "q175_kcenter_weights" -> (EmbedQueries.q175KcenterWeights _),
   )
 
   /** q58 and q64 answer the identical attribution question (q64 through
@@ -3383,64 +3388,16 @@ object SparkEntry {
     // decontamination vs the src19 held-out split, q143's harmonic
     // window count, q150's shard count.
     "q160_curation_funnel" ->
-      """WITH d AS (SELECT doc_id, source, n_chars, text FROM documents),
-        |dd AS (
-        |  SELECT d.* FROM d JOIN (
-        |    SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(lower(trim(text)))
-        |  ) k ON d.doc_id = k.doc_id),
-        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM dd GROUP BY source),
-        |r1 AS (
-        |  SELECT dd.*, c.cnt,
-        |         row_number() OVER (PARTITION BY dd.source ORDER BY n_chars, doc_id) AS rnk
-        |  FROM dd JOIN c ON dd.source = c.source),
-        |med AS (SELECT source, n_chars AS med FROM r1 WHERE rnk = (cnt + 1) // 2),
-        |dv AS (
-        |  SELECT dd.*, abs(dd.n_chars - med.med) AS dev
-        |  FROM dd JOIN med ON dd.source = med.source),
-        |r2 AS (
-        |  SELECT dv.*, c.cnt,
-        |         row_number() OVER (PARTITION BY dv.source ORDER BY dev, doc_id) AS rnk
-        |  FROM dv JOIN c ON dv.source = c.source),
-        |mad AS (SELECT source, dev AS mad FROM r2 WHERE rnk = (cnt + 1) // 2),
-        |lg AS (
-        |  SELECT dv.doc_id, dv.source, dv.n_chars, dv.text
-        |  FROM dv JOIN mad ON dv.source = mad.source WHERE dv.dev <= 3 * mad.mad),
-        |tok AS (
-        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks FROM lg),
-        |sh AS (
-        |  SELECT doc_id, source,
-        |         unnest(list_distinct([CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 14)) AS BIGINT)
-        |                               for i in range(1, len(toks) - 1)])) AS h
-        |  FROM tok WHERE len(toks) >= 3),
-        |train AS (SELECT DISTINCT h FROM sh WHERE source <> 'src19'),
-        |contaminated AS (
-        |  SELECT s.doc_id FROM sh s JOIN train t ON s.h = t.h
-        |  WHERE s.source = 'src19'
-        |  GROUP BY s.doc_id HAVING count(*) >= 10),
-        |clean AS (
-        |  SELECT lg.* FROM lg WHERE lg.doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        |ct AS (
-        |  SELECT doc_id,
-        |         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n
-        |  FROM clean),
-        |items AS (
-        |  SELECT doc_id, CASE WHEN n <= 256 THEN n ELSE n % 256 END AS len
-        |  FROM ct WHERE (CASE WHEN n <= 256 THEN n ELSE n % 256 END) >= 1),
-        |packed AS (
-        |  SELECT CAST(COALESCE(sum((cnt2 + k - 1) // k), 0) AS BIGINT) AS wp FROM (
-        |    SELECT 256 // len AS k, count(*) AS cnt2 FROM items GROUP BY 256 // len)),
-        |fulls AS (SELECT CAST(COALESCE(sum(n // 256), 0) AS BIGINT) AS wf FROM ct WHERE n > 256),
-        |shards AS (
-        |  SELECT CAST(count(DISTINCT CAST(concat('0x', substr(md5(concat('seed42:', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 64) AS BIGINT) AS ns
-        |  FROM clean)
-        |SELECT stage, n FROM (
-        |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n FROM d
-        |  UNION ALL SELECT '1_exact_dedup', CAST(count(*) AS BIGINT) FROM dd
-        |  UNION ALL SELECT '2_length_gate', CAST(count(*) AS BIGINT) FROM lg
-        |  UNION ALL SELECT '3_decontam', CAST(count(*) AS BIGINT) FROM clean
-        |  UNION ALL SELECT '4_pack_windows', CAST(packed.wp + fulls.wf AS BIGINT) FROM packed, fulls
-        |  UNION ALL SELECT '5_shards', ns FROM shards)
-        |ORDER BY stage""".stripMargin,
+      funnelOracleSql("SELECT doc_id, source, n_chars, text FROM documents"),
+    // Incremental curation funnel: q160's CTE chain VERBATIM over
+    // snapshot B (the q159/q165 delta derivation) — a hash match
+    // certifies the delta-structured fold reproduces the full funnel.
+    "q171_incr_curation_funnel" -> funnelOracleSql(
+      """SELECT CASE WHEN doc_id % 10 = 7 THEN doc_id + 1000000000 ELSE doc_id END AS doc_id,
+        |         source,
+        |         CASE WHEN doc_id % 10 = 5 THEN n_chars + 5 ELSE n_chars END AS n_chars,
+        |         CASE WHEN doc_id % 10 = 5 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 3""".stripMargin),
     // Split-leakage audit: q25's verified pairs + q123's split rule,
     // censused per unordered split pair.
     "q161_split_leakage_audit" ->
@@ -3543,7 +3500,78 @@ object SparkEntry {
     // b0 inner query applies every CASE to the PRE-shift doc_id, exactly
     // as the Spark side's single projection does) + q150's seeded shard
     // hash + per-shard verdict census with the republish flag.
-    "q165_incr_shard_publish" ->
+    "q165_incr_shard_publish" -> shardPublishOracle,
+  ) ++ streamAndEvalOracles
+
+
+  /** q160/q171's funnel-census SQL chain over an arbitrary snapshot
+    * CTE `d` -- q171's oracle is this chain VERBATIM over snapshot B
+    * (the registered fold = full-funnel equality). `def`, never a
+    * forward `val` (round-16 lesson). */
+  private def funnelOracleSql(dCte: String): String =
+    raw"""WITH d AS ($dCte),
+        |dd AS (
+        |  SELECT d.* FROM d JOIN (
+        |    SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(lower(trim(text)))
+        |  ) k ON d.doc_id = k.doc_id),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM dd GROUP BY source),
+        |r1 AS (
+        |  SELECT dd.*, c.cnt,
+        |         row_number() OVER (PARTITION BY dd.source ORDER BY n_chars, doc_id) AS rnk
+        |  FROM dd JOIN c ON dd.source = c.source),
+        |med AS (SELECT source, n_chars AS med FROM r1 WHERE rnk = (cnt + 1) // 2),
+        |dv AS (
+        |  SELECT dd.*, abs(dd.n_chars - med.med) AS dev
+        |  FROM dd JOIN med ON dd.source = med.source),
+        |r2 AS (
+        |  SELECT dv.*, c.cnt,
+        |         row_number() OVER (PARTITION BY dv.source ORDER BY dev, doc_id) AS rnk
+        |  FROM dv JOIN c ON dv.source = c.source),
+        |mad AS (SELECT source, dev AS mad FROM r2 WHERE rnk = (cnt + 1) // 2),
+        |lg AS (
+        |  SELECT dv.doc_id, dv.source, dv.n_chars, dv.text
+        |  FROM dv JOIN mad ON dv.source = mad.source WHERE dv.dev <= 3 * mad.mad),
+        |tok AS (
+        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks FROM lg),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct([CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 14)) AS BIGINT)
+        |                               for i in range(1, len(toks) - 1)])) AS h
+        |  FROM tok WHERE len(toks) >= 3),
+        |train AS (SELECT DISTINCT h FROM sh WHERE source <> 'src19'),
+        |contaminated AS (
+        |  SELECT s.doc_id FROM sh s JOIN train t ON s.h = t.h
+        |  WHERE s.source = 'src19'
+        |  GROUP BY s.doc_id HAVING count(*) >= 10),
+        |clean AS (
+        |  SELECT lg.* FROM lg WHERE lg.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |ct AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n
+        |  FROM clean),
+        |items AS (
+        |  SELECT doc_id, CASE WHEN n <= 256 THEN n ELSE n % 256 END AS len
+        |  FROM ct WHERE (CASE WHEN n <= 256 THEN n ELSE n % 256 END) >= 1),
+        |packed AS (
+        |  SELECT CAST(COALESCE(sum((cnt2 + k - 1) // k), 0) AS BIGINT) AS wp FROM (
+        |    SELECT 256 // len AS k, count(*) AS cnt2 FROM items GROUP BY 256 // len)),
+        |fulls AS (SELECT CAST(COALESCE(sum(n // 256), 0) AS BIGINT) AS wf FROM ct WHERE n > 256),
+        |shards AS (
+        |  SELECT CAST(count(DISTINCT CAST(concat('0x', substr(md5(concat('seed42:', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 64) AS BIGINT) AS ns
+        |  FROM clean)
+        |SELECT stage, n FROM (
+        |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n FROM d
+        |  UNION ALL SELECT '1_exact_dedup', CAST(count(*) AS BIGINT) FROM dd
+        |  UNION ALL SELECT '2_length_gate', CAST(count(*) AS BIGINT) FROM lg
+        |  UNION ALL SELECT '3_decontam', CAST(count(*) AS BIGINT) FROM clean
+        |  UNION ALL SELECT '4_pack_windows', CAST(packed.wp + fulls.wf AS BIGINT) FROM packed, fulls
+        |  UNION ALL SELECT '5_shards', ns FROM shards)
+        |ORDER BY stage""".stripMargin
+
+  /** q165's publish-census SQL — shared VERBATIM by q173 (the stream
+    * fold provably drains to the same merged manifest). `def`, never a
+    * forward `val` (round-16 lesson). */
+  private def shardPublishOracle: String =
       """WITH a AS (
         |  SELECT doc_id, md5(text) AS h, n_chars,
         |         CAST(concat('0x', substr(md5(concat('seed42:', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 64 AS shard
@@ -3572,8 +3600,7 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN verdict <> 'deleted' THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
         |       CAST(COALESCE(sum(nc_b), 0) AS BIGINT) AS n_chars,
         |       CAST(CASE WHEN sum(CASE WHEN verdict <> 'unchanged' THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS republish
-        |FROM j GROUP BY shard ORDER BY shard""".stripMargin,
-  ) ++ streamAndEvalOracles
+        |FROM j GROUP BY shard ORDER BY shard""".stripMargin
 
   /** q25's banded-MinHash verified-pair CTE chain (ends in
     * `vp(doc_a, doc_b, jaccard)` at threshold 0.7) — shared by the q25
@@ -3681,6 +3708,130 @@ object SparkEntry {
   /** q166's NN-Descent round: the q153 chain, then candidates = edges ∪
     * reverse ∪ 2-hop (UNION dedups, matching the Spark distinct), exact
     * re-score, re-rank. `def` (round-16 lesson). */
+  /** q170/q174's shared replicate-mean CTE chain (ends in
+    * `rm(source, b, mean_u)`): ×200 replicate fan-out, the integer
+    * Poisson(1) inverse-CDF ladder, integer ppm replicate means. `def`,
+    * never a forward `val` (round-16 lesson). */
+  private def bootstrapRepMeansCte: String =
+    """reps AS (
+      |  SELECT d.source, d.doc_id, d.n_chars, t.b
+      |  FROM documents d, range(0, 200) t(b)),
+      |cnts AS (
+      |  SELECT source, b, n_chars,
+      |         CASE WHEN u < 26508507426831584 THEN 0
+      |              WHEN u < 53017014853663168 THEN 1
+      |              WHEN u < 66271268567078960 THEN 2
+      |              WHEN u < 70689353138217560 THEN 3
+      |              WHEN u < 71793874281002208 THEN 4
+      |              WHEN u < 72014778509559136 THEN 5
+      |              WHEN u < 72051595880985288 THEN 6
+      |              WHEN u < 72056855505474736 THEN 7
+      |              ELSE 8 END AS cnt
+      |  FROM (SELECT *,
+      |          CAST(concat('0x', substr(md5(concat('boot:', CAST(b AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) AS u
+      |        FROM reps)),
+      |rm AS (
+      |  SELECT source, b, sum(cnt * n_chars) * 1000000 // sum(cnt) AS mean_u
+      |  FROM cnts GROUP BY source, b HAVING sum(cnt) > 0)""".stripMargin
+
+  /** q175's assignment census over the q169 trajectory: the kcenter
+    * CTE chain (6 rounds), then the 6 chosen centers as one table,
+    * every vector argmin-assigned (ties by center_id — the Spark
+    * min(struct) order), a per-center census, and the 1-row corpus
+    * total for the ppm weights. Centers that win no member survive the
+    * LEFT JOIN as explicit (0, 0) rows, matching the Spark side. */
+  private def kcenterWeightsOracle(k: Int): String = {
+    val cosEC =
+      "CAST(round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, 65)]) / (e.nrm * c.nrm) * 1000000) AS BIGINT)"
+    val base = kcenterOracle(k)
+    val ctes = base.substring(0, base.indexOf("\nSELECT round, center_id"))
+    val ctrRows = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, vec_id AS center_id, embedding, nrm FROM c$r")
+      .mkString("\n  UNION ALL ")
+    s"""$ctes,
+      |ctr AS MATERIALIZED (
+      |  $ctrRows),
+      |asg AS MATERIALIZED (
+      |  SELECT e.vec_id, c.round, c.center_id,
+      |         1000000 - $cosEC AS d
+      |  FROM e, ctr c),
+      |pick AS (
+      |  SELECT round, center_id, d,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY d, center_id) AS rn
+      |  FROM asg),
+      |cen AS (
+      |  SELECT round, center_id, CAST(count(*) AS BIGINT) AS mem,
+      |         CAST(max(d) AS BIGINT) AS rad
+      |  FROM pick WHERE rn = 1 GROUP BY round, center_id),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
+      |SELECT c.round, c.center_id,
+      |       CAST(COALESCE(cen.mem, 0) AS BIGINT) AS n_members,
+      |       CAST(COALESCE(cen.mem, 0) * 1000000 // (SELECT n_total FROM tot) AS BIGINT) AS weight_ppm,
+      |       CAST(COALESCE(cen.rad, 0) AS BIGINT) AS cover_radius_u
+      |FROM ctr c LEFT JOIN cen ON c.round = cen.round AND c.center_id = cen.center_id
+      |ORDER BY c.round""".stripMargin
+  }
+
+  /** q172's converged NN-Descent: the q153 chain as g0, `cap` unrolled
+    * refinement rounds (candidates = edges ∪ reverse ∪ 2-hop, exact
+    * re-score, re-rank), a per-round changed-edge count, and the q146
+    * stopping rule — the final edges come from the FIRST round that
+    * changed nothing (else round `cap`), so both engines stop at the
+    * identical round and `rounds_taken` hash-matches. */
+  private def knnRefineConvergedOracle(kNbrs: Int, cap: Int): String = {
+    val cosQE =
+      """CAST(round(
+        |           list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]) /
+        |           (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) for i in range(1, 65)])) *
+        |            sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]))) * 1000000) AS BIGINT)""".stripMargin
+    val head =
+      s"""WITH $knnRankedCte,
+        |g0 AS MATERIALIZED (
+        |  SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_u
+        |  FROM rk WHERE rank <= $kNbrs)""".stripMargin
+    val rounds = (1 to cap).map { i =>
+      s"""cu$i AS MATERIALIZED (
+        |  SELECT vec_id, nbr_id FROM g${i - 1}
+        |  UNION
+        |  SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM g${i - 1}
+        |  UNION
+        |  SELECT a.vec_id AS vec_id, b.nbr_id AS nbr_id
+        |  FROM g${i - 1} a JOIN g${i - 1} b ON a.nbr_id = b.vec_id
+        |  WHERE a.vec_id <> b.nbr_id),
+        |sc$i AS MATERIALIZED (
+        |  SELECT c.vec_id, c.nbr_id,
+        |         $cosQE AS cos_u
+        |  FROM cu$i c JOIN embeddings q ON c.vec_id = q.vec_id
+        |              JOIN embeddings e ON c.nbr_id = e.vec_id),
+        |g$i AS MATERIALIZED (
+        |  SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos_u FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_u DESC, nbr_id) AS rank
+        |    FROM sc$i)
+        |  WHERE rank <= $kNbrs),
+        |ch$i AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM g$i nx
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM g${i - 1} p
+        |    WHERE p.vec_id = nx.vec_id AND p.nbr_id = nx.nbr_id))""".stripMargin
+    }
+    val chs = (1 to cap)
+      .map(i => s"SELECT $i AS i, (SELECT n FROM ch$i) AS n")
+      .mkString("\n  UNION ALL ")
+    val allg = (1 to cap)
+      .map(i => s"SELECT $i AS i, vec_id, nbr_id, rank, cos_u FROM g$i")
+      .mkString("\n  UNION ALL ")
+    val tail =
+      s"""chs AS ($chs),
+        |stop AS (
+        |  SELECT COALESCE(min(i), $cap) AS k FROM chs WHERE n = 0),
+        |allg AS ($allg)
+        |SELECT vec_id, nbr_id, rank, cos_u,
+        |       CAST((SELECT k FROM stop) AS BIGINT) AS rounds_taken
+        |FROM allg WHERE i = (SELECT k FROM stop)
+        |ORDER BY vec_id, rank""".stripMargin
+    (Seq(head) ++ rounds ++ Seq(tail)).mkString(",\n")
+  }
+
   private def knnRefineOracle: String =
     s"""WITH $knnRankedCte,
       |g AS (SELECT vec_id, nbr_id FROM rk WHERE rank <= 3),
@@ -3731,32 +3882,24 @@ object SparkEntry {
     // q153 graph, exact re-score, re-rank (recall-monotone by
     // candidate-superset; KnnRefineSpec measures the gain).
     "q166_knn_refine" -> knnRefineOracle,
+    // Streaming shard publisher: the keyed upsert drains to the same
+    // merged manifest as the batch full-outer join under any slicing,
+    // so q165's census SQL serves VERBATIM (registered equality).
+    "q173_stream_shard_publish" -> shardPublishOracle,
     // k-center greedy coreset: the full trajectory unrolled (6 rounds).
     "q169_kcenter_coreset" -> kcenterOracle(6),
+    // NN-Descent to convergence: rounds unrolled to the cap with a
+    // per-round changed-edge count; both engines apply the identical
+    // integer stopping rule, so rounds_taken hash-matches (q146 idiom).
+    "q172_knn_refine_converged" -> knnRefineConvergedOracle(3, 4),
+    // Coreset weights: nearest-center assignment census over the q169
+    // trajectory (argmin ties by center_id — the min(struct) order).
+    "q175_kcenter_weights" -> kcenterWeightsOracle(6),
     // Poisson bootstrap: the same integer inverse-CDF ladder (floor of
     // CDF·2^56 literals), integer ppm replicate means, rank-picked
     // percentile CI — fully deterministic, so the CI table hash-matches.
     "q170_bootstrap_ci" ->
-      """WITH reps AS (
-        |  SELECT d.source, d.doc_id, d.n_chars, t.b
-        |  FROM documents d, range(0, 200) t(b)),
-        |cnts AS (
-        |  SELECT source, b, n_chars,
-        |         CASE WHEN u < 26508507426831584 THEN 0
-        |              WHEN u < 53017014853663168 THEN 1
-        |              WHEN u < 66271268567078960 THEN 2
-        |              WHEN u < 70689353138217560 THEN 3
-        |              WHEN u < 71793874281002208 THEN 4
-        |              WHEN u < 72014778509559136 THEN 5
-        |              WHEN u < 72051595880985288 THEN 6
-        |              WHEN u < 72056855505474736 THEN 7
-        |              ELSE 8 END AS cnt
-        |  FROM (SELECT *,
-        |          CAST(concat('0x', substr(md5(concat('boot:', CAST(b AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) AS u
-        |        FROM reps)),
-        |rm AS (
-        |  SELECT source, b, sum(cnt * n_chars) * 1000000 // sum(cnt) AS mean_u
-        |  FROM cnts GROUP BY source, b HAVING sum(cnt) > 0),
+      s"""WITH $bootstrapRepMeansCte,
         |rk AS (
         |  SELECT source, mean_u,
         |         row_number() OVER (PARTITION BY source ORDER BY mean_u, b) AS r,
@@ -3774,6 +3917,39 @@ object SparkEntry {
         |SELECT pt.source, pt.point_mean_u, ci.ci_lo_u, ci.ci_hi_u,
         |       ci.n_replicates
         |FROM pt JOIN ci ON pt.source = ci.source ORDER BY pt.source""".stripMargin,
+    // Bootstrap delta CIs: the identical replicate means (shared CTE),
+    // paired per replicate index across every unordered source pair;
+    // deltas are pure subtractions (no division ever sees a negative),
+    // so the full significance matrix hash-matches.
+    "q174_bootstrap_delta_ci" ->
+      s"""WITH $bootstrapRepMeansCte,
+        |pairs AS (
+        |  SELECT x.source AS source_a, y.source AS source_b, x.b,
+        |         x.mean_u - y.mean_u AS delta_u
+        |  FROM rm x JOIN rm y ON x.b = y.b AND x.source < y.source),
+        |rk AS (
+        |  SELECT source_a, source_b, delta_u,
+        |         row_number() OVER (PARTITION BY source_a, source_b ORDER BY delta_u, b) AS r,
+        |         count(*) OVER (PARTITION BY source_a, source_b) AS nb
+        |  FROM pairs),
+        |ci AS (
+        |  SELECT source_a, source_b,
+        |         CAST(max(CASE WHEN r = (nb * 25 + 999) // 1000 THEN delta_u END) AS BIGINT) AS ci_lo_u,
+        |         CAST(max(CASE WHEN r = (nb * 975 + 999) // 1000 THEN delta_u END) AS BIGINT) AS ci_hi_u,
+        |         CAST(max(nb) AS BIGINT) AS n_replicates
+        |  FROM rk GROUP BY source_a, source_b),
+        |pt AS (
+        |  SELECT source, sum(n_chars) * 1000000 // count(*) AS pm
+        |  FROM documents GROUP BY source),
+        |pd AS (
+        |  SELECT x.source AS source_a, y.source AS source_b,
+        |         CAST(x.pm - y.pm AS BIGINT) AS point_delta_u
+        |  FROM pt x JOIN pt y ON x.source < y.source)
+        |SELECT pd.source_a, pd.source_b, pd.point_delta_u,
+        |       ci.ci_lo_u, ci.ci_hi_u, ci.n_replicates,
+        |       CAST(CASE WHEN ci.ci_lo_u > 0 OR ci.ci_hi_u < 0 THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM pd JOIN ci ON pd.source_a = ci.source_a AND pd.source_b = ci.source_b
+        |ORDER BY pd.source_a, pd.source_b""".stripMargin,
     // Streaming quantile monitor: the bottom-k set is order-free, so
     // the stream census under ANY micro-batch slicing equals the batch
     // sketch — restated relationally (the q164 sampling CTE, sketch

@@ -1951,6 +1951,62 @@ object EmbedQueries {
     rows.toSeq.toDF("round", "center_id", "radius_u").orderBy("round")
   }
 
+  /** CORESET WEIGHTS (q175): the artifact [[q169KcenterCoreset]]'s
+    * selection actually ships — every vector assigned to its NEAREST
+    * chosen center (argmin over the k centers, ties by center_id), then
+    * per-center member counts, corpus weight (ppm), and per-center
+    * cover radius. This completes the coreset: q49/q120-style samplers
+    * consume (center, weight) directly as a weighted training subset,
+    * and max(cover_radius_u) ≡ q169's final radius — the assigned
+    * distance IS each vector's min-distance, so the census certifies
+    * the same geometry the greedy certified (KcenterWeightsSpec pins
+    * both).
+    *
+    * Scale shape: the centers are k rows joined to their embeddings and
+    * BROADCAST — the assignment is one map-only corpus pass (k
+    * distances per vector, argmin via min(struct), no shuffle carries
+    * the ×k) into a k-group census; the 1-row corpus count rides a
+    * broadcast census join (the repo's standard 1-row idiom). Centers
+    * that win no member (possible only when duplicate geometry makes a
+    * center's own row tie-break away) survive via the left join with
+    * an explicit (0, radius 0) census row. */
+  def q175KcenterWeights(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    kcenterWeights(emb, kcenterGreedy(emb, 6))
+  }
+
+  /** The reusable assignment census behind q175 over any (vec_id,
+    * embedding) frame + a (round, center_id) trajectory; public so
+    * KcenterWeightsSpec can pin cover-radius ≡ greedy-radius and
+    * weight conservation. */
+  def kcenterWeights(embIn: DataFrame, trajectory: DataFrame): DataFrame = {
+    withDot(embIn.sparkSession)
+    val emb = embIn.select(col("vec_id"), col("embedding"),
+      l2(col("embedding")).as("nrm"))
+    val centers = trajectory.select(col("round"), col("center_id"))
+      .join(emb.select(col("vec_id").as("center_id"),
+        col("embedding").as("cv"), col("nrm").as("cnrm")), "center_id")
+    val d = lit(1000000L) - round(dot(col("embedding"), col("cv")) /
+      (col("nrm") * col("cnrm")) * 1e6).cast("long")
+    val assigned = emb.crossJoin(broadcast(centers))
+      .select(col("vec_id"), d.as("d"), col("center_id"), col("round"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("center_id"), col("round"))).as("m"))
+      .select(col("m.center_id").as("center_id"),
+        col("m.round").as("round"), col("m.d").as("d"))
+    val census = assigned.groupBy("round", "center_id")
+      .agg(count(lit(1)).as("mem"), max("d").as("rad"))
+    val total = emb.agg(count(lit(1)).as("n_total"))
+    trajectory.select(col("round"), col("center_id"))
+      .join(census, Seq("round", "center_id"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("round"), col("center_id"),
+        coalesce(col("mem"), lit(0L)).as("n_members"),
+        expr("coalesce(mem, 0) * 1000000 div n_total").as("weight_ppm"),
+        coalesce(col("rad"), lit(0L)).as("cover_radius_u"))
+      .orderBy("round")
+  }
+
   /** NN-DESCENT REFINEMENT ROUND (q166): one neighbor-of-neighbor
     * expansion + exact re-rank over the standing q153 graph — the
     * classic graph-ANN improvement step (Dong, Moses & Li, WWW 2011:
@@ -2007,6 +2063,62 @@ object EmbedQueries {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= kNbrs)
       .select(col("vec_id"), col("nbr_id"), col("rank"), col("cos_u"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** NN-DESCENT TO CONVERGENCE (q172): [[knnRefine]] iterated until the
+    * edge set reaches a FIXPOINT — the production dial on the same
+    * arithmetic (the q146 converged-TrustRank idiom: q166 registers the
+    * single-round primitive, this registers the until-converged one).
+    * Each round is recall-monotone (candidate-superset argument,
+    * KnnRefineSpec), per-vector cos-sums are bounded integers, so the
+    * edge set must stop changing; the loop stops at the first round
+    * that changes NOTHING (or at `maxRounds`), and the result carries
+    * `rounds_taken` so the stopping decision itself is oracle-checked —
+    * both engines count changed edges with the same integer arithmetic
+    * and therefore stop at the identical round.
+    *
+    * The per-round change count is a 1-row aggregate over the k·n edge
+    * table (trainer-loop artifact class — q104/q125/q146), never a
+    * data-path collect. 100 TB shape: each round is q166's
+    * graph-proportional work (candidates ≤ n(k²+2k)); rounds are few
+    * (diameter-ish — measured 2–3 on both fixture regimes), and the
+    * standing graph localCheckpoints between rounds (the q134/q146
+    * iterative discipline, last round re-derived unmaterialized so the
+    * registered plan keeps one auditable round shape). */
+  def q172KnnRefineConverged(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    knnRefineConverged(knnGraph(emb, kNbrs = 3), emb, kNbrs = 3,
+      maxRounds = 4)
+  }
+
+  /** The reusable convergence loop behind q172 over any (vec_id,
+    * nbr_id) edge frame + embedding table; public so
+    * KnnConvergenceSpec can pin fixpoint detection and per-round
+    * monotonicity. `rounds_taken` = the first round index whose
+    * refinement changed no edge (or `maxRounds` when capped). */
+  def knnRefineConverged(graph: DataFrame, embIn: DataFrame, kNbrs: Int,
+                         maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1)
+    var prev = graph.select(col("vec_id"), col("nbr_id"), col("rank"),
+      col("cos_u")).localCheckpoint()
+    var base = prev // g_{k-1}: the final round is re-derived from it
+    var rounds = 0
+    var changed = Long.MaxValue
+    while (rounds < maxRounds && changed > 0) {
+      base = prev
+      val next = knnRefine(prev, embIn, kNbrs).localCheckpoint()
+      // edge-set delta: both sides hold exactly k edges per vector, so
+      // |next ∖ prev| = 0 ⟺ the sets are equal (the fixpoint test)
+      changed = next.select(col("vec_id"), col("nbr_id"))
+        .join(prev.select(col("vec_id"), col("nbr_id")),
+          Seq("vec_id", "nbr_id"), "left_anti")
+        .count()
+      prev = next
+      rounds += 1
+    }
+    knnRefine(base, embIn, kNbrs)
+      .withColumn("rounds_taken", lit(rounds.toLong))
       .orderBy("vec_id", "rank")
   }
 

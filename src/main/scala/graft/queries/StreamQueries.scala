@@ -528,4 +528,60 @@ object StreamQueries {
       .filter(col("rank") > 0L) // markers are store state, not output
       .orderBy("vec_id", "rank")
   }
+
+  /** STREAMING INCREMENTAL SHARD PUBLISHER (q173): q165's publish
+    * decision maintained AT THE INGEST DOOR — today's snapshot arrives
+    * as a stream and each micro-batch upserts its manifest rows
+    * (doc_id, content hash, n_chars) into the standing merged manifest
+    * through [[EventStreams.runVersionedFold]] +
+    * [[DocQueries.shardPublishFold]]; the final committed store IS the
+    * full-outer diff table, and the publish census reads it once
+    * ([[DocQueries.shardPublishCensus]] — the identical tail q165
+    * runs). Closes the last batch/stream asymmetry: every incremental
+    * operator family (SCD2 q145/q162, kNN q157/q163, publish
+    * q165/q173) now has both doors.
+    *
+    * NO batch-order contract: the merge is keyed by doc_id and each doc
+    * arrives once (re-delivery coalesces to the identical content), so
+    * the drained store equals the batch full-outer join under ANY
+    * micro-batch slicing — the registered oracle is q165's census SQL
+    * VERBATIM (the q154/q162/q163 registered-equality trick), and
+    * StreamShardPublishSpec pins 2-batch ≡ 1-batch ≡ batch q165.
+    * Docs that never arrive keep h_b null and census as deleted — the
+    * stream needs no tombstones because the verdict is computed against
+    * the seeded A-side manifest, not row presence.
+    *
+    * 100 TB shape: per batch, ONE pass over the standing fixed-width
+    * manifest (full-outer equi-join on doc_id — 32-byte hashes cross
+    * the exchange, never text); the manifest lives as versioned parquet
+    * on shared storage and the census is one 64-group aggregate at
+    * read time. */
+  def q173StreamShardPublish(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ss = EventStreams.streamSession(spark)
+    val docs = Tables(spark, dir, "documents")
+    // Yesterday's stored artifact: the published snapshot's manifest
+    // (q47's shape), seeded with today's side still unknown.
+    val seed = docs.select(col("doc_id"), md5(col("text")).as("h_a"),
+      lit(null).cast("string").as("h_b"), lit(null).cast("long").as("nc_b"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // Today's snapshot arriving: q159/q165's deterministic delta
+    // derivation applied on the stream (deletes simply never arrive).
+    val arrivals = ss.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 10 =!= 3)
+      .select(
+        when(col("doc_id") % 10 === 7, col("doc_id") + 1000000000L)
+          .otherwise(col("doc_id")).as("doc_id"),
+        md5(when(col("doc_id") % 10 === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h_b"),
+        when(col("doc_id") % 10 === 5, col("n_chars") + 5L)
+          .otherwise(col("n_chars")).as("nc_b"))
+    val store = EventStreams.runVersionedFold(ss, arrivals, seed,
+      "target/fold-store/q173")(DocQueries.shardPublishFold)
+    DocQueries.shardPublishCensus(store, "seed42", 64)
+  }
 }
