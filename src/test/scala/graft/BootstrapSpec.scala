@@ -84,4 +84,62 @@ class BootstrapSpec extends AnyFunSuite {
       f"width $w4%.0f at 4n vs $w1%.0f at n — no 1/sqrt(n) shrinkage")
     assert(w4 > 0.3 * w1, "width collapsed faster than the law allows")
   }
+
+  // ---- q174 delta CIs ----
+
+  private def synthAt(n: Int, src: String, idBase: Long,
+                      shift: Long): DataFrame =
+    (0 until n).map(i => (src, idBase + i, (i % 613 + 20 + shift)))
+      .toDF("source", "doc_id", "n_chars")
+
+  private def deltaRows(df: DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toList
+
+  test("delta CI: identical arms insignificant, planted separation significant") {
+    // s0/s1 draw from the SAME length distribution (different ids, so
+    // the Poisson draws differ); s2 is +200 chars per doc — a real
+    // separation the CI must call.
+    val docs = synthAt(3000, "s0", 0L, 0L)
+      .unionByName(synthAt(3000, "s1", 100000L, 0L))
+      .unionByName(synthAt(3000, "s2", 200000L, 200L))
+    val out = deltaRows(DocQueries.bootstrapDeltaCi(docs, 200))
+    assert(out.map(t => (t._1, t._2)) ==
+      List(("s0", "s1"), ("s0", "s2"), ("s1", "s2")))
+    out.foreach { case (sa, sb, pd, lo, hi, nb, sig) =>
+      assert(nb == 200L, s"($sa,$sb) lost replicates")
+      assert(lo <= pd && pd <= hi, s"($sa,$sb): point $pd outside [$lo,$hi]")
+      assert(sig == (if (lo > 0 || hi < 0) 1L else 0L),
+        s"($sa,$sb): verdict column disagrees with its own interval")
+    }
+    val m = out.map(t => ((t._1, t._2), t)).toMap
+    assert(m(("s0", "s1"))._7 == 0L, "identical arms called significant")
+    assert(m(("s0", "s2"))._7 == 1L && m(("s0", "s2"))._3 < 0L,
+      "planted +200 separation missed (s2 is the longer arm)")
+    assert(m(("s1", "s2"))._7 == 1L)
+  }
+
+  test("delta CI width obeys the 1/sqrt(n) law") {
+    def width(n: Int): Double = {
+      val docs = synthAt(n, "s0", 0L, 0L)
+        .unionByName(synthAt(n, "s1", 1000000L, 0L))
+      val r = deltaRows(DocQueries.bootstrapDeltaCi(docs, 200)).head
+      (r._5 - r._4).toDouble
+    }
+    val w1 = width(1000)
+    val w4 = width(4000)
+    assert(w4 < 0.7 * w1,
+      f"delta width $w4%.0f at 4n vs $w1%.0f at n — no 1/sqrt(n) shrinkage")
+    assert(w4 > 0.3 * w1, "delta width collapsed faster than the law allows")
+  }
+
+  test("delta CI is deterministic under every partitioning") {
+    val docs = synthAt(1500, "s0", 0L, 0L)
+      .unionByName(synthAt(1500, "s1", 500000L, 35L))
+    val base = deltaRows(DocQueries.bootstrapDeltaCi(docs, 100))
+    for (p <- Seq(1, 7, 32)) {
+      assert(deltaRows(DocQueries.bootstrapDeltaCi(docs.repartition(p), 100))
+        == base, s"delta CI table diverged at repartition($p)")
+    }
+  }
 }
