@@ -882,9 +882,16 @@ object DocQueries {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
-    val edges = pairs
+    // The pair subtree materializes ONCE before the bidirectional union:
+    // without this cut, building the persisted edge relation evaluates
+    // the caller's pair plan under BOTH union arms — for every consumer
+    // the pair graph is the expensive part (banded candidates + verify),
+    // so the old shape paid it twice (r19 optimization, measured 2×
+    // on the q79/q129 builds; guide §1.2 "don't compute things twice").
+    val pairCut = cut(pairs.select(col("doc_a"), col("doc_b")))
+    val edges = pairCut
       .select(col("doc_a").as("id"), col("doc_b").as("nbr"))
-      .union(pairs.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
+      .union(pairCut.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = cut(edges.select(col("id")).distinct()
       .select(col("id"), col("id").as("label")))
@@ -895,17 +902,22 @@ object DocQueries {
       val nbrMin = edges
         .join(labels.select(col("id").as("nbr"), col("label").as("nlab")), "nbr")
         .groupBy("id").agg(min("nlab").as("nmin"))
-      val spread = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val halved = cut(spread.as("x")
+      // `spread` is consumed twice by the halving self-join; cutting it
+      // first runs the edge-sized min-label join ONCE per round instead
+      // of once per join side (the two subtrees canonicalize differently,
+      // so ReuseExchange never dedups them — r19 optimization, guide
+      // §2.4). The previous label rides along as `old` so the
+      // convergence count below is a map-only filter over the
+      // checkpointed round result, not another node join.
+      val spread = cut(labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+      val halved = cut(spread
         .join(spread.select(col("id").as("label"), col("label").as("ll")).as("y"),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("ll"), col("label")).as("label")))
-      changed = halved.select(col("id"), col("label").as("new_label"))
-        .join(labels, "id")
-        .filter(col("new_label") =!= col("label")).count()
-      labels = halved
+        .select(col("id"), col("old"), coalesce(col("ll"), col("label")).as("label")))
+      changed = halved.filter(col("label") =!= col("old")).count()
+      labels = halved.select("id", "label")
       rounds += 1
     }
     // Path halving converges in O(log diameter) rounds; 40 covers any
@@ -1878,6 +1890,66 @@ object DocQueries {
     nullSafeJoin(bucketed, offsets, group :+ "bkt", bcast = false)
       .withColumn("rnk", col("boff") + row_number().over(inBucket))
       .drop("bkt", "boff")
+  }
+
+  /** THE ROW AT ONE TARGET RANK PER STRATUM — [[exactStratumRank]]
+    * specialized to consumers that keep a single position (the
+    * median/MAD family), r19 optimization (guide §2.3: shuffle fewer
+    * bytes). `exactStratumRank(...).filter(rnk === t)` ranks EVERY row —
+    * the per-bucket window shuffles and sorts the whole corpus to then
+    * discard all but #strata rows. Here the first level (cutpoints,
+    * bucket counts, offsets — all map-combinable aggregates) locates
+    * WHICH bucket holds the target position, and only that bucket's
+    * ≈ n/nBuckets rows per stratum cross the window exchange — the
+    * corpus-scale sort disappears at every scale. Row-for-row equal to
+    * the filtered full rank (CalibrationSpec pins the equality,
+    * NULL strata included): any cut set that respects the key order
+    * partitions the order, and the target bucket's offset + in-bucket
+    * row_number is the exact global rank.
+    *
+    * `targetOf` maps the stratum size (`grp_n`) to the 1-based rank to
+    * keep — e.g. `n => shiftright(n + 1, 1)` for the lower median.
+    * Output: the input columns of the one row per stratum at that rank
+    * (strata whose target falls outside [1, grp_n] yield no row, as the
+    * filtered full rank would). */
+  private[graft] def stratumRowAt(df: DataFrame, group: Seq[String],
+                                  keyCol: String, nBuckets: Int,
+                                  targetOf: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, "need at least 2 range buckets")
+    val gcols = group.map(col)
+    val k = col(keyCol)
+    val ps = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    // Null-safe stratum joins, as in exactStratumRank (NULL is a group).
+    def nullSafeJoin(l: DataFrame, r: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+      val rr = keys.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+      val cond = keys.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+      l.join(broadcast(rr), cond).drop(keys.map(c => s"__r_$c"): _*)
+    }
+    val cuts = df.groupBy(gcols: _*).agg(
+      percentile_approx(k, array(ps: _*), lit(10000)).as("cuts"),
+      count(lit(1)).as("grp_n"))
+    val bucketed = nullSafeJoin(df, cuts.drop("grp_n"), group)
+      .withColumn("bkt", size(filter(col("cuts"), c => c < k)))
+      .drop("cuts")
+    val bCounts = bucketed.groupBy((gcols :+ col("bkt")): _*)
+      .agg(count(lit(1)).as("bn"))
+    val byBucket = Window.partitionBy(gcols: _*).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ 1 row per stratum: the bucket whose [boff+1, boff+bn] range
+    // holds the target — always a broadcastable #strata-row table.
+    val targets = bCounts
+      .withColumn("boff", coalesce(sum("bn").over(byBucket), lit(0L)))
+      .withColumn("grp_n", sum("bn").over(Window.partitionBy(gcols: _*)))
+      .withColumn("tpos", targetOf(col("grp_n")))
+      .filter(col("boff") < col("tpos") && col("tpos") <= col("boff") + col("bn"))
+      .select((gcols :+ col("bkt") :+ col("boff") :+ col("tpos")): _*)
+    val inGroup = Window.partitionBy(gcols: _*).orderBy(keyCol)
+    nullSafeJoin(bucketed, targets, group :+ "bkt")
+      .withColumn("rnk", col("boff") + row_number().over(inGroup))
+      .filter(col("rnk") === col("tpos"))
+      .drop("bkt", "boff", "tpos", "rnk")
   }
 
   /** √n bucket-count dial for [[exactStratumRank]] — the
@@ -3921,6 +3993,10 @@ object DocQueries {
             .otherwise(concat(expr("substring(w, 1, i - 1)"),
               expr("substring(w, i + 1)")))).as("v"))
       .distinct()
+      // both sides of the variant self-join read this frame; a lazy
+      // lineage cut evaluates the explode+distinct once, not per side
+      // (r19 optimization — guide §1.2).
+      .localCheckpoint(false)
     vars.select(col("v"), col("k").as("k_a"), col("w").as("w_a"))
       .join(vars.select(col("v"), col("k").as("k_b"),
         col("w").as("w_b")), Seq("v"))
@@ -4279,22 +4355,29 @@ object DocQueries {
     * decomposition — never a whole-source window sort. */
   def madDeviations(docs: DataFrame): DataFrame = {
     val nb = rankBuckets(docs)
-    val cnts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
     // Composite order-isomorphic rank key (the q70/q143 move): exact on
-    // any corpus with doc_id < 2^40 and n_chars < 2^23.
+    // any corpus with doc_id < 2^40 and n_chars < 2^23. The lower median
+    // is ONE row per source, so it rides [[stratumRowAt]] — only the
+    // median bucket's rows cross the rank window (r19 optimization;
+    // the full-rank-then-filter shape sorted the whole corpus twice).
     def lowerMedian(df: DataFrame, valCol: String,
                     outCol: String): DataFrame =
-      exactStratumRank(
+      stratumRowAt(
         df.withColumn("rk", col(valCol) * lit(1L << 40) + col("doc_id")),
-        Seq("source"), "rk", nb)
-        .join(broadcast(cnts), "source")
-        .filter(col("rnk") === expr("(cnt + 1) div 2"))
+        Seq("source"), "rk", nb, n => shiftright(n + lit(1L), 1))
         .select(col("source"), col(valCol).as(outCol))
-    val med = lowerMedian(docs, "n_chars", "med_chars")
+    // med/mad are ≤ #sources-row tables consumed by MULTIPLE plan
+    // references (dev feeds the MAD pipeline ~3× — cuts, bucketing,
+    // bucket counts — and the final join once); without a lineage cut
+    // the med pipeline re-evaluates under every reference, ~4× the whole
+    // median machinery per madDeviations call (r19 optimization, guide
+    // §5 / §3.3: materialize tiny intermediates that truncate repeated
+    // subtrees — measured 4.8 s → 1.9 s at sf0.1 on q152, same rows). */
+    val med = lowerMedian(docs, "n_chars", "med_chars").localCheckpoint(true)
     val dev = docs.join(broadcast(med), "source")
       .withColumn("dev", abs(col("n_chars") - col("med_chars")))
     val mad = lowerMedian(dev.select(col("doc_id"), col("source"),
-      col("dev")), "dev", "mad_chars")
+      col("dev")), "dev", "mad_chars").localCheckpoint(true)
     dev.join(broadcast(mad), "source")
   }
 
@@ -4458,17 +4541,17 @@ object DocQueries {
     val keepIds = docs
       .groupBy(md5(lower(trim(col("text")))).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val dedup = docs.join(keepIds, Seq("doc_id"), "left_semi")
     val lgIds = madDeviations(
         dedup.select(col("doc_id"), col("source"), col("n_chars")))
       .filter(col("dev") <= lit(3L) * col("mad_chars"))
       .select("doc_id")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val lg = dedup.join(lgIds, Seq("doc_id"), "left_semi")
     val contaminated = decontaminate(lg, col("source") === "src19", 10)
       .select("doc_id")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val clean = lg.join(contaminated, Seq("doc_id"), "left_anti")
     val tokClean = tokenizedDocs(clean)
     def stage(name: String, df: DataFrame): DataFrame =
@@ -4578,14 +4661,14 @@ object DocQueries {
       col("doc_id"), col("source"), col("n_chars"),
       md5(col("text")).as("h_raw"),
       md5(lower(trim(col("text")))).as("h"))
-    val manA = manifest(snapA).localCheckpoint()
-    val manB = manifest(snapB).localCheckpoint()
+    val manA = manifest(snapA).localCheckpoint(false)
+    val manB = manifest(snapB).localCheckpoint(false)
 
     // Delta classification (q159's diff, id-keyed, fixed-width).
     val diff = manA.select(col("doc_id"), col("h_raw").as("ha"))
       .join(manB.select(col("doc_id"), col("h_raw").as("hb")),
         Seq("doc_id"), "full_outer")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val unchangedIds = diff.filter(col("ha") === col("hb")).select("doc_id")
     val deltaBIds = diff.filter(col("hb").isNotNull &&
       (col("ha").isNull || col("ha") =!= col("hb"))).select("doc_id")
@@ -4598,38 +4681,46 @@ object DocQueries {
     // session-shared tokenized/shingle relations stand in for the
     // posting/token stores a production funnel persists per doc —
     // content-pure, so yesterday's run covers every doc it saw).
+    // postA/tokA/keepA each feed several downstream consumers; a lazy
+    // lineage cut materializes each ONCE inside its first consumer's job
+    // instead of re-running the explode/aggregate per reference (r19
+    // optimization — all the fold's cuts are lazy for the same reason:
+    // the plan is truncated identically, but no dedicated job per cut).
     val postA = shingledHashed(tokenizedDocs(snapA))
       .select(col("doc_id"), explode(col("hs")).as("h"))
+      .localCheckpoint(false)
     val tokA = tokenizedDocs(snapA)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+      .localCheckpoint(false)
     val keepA = manA.groupBy("h").agg(min("doc_id").as("doc_id"))
+      .localCheckpoint(false)
     val lgIdsA = madDeviations(
         manA.join(keepA.select("doc_id"), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("source"), col("n_chars")))
       .filter(col("dev") <= lit(madFactor) * col("mad_chars"))
-      .select("doc_id").localCheckpoint()
+      .select("doc_id").localCheckpoint(false)
     val trainIdsA = lgIdsA.join(manA.filter(col("source") =!= heldSrc)
-      .select("doc_id"), Seq("doc_id"), "left_semi").localCheckpoint()
+      .select("doc_id"), Seq("doc_id"), "left_semi").localCheckpoint(false)
     val heldIdsA = lgIdsA.join(manA.filter(col("source") === heldSrc)
       .select("doc_id"), Seq("doc_id"), "left_semi")
     val trainCntA = postA.join(trainIdsA, Seq("doc_id"), "left_semi")
-      .groupBy("h").agg(count(lit(1)).as("cnt_a")).localCheckpoint()
+      .groupBy("h").agg(count(lit(1)).as("cnt_a")).localCheckpoint(false)
     val contamA = postA.join(heldIdsA, Seq("doc_id"), "left_semi")
       .join(trainCntA.select("h"), Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      .filter(col("ns") >= minShared).select("doc_id").localCheckpoint()
+      .filter(col("ns") >= minShared).select("doc_id").localCheckpoint(false)
 
     // Delta-side text work: ONLY delta docs tokenize/shingle — the
     // honest 100 TB bound this operator exists to enforce.
     val tokDelta = snapB.join(deltaBIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), toks(col("text")).as("toks"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val postDelta = tokDelta
       .select(col("doc_id"), shingles(col("toks")).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         explode(transform(col("sh"), x => md5Long(x, 14))).as("h"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val tokDeltaN = tokDelta.select(col("doc_id"),
       size(col("toks")).cast("long").as("n"))
 
@@ -4640,12 +4731,12 @@ object DocQueries {
       .select("h")
       .unionByName(manB.join(deltaBIds, Seq("doc_id"), "left_semi")
         .select("h"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val keepIdsB = keepA.join(affectedH, Seq("h"), "left_anti")
       .select("doc_id")
       .unionByName(manB.join(affectedH, Seq("h"), "left_semi")
         .groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // Stage 2 — MAD gate: holistic rank statistics over the updated
     // length manifest (fixed-width; no text touched).
@@ -4653,13 +4744,13 @@ object DocQueries {
         manB.join(keepIdsB, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("source"), col("n_chars")))
       .filter(col("dev") <= lit(madFactor) * col("mad_chars"))
-      .select("doc_id").localCheckpoint()
+      .select("doc_id").localCheckpoint(false)
 
     // Stage 3 — decontamination via the carrier-count fold.
     val trainIdsB = lgIdsB.join(manB.filter(col("source") =!= heldSrc)
-      .select("doc_id"), Seq("doc_id"), "left_semi").localCheckpoint()
+      .select("doc_id"), Seq("doc_id"), "left_semi").localCheckpoint(false)
     val heldIdsB = lgIdsB.join(manB.filter(col("source") === heldSrc)
-      .select("doc_id"), Seq("doc_id"), "left_semi").localCheckpoint()
+      .select("doc_id"), Seq("doc_id"), "left_semi").localCheckpoint(false)
     // Changed docs leave with their OLD postings and re-enter with the
     // NEW ones; pure membership flips move whole posting sets.
     val leavingIds = trainIdsA.join(trainIdsB, Seq("doc_id"), "left_anti")
@@ -4684,11 +4775,11 @@ object DocQueries {
         coalesce(col("cnt_a"), lit(0L)).as("ca"),
         (coalesce(col("cnt_a"), lit(0L)) + coalesce(col("d"), lit(0L)))
           .as("cb"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Only shingles whose train-membership FLIPS can change a standing
     // verdict; everything else inherits.
     val flippedH = trainCntB.filter((col("ca") > 0) =!= (col("cb") > 0))
-      .select("h").localCheckpoint()
+      .select("h").localCheckpoint(false)
     val touchFlipped = postA
       .join(heldIdsB.join(unchangedIds, Seq("doc_id"), "left_semi"),
         Seq("doc_id"), "left_semi")
@@ -4698,7 +4789,7 @@ object DocQueries {
     val reverdictIds = heldIdsB.join(deltaBIds, Seq("doc_id"), "left_semi")
       .unionByName(enteredHeld)
       .unionByName(touchFlipped)
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val postRev = postA
         .join(reverdictIds.join(unchangedIds, Seq("doc_id"), "left_semi"),
           Seq("doc_id"), "left_semi")
@@ -4711,9 +4802,9 @@ object DocQueries {
     val contamInherited = contamA.join(heldIdsB, Seq("doc_id"), "left_semi")
       .join(reverdictIds, Seq("doc_id"), "left_anti")
     val contaminatedB = contamRev.unionByName(contamInherited).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cleanIdsB = lgIdsB.join(contaminatedB, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // Stage 4 — pack-window census over per-doc token counts (counts
     // inherit for unchanged docs; the census is q160's window math,

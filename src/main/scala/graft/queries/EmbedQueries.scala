@@ -413,6 +413,10 @@ object EmbedQueries {
       .select(col("vec_id"), col("embedding"),
         l2(col("embedding")).as("nrm"),
         lshBucket(col("embedding"), 4).as("bucket"))
+      // every consumer references this frame twice (scan side + probe
+      // side of the pair join); a lazy lineage cut pays the fan-out
+      // exchange once, not per reference (r19 optimization, guide §2.4).
+      .localCheckpoint(false)
   }
 
   private val probeMasks: Seq[Long] = Seq(0L) ++ (0 until 4).map(p => 1L << p)
@@ -2102,11 +2106,9 @@ object EmbedQueries {
     require(maxRounds >= 1)
     var prev = graph.select(col("vec_id"), col("nbr_id"), col("rank"),
       col("cos_u")).localCheckpoint()
-    var base = prev // g_{k-1}: the final round is re-derived from it
     var rounds = 0
     var changed = Long.MaxValue
     while (rounds < maxRounds && changed > 0) {
-      base = prev
       val next = knnRefine(prev, embIn, kNbrs).localCheckpoint()
       // edge-set delta: both sides hold exactly k edges per vector, so
       // |next ∖ prev| = 0 ⟺ the sets are equal (the fixpoint test)
@@ -2117,7 +2119,13 @@ object EmbedQueries {
       prev = next
       rounds += 1
     }
-    knnRefine(base, embIn, kNbrs)
+    // The registered result is the CHECKPOINTED final round — the
+    // q104/q119 trainer-artifact convention (the loop, not the returned
+    // plan, is the algorithm; KnnConvergenceSpec pins the values). The
+    // previous shape re-derived the last round unmaterialized, paying
+    // one extra full refine pass per materialization for a plan nobody
+    // audits (q172 is not in the PLANS.md roster) — r19 optimization.
+    prev
       .withColumn("rounds_taken", lit(rounds.toLong))
       .orderBy("vec_id", "rank")
   }

@@ -72,15 +72,23 @@ object GraphQueries {
   }
 
   /** The co-supply projection both rank queries share: suppliers are
-    * nodes, an edge links suppliers shipping lines of the same order. */
+    * nodes, an edge links suppliers shipping lines of the same order.
+    *
+    * The projection is SYMMETRIC (src↔dst both exist), so only ordered
+    * half-pairs (src < dst) go through the per-order self-join and the
+    * dedup aggregate; the mirror direction is a narrow union above the
+    * distinct. Halves the distinct's shuffle volume — the edge set is
+    * bit-identical (r19 optimization, guide §2.3: shuffle fewer bytes). */
   private def coSupplyGraph(spark: SparkSession,
                             dir: String): (DataFrame, DataFrame) = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-    val edges = li.select(col("ok"), col("sk").as("src"))
+    val half = li.select(col("ok"), col("sk").as("src"))
       .join(li.select(col("ok"), col("sk").as("dst")), Seq("ok"))
-      .filter(col("src") =!= col("dst"))
+      .filter(col("src") < col("dst"))
       .select("src", "dst").distinct()
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = li.select(col("sk").as("node")).distinct()
     (edges, nodes)
   }
@@ -161,51 +169,71 @@ object GraphQueries {
         lit(rounds.toLong).as("rounds_taken"))
   }
 
-  /** Shared iteration state: edges + out-degrees + seed-flagged nodes
-    * (each localCheckpointed once — every round reuses them) and the
-    * 1-row seed count. Seeds and nodes are deduplicated defensively: a
-    * duplicate row in either input would fan out the flagged table and
-    * double-count teleport/rank mass for that node — the operator is
-    * exported as a general API, so it must not depend on caller-side
-    * uniqueness. */
-  private final case class PrState(edges: DataFrame, outdeg: DataFrame,
-                                   flagged: DataFrame, ns: DataFrame)
+  /** Shared iteration state: edges (localCheckpointed once — every round
+    * reuses them) and the seed count, collected once as a driver Long
+    * (1-row trainer-loop artifact — the q104/q135 idiom) so the per-round
+    * update expression inlines it instead of re-broadcasting a 1-row
+    * aggregate each round. The rank table itself carries (is_seed, deg)
+    * per node — r19 optimization: the old shape re-joined the flagged and
+    * out-degree tables into every round (two extra node joins + one
+    * edge-sized join per round); carrying both columns through the
+    * checkpointed rank table makes each round ONE edge equi-join +
+    * ONE node left-join + one 1-row dangling broadcast (guide §2.4:
+    * remove shuffles outright — per-round exchanges dropped ~2×, values
+    * bit-identical, PageRankSpec partition-invariance unchanged).
+    *
+    * Seeds and nodes are deduplicated defensively: a duplicate row in
+    * either input would fan out the node table and double-count
+    * teleport/rank mass for that node — the operator is exported as a
+    * general API, so it must not depend on caller-side uniqueness. */
+  private final case class PrState(edges: DataFrame, flagged: DataFrame,
+                                   ns: Long)
 
   private def prInit(edgesIn: DataFrame, nodesIn: DataFrame,
                      seedsIn: DataFrame): PrState = {
     val edges = edgesIn.localCheckpoint()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
     val flagged = nodesIn.select(col("node")).distinct()
       .join(seedsIn.select(col("node")).distinct()
           .withColumn("is_seed", lit(1L)),
         Seq("node"), "left")
-      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .join(outdeg.select(col("src").as("node"), col("deg")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
       .localCheckpoint()
-    PrState(edges, outdeg, flagged, flagged.agg(sum("is_seed").as("ns")))
+    val ns = flagged.agg(coalesce(sum("is_seed"), lit(0L)))
+      .collect()(0).getLong(0)
+    PrState(edges, flagged, ns)
   }
 
-  /** r_0: all mass uniformly on the seed set. */
+  /** r_0: all mass uniformly on the seed set. The rank table carries
+    * (is_seed, deg) so rounds never re-join the node metadata. */
   private def prStart(st: PrState): DataFrame =
-    st.flagged.crossJoin(broadcast(st.ns))
-      .select(col("node"), expr("is_seed * (1000000000 div ns)").as("r"))
+    st.flagged.select(col("node"), col("is_seed"), col("deg"),
+      expr(s"is_seed * (1000000000 div ${st.ns})").as("r"))
 
   /** One damped round: contrib = dst-keyed sum of r/deg over edges,
-    * dangling mass back to the seeds, exact ppb integer update. */
+    * dangling mass back to the seeds, exact ppb integer update. The
+    * per-source share `r div deg` is computed on the NODE table before
+    * the edge join (same integer value — deg is constant per src), so
+    * the round's only edge-sized operations are one equi-join and the
+    * partial-aggregated contrib sum; dangling mass is a map-only filter
+    * over the rank table (deg = 0), not an anti-join. */
   private def prRound(st: PrState, r: DataFrame): DataFrame = {
     val contrib = st.edges
-      .join(r.select(col("node").as("src"), col("r")), Seq("src"))
-      .join(st.outdeg, Seq("src"))
-      .select(col("dst"), expr("r div deg").as("c"))
+      .join(r.filter(col("deg") > 0)
+          .select(col("node").as("src"), expr("r div deg").as("c")),
+        Seq("src"))
       .groupBy("dst").agg(sum("c").as("contrib"))
-    val dang = r
-      .join(st.outdeg, r("node") === st.outdeg("src"), "left_anti")
+    val dang = r.filter(col("deg") === 0)
       .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-    st.flagged.crossJoin(broadcast(st.ns)).crossJoin(broadcast(dang))
+    r.select(col("node"), col("is_seed"), col("deg"))
       .join(contrib, col("node") === col("dst"), "left")
-      .select(col("node"),
-        expr("(150 * is_seed * (1000000000 div ns) + " +
-          "850 * (coalesce(contrib, 0) + is_seed * (dang div ns))) " +
+      .crossJoin(broadcast(dang))
+      .select(col("node"), col("is_seed"), col("deg"),
+        expr(s"(150 * is_seed * (1000000000 div ${st.ns}) + " +
+          s"850 * (coalesce(contrib, 0) + is_seed * (dang div ${st.ns}))) " +
           "div 1000").as("r"))
   }
 
