@@ -76,7 +76,8 @@ object PlansDump {
   // materialization, the kmeansCentroids idiom): its registered result
   // aggregates the final assignment; partition-invariance and inertia
   // descent are KmeansSpec's. q134/q139 unroll their 3 rounds into one
-  // plan over checkpointed edge/degree tables and ARE audited.
+  // plan over the checkpointed edge table and (is_seed, deg)-carrying
+  // rank table (r19 lean round) and ARE audited.
   // q129 mirrors q110/q126 (dedupClusters over the frame-overlap pair
   // graph — same exclusion; MultimodalSpec pins the banded arm's recall).
   // q130 is streaming (micro-batch plans live behind the query

@@ -406,17 +406,31 @@ object EmbedQueries {
     * fixed-width exchange buys the whole verify stage full parallelism at
     * every scale (measured at sf0.1: 1.45 s on the 2-partition cache
     * layout, 0.72 s fanned out). */
+  /** Session-memoized per (app, dir): every consumer references this
+    * frame twice (scan side + probe side of the pair join), so a lazy
+    * lineage cut pays the fan-out exchange once, not per reference (r19
+    * optimization, guide §2.4) — and the memo keeps the returned frame's
+    * plan identity STABLE across calls, which q106's sharedLabels memo
+    * keys on (a fresh checkpoint RDD per call would read as a new corpus
+    * and silently re-cluster the base every invocation — caught in the
+    * r19 quiet-window bench, q106 2.7 → 4.0 s, fixed by this memo). */
+  private val sharedBucketedEmb = scala.collection.concurrent.TrieMap
+    .empty[(String, Any), DataFrame]
+
   private def bucketedEmb(spark: SparkSession, dir: String): DataFrame = {
     withDot(spark)
-    Tables(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding"),
-        l2(col("embedding")).as("nrm"),
-        lshBucket(col("embedding"), 4).as("bucket"))
-      // every consumer references this frame twice (scan side + probe
-      // side of the pair join); a lazy lineage cut pays the fan-out
-      // exchange once, not per reference (r19 optimization, guide §2.4).
-      .localCheckpoint(false)
+    val emb = Tables(spark, dir, "embeddings")
+    // Keyed on the CANONICALIZED input plan (the sharedFrameHashes
+    // convention), not the dir string — a corpus regenerated at the same
+    // path reads as a new plan rather than serving stale buckets.
+    sharedBucketedEmb.getOrElseUpdate(
+      (spark.sparkContext.applicationId,
+        emb.queryExecution.analyzed.canonicalized),
+      emb.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"),
+          l2(col("embedding")).as("nrm"),
+          lshBucket(col("embedding"), 4).as("bucket"))
+        .localCheckpoint(false))
   }
 
   private val probeMasks: Seq[Long] = Seq(0L) ++ (0 until 4).map(p => 1L << p)
@@ -648,6 +662,10 @@ object EmbedQueries {
       .filter(_._1 == spark.sparkContext.applicationId)
       .toSeq.foreach(k =>
         sharedFrameHashes.remove(k).foreach(unpersistCheckpoint))
+    sharedBucketedEmb.keys
+      .filter(_._1 == spark.sparkContext.applicationId)
+      .toSeq.foreach(k =>
+        sharedBucketedEmb.remove(k).foreach(unpersistCheckpoint))
   }
 
   /** Int8 scalar quantization + quantized-space retrieval (q60): each

@@ -74,17 +74,23 @@ object GraphQueries {
   /** The co-supply projection both rank queries share: suppliers are
     * nodes, an edge links suppliers shipping lines of the same order.
     *
-    * The projection is SYMMETRIC (src↔dst both exist), so only ordered
-    * half-pairs (src < dst) go through the per-order self-join and the
-    * dedup aggregate; the mirror direction is a narrow union above the
-    * distinct. Halves the distinct's shuffle volume — the edge set is
-    * bit-identical (r19 optimization, guide §2.3: shuffle fewer bytes). */
+    * r19 optimization (guide §2.3/§2.4): the old shape self-joined the
+    * (order, supplier) projection on the order key — two exchanges of the
+    * full line table feeding a fanned-out join — then deduplicated the
+    * whole both-directions pair stream. Now ONE groupBy(order) collects
+    * each order's distinct supplier set (map-side combined, sets bounded
+    * by lines-per-order), pairs explode map-only from the set with
+    * src < dst, and only ordered half-pairs cross the dedup aggregate;
+    * the mirror direction is a narrow union above the distinct. One
+    * corpus exchange instead of two and half the distinct volume — the
+    * edge set is bit-identical (counted + exceptAll-equal both ways). */
   private def coSupplyGraph(spark: SparkSession,
                             dir: String): (DataFrame, DataFrame) = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-    val half = li.select(col("ok"), col("sk").as("src"))
-      .join(li.select(col("ok"), col("sk").as("dst")), Seq("ok"))
+    val half = li.groupBy("ok").agg(collect_set(col("sk")).as("sks"))
+      .select(explode(col("sks")).as("src"), col("sks"))
+      .select(col("src"), explode(col("sks")).as("dst"))
       .filter(col("src") < col("dst"))
       .select("src", "dst").distinct()
     val edges = half
